@@ -1,0 +1,64 @@
+"""Vector math as Column expressions (SURVEY.md §2.8 V-ops).
+
+The reference computes distances inside Milvus (vdb.py:88-100, metric
+COSINE/IP/L2 per config.yml:80).  Here distance is a JVM-side higher-order
+function over array<double> — no Python, no UDF — so similarity joins stay
+inside whole-stage codegen and scale with the cluster.
+
+All inputs are cast to array<double> first: fixture embeddings are
+array<float> and float accumulation would diverge from the (double-based)
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product — matches DuckDB list_dot_product on
+    DOUBLE[] to ~1 ulp."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def l2_sq(a: Column) -> Column:
+    """Squared L2 distance between two vectors zipped as diffs."""
+    return F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+
+
+def l2(a: Column, b: Column) -> Column:
+    diff = F.zip_with(a, b, lambda x, y: x - y)
+    return F.sqrt(l2_sq(diff))
+
+
+# Metric semantics (V5, vdb.py:20-22,155-166): COSINE/IP rank descending
+# (larger is better), L2 ranks ascending.
+METRIC_DESCENDING = {"COSINE": True, "IP": True, "L2": False}
+
+
+def score_expr(metric: str, a: Column, b: Column) -> Column:
+    m = metric.upper()
+    if m == "COSINE":
+        return cosine(a, b)
+    if m == "IP":
+        return dot(a, b)
+    if m == "L2":
+        return l2(a, b)
+    raise ValueError(f"unknown metric {metric!r}")

@@ -1,0 +1,176 @@
+"""Deduplication operators — LLM-data-pipeline extensions (SURVEY.md §2.8 V6).
+
+The reference only dedups on exact primary key (insert-if-absent,
+/root/reference/src/coldata/crawler/crawler.py:39-50).  A training-data
+pipeline needs content-level dedup; this module provides the ladder:
+
+  exact_dedup        — hash-groupBy on raw text (one shuffle, map-side combine)
+  fingerprint_dedup  — md5 of canonicalized text (case/punct/ws-insensitive)
+  minhash_signatures — k independent min-hashes over character shingles
+  minhash_neardup    — LSH banding: docs sharing a band bucket are candidate
+                       near-dups; verified pairs returned
+  embedding_neardup  — cosine >= threshold pairs over an embedding column
+
+Scale notes: shingle explode is a flatMap (no shuffle); signatures reduce via
+min() with map-side partial aggregation; LSH banding turns the O(n^2) pair
+problem into groupBy(band_hash) + within-bucket joins — the standard
+MinHash-LSH shape.  md5 is used as the hash family (seeded by prefix) because
+it is identical across engines, making every stage oracle-checkable in
+DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from coldata_spark.functions.text import fingerprint
+
+N_HASHES = 8  # minhash signature length
+BAND_SIZE = 2  # hashes per LSH band -> N_HASHES/BAND_SIZE bands
+SHINGLE_LEN = 5  # character shingle width
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact duplicate groups: keeper = min id per identical text."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_dups"),
+        )
+    )
+
+
+def fingerprint_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Near-exact dedup on the canonical fingerprint (case/punct/ws folded)."""
+    return (
+        df.groupBy(fingerprint(F.col(text_col)).alias("fp"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_dups"),
+        )
+    )
+
+
+def shingles(df: DataFrame, text_col: str, id_col: str, width: int = SHINGLE_LEN) -> DataFrame:
+    """Explode each document into its distinct character shingles.
+
+    flatMap-shaped (no shuffle); distinct-per-doc happens inside the
+    array expression before the explode, not as a global distinct.
+    """
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, greatest(1, length({text_col}) - {width - 1})),"
+                        f" i -> substring({text_col}, i, {width}))"
+                    )
+                )
+            ).alias("shingle"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, n_hashes: int = N_HASHES
+) -> DataFrame:
+    """(doc_id, seed, minhash): for each of ``n_hashes`` seeded hash
+    functions, the minimum md5 over the document's shingles.
+
+    Seeding = prefixing the seed to the shingle before hashing — a standard
+    trick that keeps the hash family reproducible in any engine with md5.
+    """
+    sh = shingles(df, text_col, id_col)
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed")
+    seeded = sh.select("doc_id", "shingle", seeds)
+    return (
+        seeded.groupBy("doc_id", "seed")
+        .agg(
+            F.min(
+                F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle")))
+            ).alias("minhash")
+        )
+    )
+
+
+def minhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = N_HASHES,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding: two docs collide if any
+    band (concatenation of ``band_size`` consecutive minhashes) matches.
+
+    Returns distinct (doc_a, doc_b) with doc_a < doc_b plus the estimated
+    jaccard = fraction of matching minhash positions.
+    """
+    sig = minhash_signatures(df, text_col, id_col, n_hashes)
+    banded = (
+        sig.withColumn("band", (F.col("seed") / band_size).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.concat_ws("|", F.sort_array(F.collect_list("minhash"))).alias("band_key"))
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    # verify candidates: estimated jaccard = matching minhash positions / k
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"), "seed", F.col("minhash").alias("mh_a")
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"), "seed", F.col("minhash").alias("mh_b")
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "seed"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.round(
+                F.avg((F.col("mh_a") == F.col("mh_b")).cast("double")), 6
+            ).alias("est_jaccard")
+        )
+    )
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """All (a, b) pairs with cosine >= threshold, a < b — brute-force exact.
+
+    O(n^2): correct at verification scale; the 100 TB path blocks by LSH or
+    IVF centroid first (see operators.similarity / queries.vector_queries)
+    so only within-bucket pairs are scored.
+    """
+    from coldata_spark.functions import vector as V
+
+    a = emb.select(
+        F.col(id_col).alias("id_a"), V.as_double(F.col(vec_col)).alias("va")
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"), V.as_double(F.col(vec_col)).alias("vb")
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = F.round(V.cosine(F.col("va"), F.col("vb")), 6)
+    return (
+        pairs.select("id_a", "id_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,97 @@
+"""Similarity search operators (SURVEY.md §2.3 J5, §2.8 V3-V5).
+
+The reference's search path (/root/reference/src/coldata/vdb/vdb.py:88-122):
+embed queries -> Milvus ANN top-k per query -> collapse chunk hits to parent
+docs keeping best distance -> sort by distance -> join back to the document
+store.  Re-expressed Spark-first:
+
+  * exact path  — broadcast the (small) query side against the vector table,
+    score with a codegen'd higher-order function, rank with a per-query
+    window.  This is the oracle-checkable baseline (nprobe == nlist in the
+    reference config means it effectively did exact search anyway —
+    config.yml:81-82).
+  * IVF path    — MLlib KMeans fit on a sample -> assign centroid_id ->
+    vectors table written partitioned by centroid_id; searches score the
+    query against centroids first and scan only the nprobe best partitions
+    (partition pruning does the cell skip Milvus does in-memory,
+    vdb.py:209-211).
+
+At 100 TB the exact path is a single pass over the vector table per query
+batch (no shuffle of the big side: scores reduce via the top-k window on
+query_id, whose cardinality = #queries); the IVF path cuts the scan itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from coldata_spark.functions import vector as V
+
+
+def knn_join(
+    queries: DataFrame,
+    vectors: DataFrame,
+    k: int = 4,
+    metric: str = "COSINE",
+    query_id: str = "q_id",
+    query_vec: str = "q_vec",
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    score_decimals: int | None = 6,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Exact k-NN theta-join: top-k vectors per query under ``metric``.
+
+    Returns (query_id, vec_id, score, rank).  The query side is broadcast
+    (queries are few; vectors are huge), so the big side never shuffles —
+    the only exchange is the tiny per-query top-k merge.
+
+    Scores are rounded to ``score_decimals`` BEFORE ranking, with vec_id as
+    tie-break, so the ranking is deterministic and engine-independent.
+    """
+    desc = V.METRIC_DESCENDING[metric.upper()]
+    score = V.score_expr(
+        metric, V.as_double(F.col(query_vec)), V.as_double(F.col(vec_col))
+    )
+    if score_decimals is not None:
+        score = F.round(score, score_decimals)
+
+    pairs = vectors.join(F.broadcast(queries))
+    if exclude_self:
+        pairs = pairs.filter(F.col(query_id) != F.col(vec_id))
+    scored = pairs.select(query_id, vec_id, score.alias("score"))
+
+    order = [
+        F.col("score").desc() if desc else F.col("score").asc(),
+        F.col(vec_id).asc(),
+    ]
+    w = W.partitionBy(query_id).orderBy(*order)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def group_best(
+    hits: DataFrame,
+    parent_col: str,
+    score_col: str = "score",
+    metric: str = "COSINE",
+    group_cols: tuple[str, ...] = ("q_id",),
+    payload_col: str | None = None,
+) -> DataFrame:
+    """Collapse chunk-level hits to parent documents keeping the best score
+    per (query, parent) — the reference's make_results dedup
+    (vdb.py:101-110) with its metric-dependent direction (vdb.py:155-166).
+
+    One shuffle on (group, parent); map-side partial max/min applies.
+    """
+    desc = V.METRIC_DESCENDING[metric.upper()]
+    best = F.max(score_col) if desc else F.min(score_col)
+    aggs = [best.alias("best_score")]
+    if payload_col is not None:
+        pick = F.max_by if desc else F.min_by
+        aggs.append(pick(payload_col, F.col(score_col)).alias(payload_col))
+    return hits.groupBy(*group_cols, parent_col).agg(*aggs)

@@ -1,0 +1,162 @@
+"""Event-time queries over the ``events`` stream table (SURVEY.md §2.9 R6).
+
+The reference has no event-time semantics (its "streaming" is a wall-clock
+re-crawl loop, scheduler.py:21-33); these are the declared extensions.  Each
+query here is the BATCH expression of a streaming computation — the
+streaming/ package runs the same logic through Structured Streaming with
+watermarks, and tests assert stream == batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from coldata_spark.registry import register
+from coldata_spark.tables import load
+
+
+@register(
+    "q40_events_hourly",
+    survey="R6,A5",
+    sql="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def q40_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation (batch form of the streaming
+    windowed count; the streaming twin adds withWatermark)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@register(
+    "q41_events_json_props",
+    survey="S5,T12,A4",
+    sql="""
+    SELECT event_type,
+           count(*) AS n,
+           round(avg(cast(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+           round(avg(value), 4) AS avg_value
+    FROM events
+    WHERE cast(json_extract_string(props, '$.k') AS INT) > 50
+    GROUP BY event_type
+    """,
+)
+def q41_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props: JSON decode (T12, kaggle.py:126-128's
+    double-decoded metadata) + filter + aggregate.  get_json_object stays
+    JVM-side; at scale prefer from_json once into a struct column."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.withColumn("k", k)
+        .filter(F.col("k") > 50)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+@register(
+    "q42_events_sessionize",
+    survey="R6,W2,W3",
+    sql="""
+    WITH gaps AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, event_id, ts, value,
+               cast(sum(new_session) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS session_id
+        FROM gaps
+    )
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           round(sum(value), 2) AS session_value
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+)
+def q42_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap — the batch equivalent
+    of session_window(ts, '30 minutes'); lag + cumulative-sum session ids.
+    Partition-local windows: scales with #users, no global sort."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_session = F.when(gap <= 1800, F.lit(0)).otherwise(F.lit(1))
+    sess = ev.withColumn("new_session", new_session).withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+    )
+
+
+@register(
+    "q43_events_latest_per_user",
+    survey="A2,W1",
+    sql="""
+    SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+           event_type AS last_type
+    FROM (
+        SELECT user_id, event_id, ts, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    WHERE rn = 1
+    """,
+)
+def q43_events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest event per user (arg-max on event time) — dedup-keep-latest,
+    the batch twin of dropDuplicatesWithinWatermark keep-last semantics."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_type"),
+        )
+    )

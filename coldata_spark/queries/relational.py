@@ -1,0 +1,511 @@
+"""Relational core: scans, projections/filters, joins, aggregations, windows,
+sorts/limits, set ops (SURVEY.md §2.1-2.7).
+
+The reference's relational surface is tiny (the Kaggle crawler's pandas joins,
+/root/reference/src/coldata/crawler/kaggle.py:44-77, and the Mongo
+insert-if-absent path, crawler/crawler.py:39-50); everything here declares the
+full relational algebra the engine exposes on top of Spark, exercised against
+the TPC-H-ish fixtures.
+
+Scale notes (100 TB readiness):
+  * fact-table plans filter + project FIRST so parquet pushdown/pruning cuts
+    IO before any shuffle;
+  * dimension joins use explicit broadcast() (region/nation/supplier/part are
+    bounded-size at any SF — tables.BROADCAST_SAFE);
+  * top-k uses Window row_number (per-partition local top-k then merge — no
+    global sort) or orderBy().limit() (TakeOrderedAndProject) — never a full
+    global sort materialization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from coldata_spark.registry import register
+from coldata_spark.tables import load
+
+
+# --------------------------------------------------------------------------
+# Aggregations (A1-A5) over the main fact table
+# --------------------------------------------------------------------------
+@register(
+    "q01_pricing_summary",
+    survey="A3,A5,P6,S10",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 4)                                        AS avg_qty,
+           round(avg(l_extendedprice), 4)                                   AS avg_price,
+           round(avg(l_discount), 6)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: filter -> partial agg -> final agg.
+
+    One shuffle (on the 6-value group key); the shipdate filter reaches the
+    parquet scan as a pushed predicate.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Multi-way join + agg + deterministic top-k (J1, A*, O3)
+# --------------------------------------------------------------------------
+@register(
+    "q02_top_orders_by_revenue",
+    survey="J1,A2,O1,O3,P3",
+    sql="""
+    SELECT o_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q02_top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: selective dim filter -> two joins -> agg -> top-10.
+
+    customer(filtered) is small relative to lineitem at any SF -> Catalyst/AQE
+    picks broadcast for it; final top-k is TakeOrderedAndProject (no global
+    sort).  Tie-break on o_orderkey keeps the limit deterministic.
+    """
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    cust = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q03_region_nation_revenue",
+    survey="J1,A5,O1",
+    sql="""
+    SELECT n_name, r_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name, r_name
+    """,
+)
+def q03_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped star join rolled up to nation/region.
+
+    All three dimensions are bounded-size at any SF -> explicit broadcast
+    joins; the only shuffle is the final small-key aggregation.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Anti / semi joins — the reference's insert-if-absent + $in patterns
+# --------------------------------------------------------------------------
+@register(
+    "q04_customers_without_orders",
+    survey="J3,P5,S8",
+    sql="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q04_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as a left anti-join — the Spark shape of the reference's
+    insert-if-absent dedup (crawler/crawler.py:39-50: find_one then insert
+    only when missing)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").select("o_custkey")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@register(
+    "q05_customers_with_urgent_orders",
+    survey="J4,S11",
+    sql="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """,
+)
+def q05_customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / $in keyed filter as a left semi-join (vdb.py:114's
+    find({"index": {"$in": keys}}) generalized)."""
+    cust = load(spark, sf_dir, "customer")
+    urgent = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "q06_kaggle_style_left_joins",
+    survey="J1,T10,T11,P1",
+    sql="""
+    SELECT o_orderkey,
+           coalesce(c_name, 'UNKNOWN')                  AS owner,
+           concat_ws('/', coalesce(c_name, 'UNKNOWN'),
+                     cast(o_orderkey AS VARCHAR))       AS ref,
+           round(o_totalprice, 2)                       AS total
+    FROM orders
+    LEFT JOIN customer ON o_custkey = c_custkey AND c_acctbal > 0
+    """,
+)
+def q06_kaggle_style_left_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's one truly relational pipeline: chained left joins +
+    coalesce + concat (kaggle.py:53-74 DatasetVersions⟕Datasets⟕Users with
+    owner = coalesce(UserName, OrgSlug), ref = owner + '/' + slug)."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    owner = F.coalesce(F.col("c_name"), F.lit("UNKNOWN"))
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "left")
+        .select(
+            "o_orderkey",
+            owner.alias("owner"),
+            F.concat_ws("/", owner, F.col("o_orderkey").cast("string")).alias("ref"),
+            F.round(F.col("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Distinct / set ops (A1, U1, U2)
+# --------------------------------------------------------------------------
+@register(
+    "q07_distinct_order_profiles",
+    survey="A1",
+    sql="""
+    SELECT DISTINCT o_orderstatus, o_orderpriority
+    FROM orders
+    """,
+)
+def q07_distinct_order_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """drop_duplicates over a projection (kaggle.py:50's
+    drop_duplicates(subset=['DatasetId','Slug']))."""
+    return load(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderpriority"
+    ).distinct()
+
+
+@register(
+    "q08_union_except_nations",
+    survey="U1,U2",
+    sql="""
+    SELECT n_nationkey AS natkey FROM (
+        SELECT DISTINCT n_nationkey
+        FROM nation JOIN customer ON c_nationkey = n_nationkey
+        UNION
+        SELECT DISTINCT n_nationkey
+        FROM nation JOIN supplier ON s_nationkey = n_nationkey
+    )
+    EXCEPT
+    SELECT n_nationkey FROM nation WHERE n_regionkey = 0
+    """,
+)
+def q08_union_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-distinct across sources then removal of an exclusion list —
+    the reference's cross-page set accumulation (pwc.py:43-60) plus
+    bdsp.py:48-49's datasets.remove(...)."""
+    nat = load(spark, sf_dir, "nation")
+    cust_nat = (
+        load(spark, sf_dir, "customer")
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_nationkey")
+        .distinct()
+    )
+    sup_nat = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("n_nationkey")
+        .distinct()
+    )
+    exclusions = nat.filter(F.col("n_regionkey") == 0).select("n_nationkey")
+    return (
+        cust_nat.unionByName(sup_nat)
+        .distinct()
+        .subtract(exclusions)
+        .select(F.col("n_nationkey").alias("natkey"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Windows (W1-W3) + frame specs
+# --------------------------------------------------------------------------
+@register(
+    "q09_topk_parts_per_brand",
+    survey="W1,O1",
+    sql="""
+    SELECT p_brand, p_partkey, p_name, round(p_retailprice, 2) AS price, rk
+    FROM (
+        SELECT p_brand, p_partkey, p_name, p_retailprice,
+               row_number() OVER (PARTITION BY p_brand
+                                  ORDER BY round(p_retailprice, 2) DESC,
+                                           p_partkey) AS rk
+        FROM part
+    )
+    WHERE rk <= 3
+    """,
+)
+def q09_topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group — the exact shape of the reference's per-query ANN
+    top-k (vdb.py:94-100, limit=4 per query vector, W1).  Partition-local
+    sort + rank: no global sort, scales with #groups."""
+    part = load(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(
+        F.round(F.col("p_retailprice"), 2).desc(), F.col("p_partkey")
+    )
+    return (
+        part.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "p_brand",
+            "p_partkey",
+            "p_name",
+            F.round("p_retailprice", 2).alias("price"),
+            "rk",
+        )
+    )
+
+
+@register(
+    "q10_running_totals",
+    survey="W2,W3",
+    sql="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+           lag(o_orderkey) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_order,
+           row_number() OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS seq
+    FROM orders
+    """,
+)
+def q10_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-spec window (running sum), lag, and within-group enumeration
+    (W2 — the reference's chunk counter vdb.py:69-71 generalized)."""
+    orders = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, 0)), 2
+        ).alias("running_total"),
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.row_number().over(w).alias("seq"),
+    )
+
+
+@register(
+    "q11_group_best_customer",
+    survey="A2,V5",
+    sql="""
+    SELECT c_nationkey, c_custkey AS best_custkey,
+           round(c_acctbal, 2) AS best_bal
+    FROM (
+        SELECT c_nationkey, c_custkey, c_acctbal,
+               row_number() OVER (PARTITION BY c_nationkey
+                                  ORDER BY round(c_acctbal, 2) DESC,
+                                           c_custkey) AS rn
+        FROM customer
+    )
+    WHERE rn = 1
+    """,
+)
+def q11_group_best_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arg-max per group with deterministic tie-break — the reference's
+    chunk-hit -> parent-doc collapse keeping best distance (vdb.py:101-110,
+    A2/V5).  max_by over a (score, -key) struct = one shuffle, no window."""
+    cust = load(spark, sf_dir, "customer")
+    score = F.struct(
+        F.round(F.col("c_acctbal"), 2).alias("s"),
+        (-F.col("c_custkey")).alias("k"),
+    )
+    return (
+        cust.groupBy("c_nationkey")
+        .agg(
+            F.max_by("c_custkey", score).alias("best_custkey"),
+            F.max(F.round(F.col("c_acctbal"), 2)).alias("best_bal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Grouping sets / rollup (declared built-ins, SURVEY §2.4 note)
+# --------------------------------------------------------------------------
+@register(
+    "q12_rollup_revenue",
+    survey="A5",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q12_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup aggregation (subtotals + grand total) — free Catalyst built-in
+    the reference lacks entirely (SURVEY §2.4)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar functions (T6-T13) + point lookup / paged query (S11, S12)
+# --------------------------------------------------------------------------
+@register(
+    "q13_scalar_functions",
+    survey="T6,T7,T8,T11,T13,P1",
+    sql="""
+    SELECT c_custkey,
+           sha256(c_name)                               AS pk,
+           concat(substring(c_name, 1, 8), '...')       AS preview,
+           replace(c_name, 'Customer', 'C')             AS short_name,
+           upper(c_mktsegment)                          AS segment,
+           length(c_name)                               AS name_len
+    FROM customer
+    """,
+)
+def q13_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string surface: sha256 pk (T6, uci.py:51's hashlib.sha256
+    hexdigest), substring preview + '...' (T7, main.py:52-53), replace (T8),
+    length/upper — all JVM-side codegen'd, no Python."""
+    cust = load(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.sha2(F.col("c_name"), 256).alias("pk"),
+        F.concat(F.substring("c_name", 1, 8), F.lit("...")).alias("preview"),
+        F.regexp_replace("c_name", "Customer", "C").alias("short_name"),
+        F.upper("c_mktsegment").alias("segment"),
+        F.length("c_name").alias("name_len"),
+    )
+
+
+@register(
+    "q14_point_lookup",
+    survey="S11,P6",
+    sql="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+    FROM orders
+    WHERE o_orderkey IN (1, 7, 42, 99, 1000)
+    """,
+)
+def q14_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed point lookup (find_one / $in, crawler.py:40, vdb.py:114) — an
+    isin filter that pushes down to the parquet scan as an IN predicate."""
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey").isin(1, 7, 42, 99, 1000))
+        .select(
+            "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("total")
+        )
+    )
+
+
+@register(
+    "q15_filtered_page",
+    survey="S12,O2,O3,P3",
+    sql="""
+    SELECT p_partkey, p_name, p_type
+    FROM part
+    WHERE p_size >= 25 AND p_type LIKE '%AR%'
+    ORDER BY p_partkey
+    LIMIT 100
+    """,
+)
+def q15_filtered_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered page query — Milvus query(expr, limit=page_limit)
+    (vdb.py:218-223): predicate + deterministic order + limit."""
+    return (
+        load(spark, sf_dir, "part")
+        .filter((F.col("p_size") >= 25) & F.col("p_type").contains("AR"))
+        .select("p_partkey", "p_name", "p_type")
+        .orderBy("p_partkey")
+        .limit(100)
+    )

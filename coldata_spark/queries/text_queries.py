@@ -1,0 +1,242 @@
+"""Text layer queries: cleaning, chunking, analysis, dedup
+(SURVEY.md §2.8 T1-T13, V6 + north-star text-analysis extensions).
+
+Every query here runs on the ``documents`` fixture and is paired with a
+DuckDB oracle computing the identical formula, so chunk boundaries, hashes
+and scores are bit-reproducible across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from coldata_spark.functions import text as TX
+from coldata_spark.operators import dedup as DD
+from coldata_spark.registry import register
+from coldata_spark.tables import load
+
+
+@register(
+    "q20_chunk_documents",
+    survey="T5,W2",
+    sql="""
+    SELECT doc_id,
+           concat(cast(doc_id AS VARCHAR), '_', cast(i AS VARCHAR)) AS chunk_id,
+           i AS chunk_pos,
+           substring(text, 1 + i*64, 128) AS chunk_text,
+           length(substring(text, 1 + i*64, 128)) AS chunk_len
+    FROM read_parquet_documents, unnest(generate_series(0,
+         cast(ceil(greatest(0, length(text) - 128) / 64.0) AS INT))) AS t(i)
+    """.replace("read_parquet_documents", "documents"),
+)
+def q20_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-stride chunking with overlap (T5): size 128 / overlap 64 as in
+    the reference config (config.yml:88-91); chunk ids concat(index,'_',pos)
+    exactly like vdb.py:70.  posexplode = UDTF-style 1->N expansion, a pure
+    flatMap — no shuffle at any scale."""
+    docs = load(spark, sf_dir, "documents")
+    starts = TX.chunk_starts(F.length("text"))
+    return (
+        docs.select("doc_id", "text", F.posexplode(starts).alias("pos", "i"))
+        .select(
+            "doc_id",
+            F.concat_ws("_", F.col("doc_id"), F.col("i")).alias("chunk_id"),
+            F.col("i").alias("chunk_pos"),
+            F.expr("substring(text, 1 + i*64, 128)").alias("chunk_text"),
+            F.length(F.expr("substring(text, 1 + i*64, 128)")).alias("chunk_len"),
+        )
+    )
+
+
+@register(
+    "q21_text_stats",
+    survey="T1,T7,ext-tokens,ext-quality",
+    sql="""
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+           length(text) AS n_chars_computed,
+           round(CASE WHEN length(text) = 0 THEN 0.0
+                 ELSE (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))
+                      / cast(length(text) AS DOUBLE) END, 6) AS alpha_ratio,
+           round(0.5 * least(1.0,
+                     (CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) / 64.0)
+               + 0.5 * (CASE WHEN length(text) = 0 THEN 0.0
+                 ELSE (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))
+                      / cast(length(text) AS DOUBLE) END), 6) AS quality,
+           concat(substring(replace(replace(text, chr(10), ' '), '###', ''), 1, 50), '...') AS preview
+    FROM documents
+    """,
+)
+def q21_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: token count, alpha ratio, composite quality score
+    (C4/Gopher-style filters as expressions), preview (T7)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars_computed"),
+        F.round(TX.alpha_ratio(F.col("text")), 6).alias("alpha_ratio"),
+        TX.quality_score(F.col("text")).alias("quality"),
+        TX.preview(F.col("text"), 50).alias("preview"),
+    )
+
+
+@register(
+    "q22_lang_id",
+    survey="ext-langid",
+    sql="""
+    SELECT doc_id,
+           en_hits, fr_hits, es_hits, de_hits,
+           CASE greatest(en_hits, fr_hits, es_hits, de_hits)
+                WHEN en_hits THEN 'en'
+                WHEN fr_hits THEN 'fr'
+                WHEN es_hits THEN 'es'
+                ELSE 'de' END AS lang_guess
+    FROM (
+        SELECT doc_id,
+            len(regexp_split_to_array(t, ' the ')) - 1
+          + len(regexp_split_to_array(t, ' and ')) - 1
+          + len(regexp_split_to_array(t, ' of ')) - 1
+          + len(regexp_split_to_array(t, ' to ')) - 1
+          + len(regexp_split_to_array(t, ' is ')) - 1 AS en_hits,
+            len(regexp_split_to_array(t, ' le ')) - 1
+          + len(regexp_split_to_array(t, ' la ')) - 1
+          + len(regexp_split_to_array(t, ' et ')) - 1
+          + len(regexp_split_to_array(t, ' les ')) - 1
+          + len(regexp_split_to_array(t, ' des ')) - 1 AS fr_hits,
+            len(regexp_split_to_array(t, ' el ')) - 1
+          + len(regexp_split_to_array(t, ' los ')) - 1
+          + len(regexp_split_to_array(t, ' de ')) - 1
+          + len(regexp_split_to_array(t, ' que ')) - 1
+          + len(regexp_split_to_array(t, ' y ')) - 1 AS es_hits,
+            len(regexp_split_to_array(t, ' der ')) - 1
+          + len(regexp_split_to_array(t, ' die ')) - 1
+          + len(regexp_split_to_array(t, ' und ')) - 1
+          + len(regexp_split_to_array(t, ' das ')) - 1
+          + len(regexp_split_to_array(t, ' ist ')) - 1 AS de_hits
+        FROM (SELECT doc_id, concat(' ', lower(text), ' ') AS t FROM documents)
+    )
+    """,
+)
+def q22_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic marker-vocabulary language ID (n-gram heuristic
+    baseline).  Argmax with fixed precedence en>fr>es>de on ties."""
+    docs = load(spark, sf_dir, "documents")
+    scores = TX.lang_scores(F.col("text"))
+    hit_cols = {f"{lang}_hits": expr for lang, expr in scores.items()}
+    df = docs.select("doc_id", *[e.alias(n) for n, e in hit_cols.items()])
+    best = F.greatest(*[F.col(n) for n in hit_cols])
+    guess = (
+        F.when(F.col("en_hits") == best, "en")
+        .when(F.col("fr_hits") == best, "fr")
+        .when(F.col("es_hits") == best, "es")
+        .otherwise("de")
+    )
+    return df.withColumn("lang_guess", guess)
+
+
+@register(
+    "q23_exact_dedup",
+    survey="V6,A1,T6",
+    sql="""
+    SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def q23_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: hash-groupBy, keeper = min doc_id.  One shuffle
+    with map-side combine; the Spark shape of insert-if-absent
+    (crawler.py:39-50) applied to content instead of pk."""
+    return DD.exact_dedup(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "q24_fingerprint_dedup",
+    survey="V6,ext-fingerprint",
+    sql="""
+    SELECT fp, min(doc_id) AS keep_id, count(*) AS n_dups
+    FROM (
+        SELECT doc_id,
+               md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                       ' +', ' ', 'g'))) AS fp
+        FROM documents
+    )
+    GROUP BY fp
+    """,
+)
+def q24_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-exact dedup on canonicalized-text fingerprint (case/punct/ws
+    folded, rolling-hash-style document fingerprinting)."""
+    return DD.fingerprint_dedup(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "q25_minhash_signatures",
+    survey="V6,ext-minhash",
+    sql="""
+    SELECT doc_id, seed,
+           min(md5(concat(cast(seed AS VARCHAR), ':', shingle))) AS minhash
+    FROM (
+        SELECT doc_id, shingle, seed
+        FROM (
+            SELECT DISTINCT doc_id, substring(text, i, 5) AS shingle
+            FROM documents, unnest(generate_series(1,
+                 greatest(1, length(text) - 4))) AS t(i)
+        ), unnest(generate_series(0, 7)) AS s(seed)
+    )
+    GROUP BY doc_id, seed
+    """,
+)
+def q25_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures: 8 seeded md5 min-hashes over 5-char shingles.
+    Shingle explode is a flatMap; min() aggregates with map-side partials.
+    md5-with-seed-prefix keeps the hash family engine-independent."""
+    return DD.minhash_signatures(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "q26_minhash_neardup_pairs",
+    survey="V6,ext-minhash-lsh",
+    sql="""
+    WITH sig AS (
+        SELECT doc_id, seed,
+               min(md5(concat(cast(seed AS VARCHAR), ':', shingle))) AS minhash
+        FROM (
+            SELECT doc_id, shingle, seed
+            FROM (
+                SELECT DISTINCT doc_id, substring(text, i, 5) AS shingle
+                FROM documents, unnest(generate_series(1,
+                     greatest(1, length(text) - 4))) AS t(i)
+            ), unnest(generate_series(0, 7)) AS s(seed)
+        )
+        GROUP BY doc_id, seed
+    ),
+    banded AS (
+        SELECT doc_id, cast(floor(seed / 2) AS INT) AS band,
+               string_agg(minhash, '|' ORDER BY minhash) AS band_key
+        FROM sig GROUP BY doc_id, cast(floor(seed / 2) AS INT)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           round(avg(CASE WHEN sa.minhash = sb.minhash THEN 1.0 ELSE 0.0 END), 6)
+               AS est_jaccard
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.doc_a
+    JOIN sig sb ON sb.doc_id = c.doc_b AND sb.seed = sa.seed
+    GROUP BY c.doc_a, c.doc_b
+    """,
+)
+def q26_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs (band collision) verified by
+    signature agreement.  Banding turns O(n^2) into groupBy(band_key) +
+    within-bucket join — the scale path for 100 TB dedup."""
+    return DD.minhash_neardup_pairs(load(spark, sf_dir, "documents"), "text", "doc_id")

@@ -1,0 +1,225 @@
+"""Vector layer queries: exact k-NN similarity join, chunk->parent group-best,
+full search pipeline, embedding near-dup (SURVEY.md §2.3 J5, §2.8 V3-V6).
+
+The ``embeddings`` fixture models the reference's Milvus collection
+(vec_id ~ chunk pk, 64-dim float vector, vdb.py:203-208).  To exercise the
+chunk->parent collapse (vdb.py:101-110) we treat vec_id as a chunk of parent
+document doc_id = floor(vec_id / 2) — two chunks per parent — which maps the
+hits back onto the ``documents`` fixture for the join-back stage (J2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from coldata_spark.operators import dedup as DD
+from coldata_spark.operators.similarity import group_best, knn_join
+from coldata_spark.registry import register
+from coldata_spark.tables import load
+
+# Fixed query set: the first 8 vectors play the role of embedded user queries
+# (vdb.py:88-89 embeds query strings; fixtures ship vectors directly).
+N_QUERIES = 8
+TOP_K = 4
+
+
+def _queries_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    )
+
+
+_KNN_SQL_BODY = """
+    WITH q AS (
+        SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+        FROM embeddings WHERE vec_id < 8
+    ),
+    scored AS (
+        SELECT q.q_id, v.vec_id,
+               round(list_dot_product(q.q_vec, v.embedding::DOUBLE[])
+                     / (sqrt(list_dot_product(q.q_vec, q.q_vec))
+                        * sqrt(list_dot_product(v.embedding::DOUBLE[],
+                                                v.embedding::DOUBLE[]))), 6) AS score
+        FROM q, embeddings v
+        WHERE q.q_id <> v.vec_id
+    ),
+    ranked AS (
+        SELECT q_id, vec_id, score,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY score DESC, vec_id) AS rank
+        FROM scored
+    )
+"""
+
+
+@register(
+    "q30_knn_cosine_topk",
+    survey="J5,W1,V4,V5,O1",
+    sql=_KNN_SQL_BODY
+    + """
+    SELECT q_id, vec_id, score, rank FROM ranked WHERE rank <= 4
+    """,
+)
+def q30_knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k per query — the reference's ANN search with
+    nprobe == nlist (effectively exhaustive, config.yml:81-82).
+
+    Plan shape: broadcast tiny query side x single pass over the vector
+    table; per-query window rank; no shuffle of the big side.  Scores are
+    rounded to 6 dp before ranking (deterministic across engines)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return knn_join(
+        _queries_df(spark, sf_dir),
+        emb.select("vec_id", "embedding"),
+        k=TOP_K,
+        metric="COSINE",
+        exclude_self=True,
+    )
+
+
+@register(
+    "q31_search_group_best",
+    survey="A2,V5,J2,P2",
+    sql=_KNN_SQL_BODY
+    + """
+    , hits AS (
+        SELECT q_id, vec_id, score, cast(floor(vec_id / 2) AS BIGINT) AS parent_id
+        FROM ranked WHERE rank <= 8
+    ),
+    best AS (
+        SELECT q_id, parent_id, max(score) AS best_score
+        FROM hits GROUP BY q_id, parent_id
+    )
+    SELECT b.q_id, b.parent_id, b.best_score,
+           d.source, substring(d.text, 1, 64) AS snippet
+    FROM best b JOIN documents d ON d.doc_id = b.parent_id
+    """,
+)
+def q31_search_group_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full search semantics: k-NN hits -> chunk->parent collapse keeping
+    best score (vdb.py:101-110) -> join back to the document store
+    (vdb.py:113-119) -> project display fields (demo.py:11-18)."""
+    emb = load(spark, sf_dir, "embeddings")
+    hits = knn_join(
+        _queries_df(spark, sf_dir),
+        emb.select("vec_id", "embedding"),
+        k=8,
+        metric="COSINE",
+        exclude_self=True,
+    ).withColumn("parent_id", (F.floor(F.col("vec_id") / 2)).cast("bigint"))
+    best = group_best(hits, "parent_id", metric="COSINE").withColumnRenamed(
+        "best_score", "best_score"
+    )
+    docs = load(spark, sf_dir, "documents")
+    return (
+        best.join(docs, best.parent_id == docs.doc_id)
+        .select(
+            "q_id",
+            "parent_id",
+            "best_score",
+            "source",
+            F.substring("text", 1, 64).alias("snippet"),
+        )
+    )
+
+
+@register(
+    "q32_embedding_neardup",
+    survey="V6,ext-embedding-dedup",
+    sql="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                   * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                6) >= 0.95
+    """,
+)
+def q32_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.95), brute force — the
+    oracle baseline; the scale path blocks by IVF centroid / LSH bucket
+    first (see operators.dedup docstring)."""
+    return DD.embedding_neardup_pairs(load(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "q33_centroid_assign",
+    survey="V3,ext-ivf",
+    sql="""
+    WITH cent AS (
+        SELECT label, i, avg(embedding[i]::DOUBLE) AS c
+        FROM embeddings, unnest(generate_series(1, 64)) AS t(i)
+        GROUP BY label, i
+    ),
+    scored AS (
+        SELECT e.vec_id, c.label,
+               round(sum(e.embedding[c.i]::DOUBLE * c.c), 6) AS dot
+        FROM embeddings e, cent c
+        GROUP BY e.vec_id, c.label
+    )
+    SELECT vec_id, label AS centroid_id, dot AS centroid_score
+    FROM (
+        SELECT vec_id, label, dot,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dot DESC, label) AS rn
+        FROM scored
+    )
+    WHERE rn = 1
+    """,
+)
+def q33_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell assignment (V3, vdb.py:196-212): centroids = per-label mean
+    vectors (deterministic stand-in for the KMeans fit, which is tested
+    separately), each vector assigned to its best-dot-product centroid.
+
+    Writing the vector table partitioned by centroid_id is what turns
+    Milvus's in-memory cell skip into parquet partition pruning at 100 TB."""
+    from coldata_spark.functions import vector as V
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", V.as_double(F.col("embedding")).alias("v")
+    )
+    # centroids: element-wise mean per label via posexplode + groupBy(dim)
+    dims = emb.select(
+        "label", F.posexplode("v").alias("i", "x")
+    ).groupBy("label", "i").agg(F.avg("x").alias("c"))
+    centroids = (
+        dims.groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("i"), F.col("c")))
+            ).alias("pairs")
+        )
+        .select(
+            F.col("label").alias("cand_label"),
+            F.transform(F.col("pairs"), lambda p: p.c).alias("cvec"),
+        )
+    )
+    scored = (
+        emb.drop("label")
+        .join(F.broadcast(centroids))
+        .select(
+            "vec_id",
+            "cand_label",
+            F.round(V.dot(F.col("v"), F.col("cvec")), 6).alias("dot"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("vec_id").orderBy(F.col("dot").desc(), F.col("cand_label"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("cand_label").cast("int").alias("centroid_id"),
+            F.col("dot").alias("centroid_score"),
+        )
+    )

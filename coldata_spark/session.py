@@ -1,0 +1,52 @@
+"""SparkSession factory.
+
+Local testing runs on local[N] (single JVM); production target is a
+multi-executor cluster reading ~100 TB, so every default here is chosen to
+survive that scale-up: AQE on (runtime re-plan, skew-join splitting,
+partition coalescing), Arrow enabled for the pandas-UDF slow path, UTC
+session timezone so timestamp semantics match the DuckDB oracle and any
+downstream engine.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "coldata_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    master = master or f"local[{cpus}]"
+    # In local mode, shuffle partitions should match cores, not the 200
+    # default; on a real cluster this is overridden per-job (AQE coalesces
+    # down from a high initial number anyway).
+    shuffle_partitions = shuffle_partitions or cpus
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # parquet scans: allow splitting + vectorized reader (defaults, but
+        # pinned so a misconfigured environment can't silently regress them)
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.enableVectorizedReader", "true")
+        .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

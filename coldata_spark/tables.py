@@ -1,0 +1,60 @@
+"""Fixture / catalog table access.
+
+The driver materializes deterministic parquet tables (TESTDATA.md) at
+/root/testdata/sf{0.001,0.01,0.1}.  All query plans take an ``sf_dir`` so the
+same plan runs at any scale factor — and, on a real cluster, against any
+parquet/Delta path.  Reads go through ``spark.read.parquet`` so Catalyst gets
+predicate pushdown + column pruning for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at ANY scale factor (TPC-H region
+# and nation are fixed-size; supplier/part grow slowly).  Used by query plans
+# to decide on broadcast hints that stay valid at 100 TB fact-table scale.
+BROADCAST_SAFE = {"region", "nation", "supplier", "part"}
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        return _load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects outright.  Read nanos as long (legacy conf) and convert
+    to a microsecond timestamp column — semantics-preserving, since the
+    fixture's actual precision is microseconds."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for spark.sql plans."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
