@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "headline_queries_total", "value": <sec>, "unit": "sec",
+   "queries": {"q01_...": sec, ...}, "sf": 0.1}
+
+Each query is executed to completion (count() forces the full plan; results
+are not collected to the driver).  A warmup pass on the smallest SF absorbs
+JVM/codegen startup so numbers reflect steady-state throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from coldata_spark import registry
+from coldata_spark.session import get_spark
+
+# Headline set: one per engine layer — agg scan, multi-join, window,
+# chunking flatMap, minhash dedup, kNN similarity join, sessionization.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_top_orders_by_revenue",
+    "q03_region_nation_revenue",
+    "q09_topk_parts_per_brand",
+    "q20_chunk_documents",
+    "q23_exact_dedup",
+    "q25_minhash_signatures",
+    "q30_knn_cosine_topk",
+    "q31_search_group_best",
+    "q42_events_sessionize",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark(app_name="coldata_spark_bench")
+    specs = registry.specs()
+
+    warmup_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warmup_dir):
+        for name in HEADLINE:
+            specs[name].fn(spark, warmup_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        specs[name].fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

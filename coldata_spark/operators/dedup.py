@@ -83,16 +83,26 @@ def minhash_signatures(
     Seeding = prefixing the seed to the shingle before hashing — a standard
     trick that keeps the hash family reproducible in any engine with md5.
     """
+    # One row per (doc, shingle); the k seeded hashes live in k COLUMNS so
+    # the min-reduction happens map-side over the shingle explode (k partial
+    # mins per doc per partition) instead of exploding k x #shingles rows
+    # through the shuffle.  Unpivot to (doc_id, seed, minhash) at the end —
+    # by then cardinality is only #docs x k.
     sh = shingles(df, text_col, id_col)
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed")
-    seeded = sh.select("doc_id", "shingle", seeds)
-    return (
-        seeded.groupBy("doc_id", "seed")
-        .agg(
-            F.min(
-                F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle")))
-            ).alias("minhash")
-        )
+    hashed = sh.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle"))).alias(f"h{s}")
+            for s in range(n_hashes)
+        ],
+    )
+    mins = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{s}").alias(f"h{s}") for s in range(n_hashes)]
+    )
+    stack = ", ".join(f"{s}, h{s}" for s in range(n_hashes))
+    return mins.select(
+        "doc_id",
+        F.expr(f"stack({n_hashes}, {stack}) AS (seed, minhash)"),
     )
 
 

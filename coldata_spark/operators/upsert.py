@@ -1,0 +1,44 @@
+"""Insert-if-absent merge (SURVEY.md §2.1 S8, §2.9 R2).
+
+The reference checks find_one({'index': pk}) per document and inserts only
+when missing (/root/reference/src/coldata/crawler/crawler.py:39-50) — a
+per-row round-trip.  The set-oriented Spark form is a single left anti-join
+of the incoming batch against the existing table, then an append:
+
+    new_rows = batch ⟕anti existing ON pk
+    existing ∪ new_rows
+
+Exactly-once at scale: with plain parquet, idempotence comes from writing
+each ingest run to a run-scoped partition (overwrite-by-partition); with
+Delta, MERGE WHEN NOT MATCHED INSERT gives txn atomicity.  Both reduce to
+this same anti-join plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def new_rows(batch: DataFrame, existing: DataFrame, pk: str = "index") -> DataFrame:
+    """Rows of ``batch`` whose pk is absent from ``existing`` (dedup within
+    the batch too — first occurrence wins, deterministic by pk order)."""
+    deduped = batch.dropDuplicates([pk])
+    return deduped.join(existing.select(pk), pk, "left_anti")
+
+
+def merge_append(batch: DataFrame, existing: DataFrame, pk: str = "index") -> DataFrame:
+    """existing + insert-if-absent(batch).  Column order follows existing."""
+    fresh = new_rows(batch, existing, pk)
+    return existing.unionByName(fresh.select(*existing.columns))
+
+
+def upsert_stats(batch: DataFrame, existing: DataFrame, pk: str = "index") -> DataFrame:
+    """Counters the reference tracks per upload loop (A5, uci.py:87-93):
+    how many batch rows were inserted vs skipped."""
+    fresh = new_rows(batch, existing, pk).count()
+    total = batch.dropDuplicates([pk]).count()
+    spark = batch.sparkSession
+    return spark.createDataFrame(
+        [(total, fresh, total - fresh)], ["batch_size", "inserted", "skipped"]
+    )

@@ -1,0 +1,128 @@
+"""Event-time streaming over the ``events`` table (SURVEY.md §2.9 R1, R6).
+
+The reference's only "streaming" is a wall-clock re-crawl scheduler
+(/root/reference/src/scheduler.py:21-33) plus incremental insert-if-absent
+(crawler/crawler.py:39-50).  The Spark-native equivalents:
+
+  * R1 periodic refresh  -> file-source readStream + trigger(availableNow=True):
+    each run processes exactly the new files, exactly-once via checkpoint.
+  * R6 event-time ops    -> withWatermark + tumbling/sliding/session windows,
+    dropDuplicatesWithinWatermark for late duplicate events.
+
+Every streaming computation here has a batch twin in
+queries/events_queries.py; tests assert stream == batch on the fixtures.
+
+Scale notes: watermarks bound state; the windowed aggregations shuffle on
+(window, key) with partial aggregation; at 100 TB/day the same topology runs
+unchanged with more executors — state lives in the state store keyed by
+window, so state size tracks #active-windows x #keys, not input volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) parquet -> long ns
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, dir_path: str) -> DataFrame:
+    """File-source stream over a directory of events parquet files.
+
+    maxFilesPerTrigger bounds per-batch work (the reference's politeness /
+    rate-limit knob R3 re-expressed as source throttling).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(dir_path)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour windowed aggregation with late-data watermark —
+    streaming twin of q40_events_hourly."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_value_sum(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Sliding window (1 hour, sliding 30 min) per event_type."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "total_value",
+        )
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native session windows per user (gap-based) — streaming counterpart
+    of q42_events_sessionize."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame) -> DataFrame:
+    """Late-duplicate suppression keyed on event_id within the watermark —
+    streaming form of the reference's insert-if-absent pk dedup (R2)."""
+    return events.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_available_now(stream_df: DataFrame, checkpoint: str, out_table: str):
+    """R1: process-everything-new-then-stop refresh (the scheduler.py loop
+    re-expressed).  Returns the finished StreamingQuery."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(out_table)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,146 @@
+"""Unit tests: embedding, IVF, upsert, crawl framework, metric semantics
+(SURVEY §5.2-5.5)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from coldata_spark import embed as E
+from coldata_spark.operators import ivf, upsert
+from coldata_spark.operators.similarity import knn_join
+from coldata_spark.tables import load
+
+
+def test_hash_embed_deterministic_and_normalized():
+    a = E.hash_embed_texts(["hello world", "spark engine", ""])
+    b = E.hash_embed_texts(["hello world", "spark engine", ""])
+    assert np.array_equal(a, b)
+    norms = np.linalg.norm(a.astype(np.float64), axis=1)
+    assert norms[0] == pytest.approx(1.0, abs=1e-6)
+    assert norms[2] == 0.0  # empty text -> zero vector
+
+
+def test_embed_documents_mapinpandas(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").limit(50)
+    emb = E.embed_documents(docs).collect()
+    assert len(emb) == 50
+    local = E.hash_embed_texts(
+        [r.text for r in docs.select("doc_id", "text").collect()]
+    )
+    by_id = {r.doc_id: r.embedding for r in emb}
+    rows = docs.select("doc_id", "text").collect()
+    for i, r in enumerate(rows):
+        assert np.allclose(by_id[r.doc_id], local[i], atol=1e-6)
+
+
+def test_metric_ordering_semantics(spark):
+    """V5 (vdb.py:155-166): COSINE/IP rank descending, L2 ascending."""
+    qs = spark.createDataFrame([(0, [1.0, 0.0])], ["q_id", "q_vec"])
+    vs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [-1.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    cos = knn_join(qs, vs, k=3, metric="COSINE").orderBy("rank").collect()
+    assert [r.vec_id for r in cos] == [1, 2, 3]
+    l2 = knn_join(qs, vs, k=3, metric="L2").orderBy("rank").collect()
+    assert [r.vec_id for r in l2] == [1, 2, 3]
+    assert l2[0].score == 0.0
+    ip = knn_join(qs, vs, k=3, metric="IP").orderBy("rank").collect()
+    assert ip[0].vec_id == 1
+
+
+def test_topk_subset_of_full_ranking(spark, sf_dir):
+    """Property: top-2 is a prefix of top-4 (SURVEY §5.4)."""
+    emb = load(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    k4 = knn_join(qs, emb.select("vec_id", "embedding"), k=4).collect()
+    k2 = knn_join(qs, emb.select("vec_id", "embedding"), k=2).collect()
+    top4 = {(r.q_id, r.rank): r.vec_id for r in k4}
+    for r in k2:
+        assert top4[(r.q_id, r.rank)] == r.vec_id
+
+
+def test_ivf_build_search_recall(spark, sf_dir, tmp_path):
+    emb = load(spark, sf_dir, "embeddings")
+    assigned, centroids = ivf.build_ivf(emb, nlist=8)
+    assert assigned.select("centroid_id").distinct().count() <= 8
+    path = str(tmp_path / "ivf_index")
+    ivf.write_ivf(assigned, path)
+
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = ivf.search_exact(qs, emb, k=4).collect()
+    # full probe == exact search (the reference's nprobe == nlist config)
+    full = ivf.search_ivf(spark, path, qs, centroids, k=4, nprobe=8).collect()
+    exact_set = {(r.q_id, r.vec_id) for r in exact}
+    full_set = {(r.q_id, r.vec_id) for r in full}
+    assert exact_set == full_set
+    # pruned probe: recall against exact must be reasonable on clustered data
+    pruned = ivf.search_ivf(spark, path, qs, centroids, k=4, nprobe=2).collect()
+    pruned_set = {(r.q_id, r.vec_id) for r in pruned}
+    recall = len(pruned_set & exact_set) / len(exact_set)
+    assert recall >= 0.5, f"nprobe=2 recall {recall}"
+    # partition pruning visible in the plan
+    probe_plan = spark.read.parquet(path).filter(
+        F.col("centroid_id").isin([0, 1])
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in probe_plan or "centroid_id" in probe_plan
+
+
+def test_upsert_merge_idempotent(spark, sf_dir):
+    """R2 (crawler.py:40-50): re-running the same batch inserts 0."""
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("index"), "text"
+    )
+    existing = docs.filter(F.col("index").cast("long") % 3 == 0)
+    merged = upsert.merge_append(docs, existing, pk="index")
+    assert merged.count() == docs.count()
+    again = upsert.new_rows(docs, merged, pk="index")
+    assert again.count() == 0
+    stats = upsert.upsert_stats(docs, existing, pk="index").collect()[0]
+    assert stats.inserted + stats.skipped == stats.batch_size
+
+
+def test_crawl_framework_no_network(spark):
+    from coldata_spark.ingest import crawl as C
+
+    pages = {
+        f"https://site{s}.example/ds/{i}": f"dataset {s}-{i} description text"
+        for s in range(2)
+        for i in range(20)
+    }
+    flaky: dict[str, int] = {}
+
+    def fetcher_factory():
+        def fetch(url: str) -> str:
+            # every 7th url fails twice before succeeding (R4 backoff path)
+            n = flaky.get(url, 0)
+            flaky[url] = n + 1
+            if hash(url) % 7 == 0 and n < 2:
+                raise OSError("transient")
+            return pages[url]
+
+        return fetch
+
+    urls = {
+        "site0": [u for u in pages if "site0" in u],
+        "site1": [u for u in pages if "site1" in u],
+    }
+    existing = spark.createDataFrame([], "index string, website string")
+    cfg = C.CrawlConfig(num_attempts=15, fetch_parallelism=2, max_retries=3)
+    docs = C.crawl(spark, urls, existing, fetcher_factory, cfg).cache()
+    n = docs.count()
+    assert n == 30  # 15 per source cap (P6)
+    assert docs.select("index").distinct().count() == n
+    row = docs.filter(F.col("url").endswith("/ds/3")).first()
+    assert "description" in row.info
+    # idempotence: second crawl against the now-populated store fetches 0
+    again = C.crawl(spark, urls, docs.select("index", "website"), fetcher_factory, cfg)
+    # capped seeds minus already-crawled = 0 (the same first-15 are chosen)
+    assert again.count() == 0
+    docs.unpersist()

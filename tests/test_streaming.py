@@ -1,0 +1,109 @@
+"""Streaming == batch parity on the events fixture (SURVEY §2.9 R1/R6)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from coldata_spark.streaming import events as SE
+from coldata_spark.tables import load
+
+
+@pytest.fixture()
+def events_dir(tmp_path, sf_dir):
+    # copy the single fixture parquet into a directory usable as a file source
+    d = tmp_path / "events_in"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", d / "part-000.parquet")
+    return str(d)
+
+
+def _run(spark, stream_df, name, tmp_path, mode="complete"):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def test_hourly_counts_stream_equals_batch(spark, sf_dir, events_dir, tmp_path):
+    stream = SE.hourly_counts(SE.read_events_stream(spark, events_dir))
+    got = _run(spark, stream, "hourly_counts_t", tmp_path).toPandas()
+
+    batch = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    ).toPandas()
+
+    key = ["window_start", "event_type"]
+    got = got.sort_values(key).reset_index(drop=True)
+    batch = batch.sort_values(key).reset_index(drop=True)
+    assert got.equals(batch)
+
+
+def test_session_window_stream_runs(spark, events_dir, tmp_path):
+    stream = SE.session_windows(SE.read_events_stream(spark, events_dir))
+    got = _run(spark, stream, "session_windows_t", tmp_path)
+    assert got.count() > 0
+    # session windows must not overlap per user
+    pdf = got.toPandas().sort_values(["user_id", "session_start"])
+    for _, g in pdf.groupby("user_id"):
+        starts = g["session_start"].tolist()
+        ends = g["session_end"].tolist()
+        for i in range(1, len(starts)):
+            assert starts[i] >= ends[i - 1]
+
+
+def test_dedup_within_watermark(spark, events_dir, tmp_path):
+    stream = SE.dedup_within_watermark(SE.read_events_stream(spark, events_dir))
+    got = _run(spark, stream, "dedup_t", tmp_path, mode="append")
+    n_in = spark.read.parquet(events_dir).count()
+    n_out = got.count()
+    distinct_ids = got.select("event_id").distinct().count()
+    assert n_out == distinct_ids  # no duplicate ids survive
+    assert n_out <= n_in
+
+
+def test_available_now_incremental(spark, sf_dir, tmp_path):
+    """R1: second availableNow run over the same files processes nothing new;
+    adding a file processes only the delta (exactly-once refresh)."""
+    d = tmp_path / "inc_in"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", d / "a.parquet")
+    ckpt = str(tmp_path / "inc_ckpt")
+
+    def run_once():
+        stream = SE.read_events_stream(spark, str(d)).groupBy().count()
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("inc_t")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table("inc_t").collect()[0][0]
+
+    n1 = run_once()
+    assert n1 == spark.read.parquet(str(d)).count()
+    shutil.copy(f"{sf_dir}/events.parquet", d / "b.parquet")
+    n2 = run_once()
+    assert n2 == 2 * n1
