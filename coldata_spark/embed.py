@@ -91,7 +91,9 @@ def embed_documents(
                 {id_col: pdf[id_col].values, "embedding": list(vecs)}
             )
 
-    return df.select(id_col, text_col).mapInPandas(run, schema=schema)
+    from coldata_spark.tables import fan_out
+
+    return fan_out(df.select(id_col, text_col)).mapInPandas(run, schema=schema)
 
 
 def embed_queries(

@@ -53,24 +53,31 @@ def fingerprint_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def shingles(df: DataFrame, text_col: str, id_col: str, width: int = SHINGLE_LEN) -> DataFrame:
-    """Explode each document into its distinct character shingles.
+def shingles(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    width: int = SHINGLE_LEN,
+    distinct: bool = False,
+) -> DataFrame:
+    """Explode each document into its character shingles.
 
-    flatMap-shaped (no shuffle); distinct-per-doc happens inside the
-    array expression before the explode, not as a global distinct.
+    Position-explode + substring — a pure flatMap that never materializes a
+    per-doc array of shingle strings.  ``distinct`` is OFF by default:
+    min-hash is insensitive to duplicate shingles, so the dedup (a shuffle
+    or per-doc set build) is pure cost there; turn it on for true Jaccard
+    set semantics.
     """
-    return (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(
-                F.array_distinct(
-                    F.expr(
-                        f"transform(sequence(1, greatest(1, length({text_col}) - {width - 1})),"
-                        f" i -> substring({text_col}, i, {width}))"
-                    )
-                )
-            ).alias("shingle"),
-        )
+    from coldata_spark.tables import fan_out
+
+    shingle_array = F.expr(
+        f"transform(sequence(1, greatest(1, length({text_col}) - {width - 1})),"
+        f" i -> substring({text_col}, i, {width}))"
+    )
+    if distinct:
+        shingle_array = F.array_distinct(shingle_array)
+    return fan_out(df).select(
+        F.col(id_col).alias("doc_id"), F.explode(shingle_array).alias("shingle")
     )
 
 
@@ -83,16 +90,22 @@ def minhash_signatures(
     Seeding = prefixing the seed to the shingle before hashing — a standard
     trick that keeps the hash family reproducible in any engine with md5.
     """
-    # One row per (doc, shingle); the k seeded hashes live in k COLUMNS so
-    # the min-reduction happens map-side over the shingle explode (k partial
-    # mins per doc per partition) instead of exploding k x #shingles rows
-    # through the shuffle.  Unpivot to (doc_id, seed, minhash) at the end —
-    # by then cardinality is only #docs x k.
-    sh = shingles(df, text_col, id_col)
+    # Shingles are DISTINCT-per-doc here: min-hash is set-insensitive, and
+    # on natural-language text the per-doc array_distinct cuts the number
+    # of digests substantially for free (no shuffle — it's in-expression).
+    # Hash each shingle ONCE (md5), then derive the k seeded hash values
+    # arithmetically (Kirsch-Mitzenmacher: g_i = (h1 + i*h2) mod 2^32 from
+    # two 32-bit halves of the digest) — k times fewer digest computations,
+    # and the min-reduction runs over LONGS in k columns, map-side, so the
+    # shuffle carries only #docs x k longs.  Engine-independent: DuckDB
+    # reproduces h1/h2 with ('0x' || substr(md5, ..)) casts.
+    sh = shingles(df, text_col, id_col, distinct=True)
+    h1 = F.expr("cast(conv(substring(md5(shingle), 1, 8), 16, 10) as bigint)")
+    h2 = F.expr("cast(conv(substring(md5(shingle), 9, 8), 16, 10) as bigint)")
     hashed = sh.select(
         "doc_id",
         *[
-            F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle"))).alias(f"h{s}")
+            ((h1 + F.lit(s) * h2) % F.lit(4294967296)).alias(f"h{s}")
             for s in range(n_hashes)
         ],
     )
@@ -123,7 +136,15 @@ def minhash_neardup_pairs(
     banded = (
         sig.withColumn("band", (F.col("seed") / band_size).cast("int"))
         .groupBy("doc_id", "band")
-        .agg(F.concat_ws("|", F.sort_array(F.collect_list("minhash"))).alias("band_key"))
+        .agg(
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.sort_array(F.collect_list("minhash")),
+                    lambda m: m.cast("string"),
+                ),
+            ).alias("band_key")
+        )
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -171,7 +192,9 @@ def embedding_neardup_pairs(
     so only within-bucket pairs are scored.
     """
     from coldata_spark.functions import vector as V
+    from coldata_spark.tables import fan_out
 
+    emb = fan_out(emb)
     a = emb.select(
         F.col(id_col).alias("id_a"), V.as_double(F.col(vec_col)).alias("va")
     )

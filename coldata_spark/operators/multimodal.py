@@ -1,0 +1,194 @@
+"""Multimodal columns (north-star extension; no reference counterpart).
+
+Images/audio/video are opaque ``binary`` columns plus a typed metadata
+struct.  All Spark-side plumbing — schemas, partition-friendly batch shapes,
+Arrow-batched UDF signatures — is real and tested; the actual codec work
+(JPEG decode, resampling) is STUBBED behind deterministic fakes because the
+media libraries (PIL/ffmpeg/torchaudio) are not in this container.  Each
+stub documents exactly where the real implementation drops in; swapping it
+changes no plan shape.
+
+Scale notes: media processing is the embarrassing-parallel slow path —
+mapInPandas over binary columns with Arrow transfer, no shuffle.  The one
+scale trap is row size: batches are bounded by
+spark.sql.execution.arrow.maxRecordsPerBatch, and very large blobs should
+drop that to keep Arrow batches inside executor memory.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct as _struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+IMAGE_META = T.StructType(
+    [
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("format", T.StringType()),
+    ]
+)
+
+IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("meta", IMAGE_META),
+    ]
+)
+
+
+def synthetic_images(spark, n: int = 64, width: int = 8, height: int = 8) -> DataFrame:
+    """Deterministic fake image table: content = raw RGB bytes derived from
+    the item id (stands in for real JPEG bytes; same column shapes)."""
+    rows = []
+    for i in range(n):
+        rng = np.random.default_rng(seed=i)
+        px = rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+        rows.append((i, px.tobytes(), (width, height, 3, "RAW_RGB")))
+    return spark.createDataFrame(rows, IMAGE_SCHEMA)
+
+
+def decode_image_stub(content: bytes, meta) -> np.ndarray:
+    """STUB decode: interprets content as raw HxWxC uint8.
+
+    Real implementation: PIL.Image.open(io.BytesIO(content)) -> np.asarray.
+    Raises NotImplementedError for formats the stub can't fake-decode, the
+    clearly-marked seam for the real codec."""
+    if meta["format"] != "RAW_RGB":
+        raise NotImplementedError(
+            f"decode for format {meta['format']!r} requires PIL/ffmpeg "
+            "(not available in this container)"
+        )
+    return np.frombuffer(content, dtype=np.uint8).reshape(
+        meta["height"], meta["width"], meta["channels"]
+    )
+
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType()),
+        T.StructField("mean_rgb", T.ArrayType(T.DoubleType())),
+        T.StructField("phash", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def extract_image_features(images: DataFrame) -> DataFrame:
+    """Decode + feature-extract via mapInPandas: per-channel means and a
+    perceptual-hash-style signature (mean-threshold bits of the downsampled
+    grayscale — a real aHash, computed on the stub-decoded pixels)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"item_id": [], "mean_rgb": [], "phash": [], "n_bytes": []}
+            for item_id, content, meta in zip(
+                pdf["item_id"], pdf["content"], pdf["meta"]
+            ):
+                px = decode_image_stub(content, meta)
+                gray = px.astype(np.float64).mean(axis=2)
+                bits = (gray > gray.mean()).flatten()
+                packed = np.packbits(bits).tobytes()
+                out["item_id"].append(item_id)
+                out["mean_rgb"].append(px.reshape(-1, 3).mean(axis=0).tolist())
+                out["phash"].append(packed.hex())
+                out["n_bytes"].append(len(content))
+            yield pd.DataFrame(out)
+
+    return images.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def resize_images(images: DataFrame, new_w: int, new_h: int) -> DataFrame:
+    """Resize via nearest-neighbor sampling on the stub-decoded array (the
+    real path swaps in PIL's resampling; plan shape identical)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"item_id": [], "content": [], "meta": []}
+            for item_id, content, meta in zip(
+                pdf["item_id"], pdf["content"], pdf["meta"]
+            ):
+                px = decode_image_stub(content, meta)
+                ys = (np.arange(new_h) * meta["height"] // new_h).astype(int)
+                xs = (np.arange(new_w) * meta["width"] // new_w).astype(int)
+                resized = px[np.ix_(ys, xs)]
+                out["item_id"].append(item_id)
+                out["content"].append(resized.tobytes())
+                out["meta"].append(
+                    {"width": new_w, "height": new_h, "channels": 3, "format": "RAW_RGB"}
+                )
+            yield pd.DataFrame(out)
+
+    return images.mapInPandas(run, schema=IMAGE_SCHEMA)
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+    ]
+)
+
+
+def synthetic_audio(spark, n: int = 32, sr: int = 8000, seconds: float = 0.1) -> DataFrame:
+    """Fake PCM16 audio derived from the item id."""
+    rows = []
+    ns = int(sr * seconds)
+    for i in range(n):
+        t = np.arange(ns) / sr
+        wave = (np.sin(2 * np.pi * (100 + 10 * i) * t) * 32767 * 0.5).astype("<i2")
+        rows.append((i, wave.tobytes(), sr, ns))
+    return spark.createDataFrame(rows, AUDIO_SCHEMA)
+
+
+AUDIO_FEATURES = T.StructType(
+    [
+        T.StructField("item_id", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zero_crossings", T.IntegerType()),
+        T.StructField("duration_sec", T.DoubleType()),
+    ]
+)
+
+
+def extract_audio_features(audio: DataFrame) -> DataFrame:
+    """PCM16 decode (real) + rms/zero-crossing features.  Compressed codecs
+    would raise NotImplementedError at the same seam as images."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"item_id": [], "rms": [], "zero_crossings": [], "duration_sec": []}
+            for item_id, content, sr, ns in zip(
+                pdf["item_id"], pdf["content"], pdf["sample_rate"], pdf["n_samples"]
+            ):
+                wave = np.frombuffer(content, dtype="<i2").astype(np.float64) / 32768.0
+                out["item_id"].append(item_id)
+                out["rms"].append(float(np.sqrt(np.mean(wave**2))))
+                out["zero_crossings"].append(int(np.sum(np.abs(np.diff(np.sign(wave))) > 0)))
+                out["duration_sec"].append(ns / sr)
+            yield pd.DataFrame(out)
+
+    return audio.mapInPandas(run, schema=AUDIO_FEATURES)
+
+
+def frame_sample(video_meta: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame sampling as plumbing: given (item_id, n_frames), emit the
+    sampled frame indices 1->N via a lateral sequence explode — the plan a
+    real decoder feeds.  Decode itself is the NotImplementedError seam."""
+    return video_meta.select(
+        "item_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
+        ).alias("frame_idx"),
+    )

@@ -51,6 +51,8 @@ def knn_join(
     Scores are rounded to ``score_decimals`` BEFORE ranking, with vec_id as
     tie-break, so the ranking is deterministic and engine-independent.
     """
+    from coldata_spark.tables import fan_out
+
     desc = V.METRIC_DESCENDING[metric.upper()]
     score = V.score_expr(
         metric, V.as_double(F.col(query_vec)), V.as_double(F.col(vec_col))
@@ -58,7 +60,9 @@ def knn_join(
     if score_decimals is not None:
         score = F.round(score, score_decimals)
 
-    pairs = vectors.join(F.broadcast(queries))
+    # distance evaluation is the CPU-heavy stage -> make sure the big side
+    # is actually parallel before the per-row 64-dim folds
+    pairs = fan_out(vectors).join(F.broadcast(queries))
     if exclude_self:
         pairs = pairs.filter(F.col(query_id) != F.col(vec_id))
     scored = pairs.select(query_id, vec_id, score.alias("score"))

@@ -35,7 +35,9 @@ def q20_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reference config (config.yml:88-91); chunk ids concat(index,'_',pos)
     exactly like vdb.py:70.  posexplode = UDTF-style 1->N expansion, a pure
     flatMap — no shuffle at any scale."""
-    docs = load(spark, sf_dir, "documents")
+    from coldata_spark.tables import fan_out
+
+    docs = fan_out(load(spark, sf_dir, "documents"))
     starts = TX.chunk_starts(F.length("text"))
     return (
         docs.select("doc_id", "text", F.posexplode(starts).alias("pos", "i"))
@@ -179,22 +181,24 @@ def q24_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="V6,ext-minhash",
     sql="""
     SELECT doc_id, seed,
-           min(md5(concat(cast(seed AS VARCHAR), ':', shingle))) AS minhash
+           min((h1 + seed * h2) % 4294967296) AS minhash
     FROM (
-        SELECT doc_id, shingle, seed
+        SELECT doc_id,
+               ('0x' || substring(md5(shingle), 1, 8))::BIGINT AS h1,
+               ('0x' || substring(md5(shingle), 9, 8))::BIGINT AS h2
         FROM (
             SELECT DISTINCT doc_id, substring(text, i, 5) AS shingle
             FROM documents, unnest(generate_series(1,
                  greatest(1, length(text) - 4))) AS t(i)
-        ), unnest(generate_series(0, 7)) AS s(seed)
-    )
+        )
+    ), unnest(generate_series(0, 7)) AS s(seed)
     GROUP BY doc_id, seed
     """,
 )
 def q25_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures: 8 seeded md5 min-hashes over 5-char shingles.
-    Shingle explode is a flatMap; min() aggregates with map-side partials.
-    md5-with-seed-prefix keeps the hash family engine-independent."""
+    """MinHash signatures: 8 seeded min-hashes over 5-char shingles.
+    One md5 per shingle; the seed family is derived arithmetically
+    (Kirsch-Mitzenmacher) so DuckDB reproduces it exactly."""
     return DD.minhash_signatures(load(spark, sf_dir, "documents"), "text", "doc_id")
 
 
@@ -204,20 +208,22 @@ def q25_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     WITH sig AS (
         SELECT doc_id, seed,
-               min(md5(concat(cast(seed AS VARCHAR), ':', shingle))) AS minhash
+               min((h1 + seed * h2) % 4294967296) AS minhash
         FROM (
-            SELECT doc_id, shingle, seed
+            SELECT doc_id,
+                   ('0x' || substring(md5(shingle), 1, 8))::BIGINT AS h1,
+                   ('0x' || substring(md5(shingle), 9, 8))::BIGINT AS h2
             FROM (
                 SELECT DISTINCT doc_id, substring(text, i, 5) AS shingle
                 FROM documents, unnest(generate_series(1,
                      greatest(1, length(text) - 4))) AS t(i)
-            ), unnest(generate_series(0, 7)) AS s(seed)
-        )
+            )
+        ), unnest(generate_series(0, 7)) AS s(seed)
         GROUP BY doc_id, seed
     ),
     banded AS (
         SELECT doc_id, cast(floor(seed / 2) AS INT) AS band,
-               string_agg(minhash, '|' ORDER BY minhash) AS band_key
+               string_agg(cast(minhash AS VARCHAR), '|' ORDER BY minhash) AS band_key
         FROM sig GROUP BY doc_id, cast(floor(seed / 2) AS INT)
     ),
     cand AS (

@@ -54,6 +54,24 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame, parts: int | None = None) -> DataFrame:
+    """Repartition ONLY when the source is under-partitioned relative to the
+    cluster — the guard matters: at production scale inputs already have
+    thousands of splits and an unconditional repartition would be a full
+    shuffle of the data for nothing.  Here it exists because single-file
+    single-row-group parquet (like the sf fixtures) scans as ONE partition,
+    serializing any CPU-heavy per-row work (explode/hash/UDF) that follows.
+
+    Use it immediately before generate/UDF stages, never before plain
+    scans/aggregations (partial aggregation parallelizes those after the
+    first exchange anyway).
+    """
+    target = parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for spark.sql plans."""
     for name in TABLES:
