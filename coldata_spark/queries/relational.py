@@ -468,6 +468,112 @@ def q13_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q16_selective_scan",
+    survey="P3,A5,S10",
+    sql="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q16_selective_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped selective scan-aggregate: every predicate pushes to
+    the parquet reader; the aggregate is a single global partial+final —
+    the pattern whose 100 TB cost is pure IO after pruning."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "q17_pivot_status_by_flag",
+    survey="A5",
+    sql="""
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_O,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_F
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q17_pivot_status_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (declared built-in, SURVEY §2.4 note): one shuffle, the pivot
+    columns are conditional partial aggregates."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .withColumnRenamed("O", "qty_O")
+        .withColumnRenamed("F", "qty_F")
+    )
+
+
+@register(
+    "q18_cube_order_stats",
+    survey="A5",
+    sql="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q18_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cube over two dimensions — all four grouping sets in one pass."""
+    return (
+        load(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@register(
+    "q19_schema_inference",
+    survey="A4,S5",
+    sql="""
+    SELECT k AS key, count(*) AS n
+    FROM (
+        SELECT unnest(json_keys(props)) AS k
+        FROM (SELECT props FROM events ORDER BY event_id LIMIT 100)
+    )
+    GROUP BY k
+    """,
+)
+def q19_schema_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema inference by sampling (A4): the reference scans a 100-doc
+    sample collecting per-field type sets (mongodb.py:29-41); here the
+    deterministic first-100 events' JSON keys are exploded and counted."""
+    ev = load(spark, sf_dir, "events")
+    sample = ev.orderBy("event_id").limit(100)
+    return (
+        sample.select(F.explode(F.json_object_keys("props")).alias("key"))
+        .groupBy("key")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
     "q14_point_lookup",
     survey="S11,P6",
     sql="""

@@ -141,6 +141,127 @@ def q22_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q27_clean_text",
+    survey="T1,T8",
+    sql="""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(
+                concat('  ', text, chr(9), chr(13), chr(10), 'x', chr(7)),
+                '[^\\x20-\\x7E]', ' ', 'g'), '\\s+', ' ', 'g')) AS cleaned
+    FROM documents
+    """,
+)
+def q27_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 (crawler/utils.py:5-18): non-printable strip + whitespace
+    normalize + trim, exercised on deliberately-messed-up input (the
+    fixture text is already clean) — tabs/CR/LF/BEL injected then removed."""
+    docs = load(spark, sf_dir, "documents")
+    messy = F.concat(
+        F.lit("  "), F.col("text"), F.lit("\t\r\n"), F.lit("x"), F.lit("\x07")
+    )
+    return docs.select("doc_id", TX.clean_text(messy).alias("cleaned"))
+
+
+@register(
+    "q28_join_content",
+    survey="T2,A1,O2",
+    sql="""
+    SELECT source,
+           string_agg(
+               CASE WHEN frag LIKE '%.' THEN frag ELSE concat(frag, '.') END,
+               ' ' ORDER BY doc_id) AS content
+    FROM (
+        SELECT source, doc_id, substring(text, 1, 40) AS frag,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM documents
+    )
+    WHERE rn <= 3
+    GROUP BY source
+    """,
+)
+def q28_join_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 (crawler/utils.py:21-36 join_content): clean fragments, append a
+    terminal period when missing, space-join — per source over its first
+    three documents (deterministic order)."""
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy("doc_id")
+    frag = F.substring("text", 1, 40)
+    punct = F.when(frag.endswith("."), frag).otherwise(F.concat(frag, F.lit(".")))
+    return (
+        docs.select("source", "doc_id", punct.alias("frag"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .groupBy("source")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("doc_id"), F.col("frag")))
+                    ),
+                    lambda s: s.frag,
+                ),
+            ).alias("content")
+        )
+    )
+
+
+@register(
+    "q29_ngram_jaccard",
+    survey="V6,ext-ngram-jaccard",
+    sql="""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, substring(text, i, 3) AS shingle
+        FROM documents, unnest(generate_series(1, greatest(1, length(text) - 2))) AS t(i)
+        WHERE doc_id < 20
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(cast(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE cast(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.3
+    """,
+)
+def q29_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (3-char) Jaccard similarity over a bounded doc subset —
+    the ground-truth near-dup measure MinHash approximates.  The shingle
+    equi-join + group count is the set-intersection; at scale the MinHash/
+    LSH path (q25/q26) replaces the quadratic join and this exact form runs
+    only within LSH candidate buckets."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    sh = DD.shingles(docs, "text", "doc_id", width=3, distinct=True)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_inter")
+    )
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jac >= 0.3)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@register(
     "q23_exact_dedup",
     survey="V6,A1,T6",
     sql="""

@@ -149,6 +149,44 @@ def q32_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.embedding_neardup_pairs(load(spark, sf_dir, "embeddings"))
 
 
+@register("q35_ann_ivf_search", survey="V3,V4,W1", sql=None)
+def q35_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF path (rows-only check — KMeans centroids are not
+    SQL-expressible): build index partitioned by centroid, probe half the
+    cells, exact top-k within probed cells.  Recall vs the exact path is
+    asserted in tests/test_operators.py."""
+    import tempfile
+
+    from coldata_spark.operators import ivf
+
+    emb = load(spark, sf_dir, "embeddings")
+    assigned, centroids = ivf.build_ivf(emb, nlist=8)
+    path = tempfile.mkdtemp(prefix="coldata_ivf_") + "/index"
+    ivf.write_ivf(assigned, path)
+    return ivf.search_ivf(
+        spark, path, _queries_df(spark, sf_dir), centroids, k=4, nprobe=4
+    )
+
+
+@register("q36_embed_documents", survey="V1,V2", sql=None)
+def q36_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch embedding through the iterator mapInPandas path (rows-only
+    check; exact vectors are asserted deterministic in unit tests).
+    Returns per-doc vector stats so the driver sees stable values."""
+    from coldata_spark import embed as E
+    from coldata_spark.functions import vector as V
+
+    docs = load(spark, sf_dir, "documents")
+    emb = E.embed_documents(docs)
+    vec = V.as_double(F.col("embedding"))
+    return emb.select(
+        "doc_id",
+        F.size("embedding").alias("dim"),
+        F.round(V.norm(vec), 4).alias("l2_norm"),
+        F.round(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x), 4).alias("coord_sum"),
+    )
+
+
 @register(
     "q33_centroid_assign",
     survey="V3,ext-ivf",
