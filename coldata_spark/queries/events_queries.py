@@ -129,6 +129,56 @@ def q42_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q44_asof_last_click_before_purchase",
+    survey="ext-asof,W3",
+    sql="""
+    SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+           last_click_ts,
+           round((epoch_us(ts) - epoch_us(last_click_ts)) / 1000000.0, 3)
+               AS secs_since_click
+    FROM (
+        SELECT event_id, user_id, ts, event_type,
+               last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS last_click_ts
+        FROM events
+    )
+    WHERE event_type = 'purchase'
+    """,
+)
+def q44_asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward): each purchase event matched to the same
+    user's most recent STRICTLY-EARLIER click.  Spark lacks a native as-of
+    join; the scalable form is a single partition-local window carrying the
+    last click forward (one shuffle on user_id, no range join explosion) —
+    the standard union-stream trick specialized to one table."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    enriched = ev.withColumn(
+        "last_click_ts", F.last(click_ts, ignorenulls=True).over(w)
+    )
+    return (
+        enriched.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "last_click_ts",
+            F.round(
+                (F.unix_micros("ts") - F.unix_micros("last_click_ts")) / 1000000.0,
+                3,
+            ).alias("secs_since_click"),
+        )
+    )
+
+
+@register(
     "q43_events_latest_per_user",
     survey="A2,W1",
     sql="""

@@ -1,0 +1,117 @@
+"""Physical-plan quality gates (SURVEY §4): predicate pushdown, column
+pruning, broadcast join selection, whole-stage codegen, partition pruning.
+
+These are the properties that decide whether a plan survives a 100x
+scale-up; asserting them here prevents silent regressions (e.g. a refactor
+that swaps a broadcast join for a sort-merge of a dimension table, or a
+filter that stops reaching the parquet scan).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from coldata_spark import registry
+from coldata_spark.tables import load
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    """q01's shipdate predicate must appear in PushedFilters of the scan."""
+    q = registry.specs()["q01_pricing_summary"]
+    plan = plan_of(q.fn(spark, sf_dir))
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1].splitlines()[0]
+
+
+def test_column_pruning(spark, sf_dir):
+    """A 2-column projection must not read the full lineitem schema."""
+    df = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    plan = plan_of(df)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema
+    assert "l_shipdate" not in read_schema
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    """q03's region/nation/supplier joins must be broadcast, never
+    sort-merge (they are bounded-size at any scale factor)."""
+    q = registry.specs()["q03_region_nation_revenue"]
+    plan = plan_of(q.fn(spark, sf_dir))
+    # tree section lists each join once more in the detail section
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_knn_big_side_never_shuffles_before_topk(spark, sf_dir):
+    """q30: the vector table must meet the (broadcast) query side without a
+    join-key exchange; the only shuffle is the per-query top-k window."""
+    q = registry.specs()["q30_knn_cosine_topk"]
+    plan = plan_of(q.fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_anti_join_used_for_not_exists(spark, sf_dir):
+    q = registry.specs()["q04_customers_without_orders"]
+    plan = plan_of(q.fn(spark, sf_dir))
+    assert "LeftAnti" in plan
+
+
+def test_semi_join_used_for_exists(spark, sf_dir):
+    q = registry.specs()["q05_customers_with_urgent_orders"]
+    plan = plan_of(q.fn(spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_whole_stage_codegen_on_hot_path(spark, sf_dir):
+    """The pricing-summary agg pipeline must run inside WholeStageCodegen
+    (no interpreted row-at-a-time stages).  Codegen stage markers (*(n))
+    only appear in the simple-mode executed plan."""
+    q = registry.specs()["q01_pricing_summary"]
+    df = q.fn(spark, sf_dir)
+    # AQE wraps the plan until execution; run it, then inspect the final plan
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in executed
+    assert "*(" in executed  # WholeStageCodegen stage markers
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    """q02's ORDER BY + LIMIT must compile to TakeOrderedAndProject, not a
+    global sort."""
+    q = registry.specs()["q02_top_orders_by_revenue"]
+    plan = plan_of(q.fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_partition_pruning_on_ivf_index(spark, sf_dir, tmp_path):
+    """Scanning 2 of 8 IVF cells must prune partitions at the source."""
+    from coldata_spark.operators import ivf
+
+    emb = load(spark, sf_dir, "embeddings")
+    assigned, _ = ivf.build_ivf(emb, nlist=8)
+    path = str(tmp_path / "prune_index")
+    ivf.write_ivf(assigned, path)
+    pruned = spark.read.parquet(path).filter(F.col("centroid_id").isin([0, 1]))
+    plan = plan_of(pruned)
+    assert "PartitionFilters" in plan
+    assert "centroid_id" in plan.split("PartitionFilters")[1].splitlines()[0]
+
+
+def test_no_cartesian_in_oracle_queries(spark, sf_dir):
+    """No registered query may compile to an unbounded CartesianProduct —
+    the one pattern guaranteed to die at scale.  (Broadcast nested-loop
+    against a bounded side is acceptable; a shuffled cartesian is not.)"""
+    for name, spec in registry.specs().items():
+        if spec.sql is None:
+            continue
+        plan = plan_of(spec.fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
