@@ -179,6 +179,49 @@ def minhash_neardup_pairs(
     )
 
 
+def simhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 32
+) -> DataFrame:
+    """32-bit SimHash per document: each whitespace token hashes to a
+    32-bit value (md5 prefix); bit j of the signature is the sign of the
+    sum of +-1 contributions across tokens.
+
+    Shape: token explode (flatMap) -> 32 conditional partial sums map-side
+    -> one small shuffle (#docs groups) -> bit-pack projection.  Near-dup
+    docs land within a small hamming distance; pairing at scale buckets on
+    signature bands like MinHash-LSH.
+    """
+    from coldata_spark.tables import fan_out
+
+    toks = fan_out(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    )
+    h = F.expr("cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint)")
+    hashed = toks.withColumn("h", h).select(
+        "doc_id",
+        *[
+            F.when((F.shiftright(F.col("h"), j) % 2) == 1, 1)
+            .otherwise(-1)
+            .alias(f"b{j}")
+            for j in range(bits)
+        ],
+    )
+    sums = hashed.groupBy("doc_id").agg(
+        *[F.sum(f"b{j}").alias(f"b{j}") for j in range(bits)]
+    )
+    sig = None
+    for j in range(bits):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(0)
+        sig = term if sig is None else sig + term
+    return sums.select("doc_id", sig.cast("bigint").alias("simhash"))
+
+
+def hamming32(a, b):
+    """Column expr: hamming distance between two 32-bit signatures."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",

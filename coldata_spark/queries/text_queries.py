@@ -262,6 +262,85 @@ def q29_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q45_html_extract",
+    survey="T3",
+    sql="""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(
+                concat('<html><body><h1>Doc</h1><p>', substring(text, 1, 80),
+                       '</p><br/></body></html>'),
+                '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')) AS extracted
+    FROM documents
+    """,
+)
+def q45_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 (uci.py:56 etc.: trafilatura html->text): tag-strip + whitespace
+    normalize as pure expressions, exercised on synthesized HTML.  The
+    production path swaps in a trafilatura pandas UDF behind the same
+    signature when the library is present (import-try); the expression
+    fallback keeps the operator runnable and oracle-checkable anywhere."""
+    docs = load(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><body><h1>Doc</h1><p>"),
+        F.substring("text", 1, 80),
+        F.lit("</p><br/></body></html>"),
+    )
+    stripped = F.regexp_replace(html, r"<[^>]*>", " ")
+    return docs.select(
+        "doc_id",
+        F.trim(F.regexp_replace(stripped, r"\s+", " ")).alias("extracted"),
+    )
+
+
+@register(
+    "q46_record_to_text",
+    survey="T4,P1",
+    sql="""
+    SELECT c_custkey,
+           concat_ws(chr(10),
+               concat('name: ', c_name),
+               concat('segment: ', c_mktsegment),
+               CASE WHEN c_acctbal IS NOT NULL
+                    THEN concat('balance: ', cast(round(c_acctbal, 2) AS VARCHAR))
+               END) AS flat_text
+    FROM customer
+    """,
+)
+def q46_record_to_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 (vdb.py:139-145, kaggle.py:100-104): record -> newline-joined
+    'key: value' text, skipping null fields (P4's if-value guard) — the
+    projection that feeds the embedding stage."""
+    cust = load(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("name: "), F.col("c_name")),
+            F.concat(F.lit("segment: "), F.col("c_mktsegment")),
+            F.when(
+                F.col("c_acctbal").isNotNull(),
+                F.concat(
+                    F.lit("balance: "),
+                    F.round(F.col("c_acctbal"), 2).cast("string"),
+                ),
+            ),
+        ).alias("flat_text"),
+    )
+
+
+@register("q47_simhash", survey="V6,ext-simhash", sql=None)
+def q47_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document signatures (rows-only: 64-bit bit-twiddling has no
+    clean ANSI-SQL twin; determinism + hamming-locality are asserted in
+    unit tests).  Per token: md5 -> 32-bit value; bit j contributes +1/-1;
+    signature bit j = sign of the sum.  All JVM expressions: explode ->
+    conditional sums -> bit pack; one shuffle with map-side partials."""
+    from coldata_spark.operators.dedup import simhash_signatures
+
+    return simhash_signatures(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
     "q23_exact_dedup",
     survey="V6,A1,T6",
     sql="""

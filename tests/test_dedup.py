@@ -1,0 +1,76 @@
+"""Dedup-ladder semantics: idempotence, locality, agreement between levels
+(SURVEY §5.4 property tests)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from coldata_spark.operators import dedup as DD
+from coldata_spark.tables import load
+
+
+def test_exact_dedup_idempotent(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    groups = DD.exact_dedup(docs, "text", "doc_id")
+    # dedup of a dedup'd set changes nothing
+    keepers = docs.join(
+        groups.select(F.col("keep_id").alias("doc_id")), "doc_id", "left_semi"
+    )
+    again = DD.exact_dedup(keepers, "text", "doc_id")
+    assert again.count() == groups.count()
+    assert again.filter(F.col("n_dups") > 1).count() == 0
+
+
+def test_fingerprint_insensitive_to_case_punct_ws(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "Hello, World!  How are you?"),
+            (2, "hello world how are you"),
+            (3, "HELLO   world... how ARE you"),
+            (4, "completely different text"),
+        ],
+        ["doc_id", "text"],
+    )
+    groups = DD.fingerprint_dedup(df, "text", "doc_id").collect()
+    sizes = sorted(g.n_dups for g in groups)
+    assert sizes == [1, 3]
+
+
+def test_simhash_locality(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    near = base.replace("lazy", "sleepy")
+    far = "completely unrelated content about database engines " * 8
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], ["doc_id", "text"]
+    )
+    sig = {r.doc_id: r.simhash for r in DD.simhash_signatures(df, "text", "doc_id").collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(sig[1], sig[2]) < ham(sig[1], sig[3])
+    assert ham(sig[1], sig[2]) <= 8  # one-word change flips few bits
+    # determinism
+    sig2 = {r.doc_id: r.simhash for r in DD.simhash_signatures(df, "text", "doc_id").collect()}
+    assert sig == sig2
+
+
+def test_minhash_estimates_jaccard(spark):
+    """est_jaccard from signatures tracks true shingle jaccard for dups."""
+    a = "data engine spark query optimizer shuffle partition " * 6
+    df = spark.createDataFrame(
+        [(1, a), (2, a), (3, "zebra yak xylophone walrus " * 6)],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in DD.minhash_neardup_pairs(df, "text", "doc_id").collect()
+    }
+    assert pairs.get((1, 2)) == 1.0  # identical docs: all minhashes agree
+    assert (1, 3) not in pairs and (2, 3) not in pairs  # no band collision
+
+
+def test_embedding_neardup_threshold(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings").limit(200)
+    pairs = DD.embedding_neardup_pairs(emb, threshold=0.9)
+    rows = pairs.collect()
+    for r in rows:
+        assert r.cos_sim >= 0.9
+        assert r.id_a < r.id_b
