@@ -149,6 +149,46 @@ def q32_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.embedding_neardup_pairs(load(spark, sf_dir, "embeddings"))
 
 
+@register(
+    "q34_knn_l2_topk",
+    survey="J5,V5,W1",
+    sql="""
+    WITH q AS (
+        SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+        FROM embeddings WHERE vec_id < 8
+    ),
+    scored AS (
+        SELECT q.q_id, v.vec_id,
+               round(sqrt(list_sum(list_transform(
+                   list_zip(q.q_vec, v.embedding::DOUBLE[]),
+                   p -> (p[1] - p[2]) * (p[1] - p[2])))), 6) AS score
+        FROM q, embeddings v
+        WHERE q.q_id <> v.vec_id
+    )
+    SELECT q_id, vec_id, score, rank
+    FROM (
+        SELECT q_id, vec_id, score,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY score ASC, vec_id) AS rank
+        FROM scored
+    )
+    WHERE rank <= 4
+    """,
+)
+def q34_knn_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V5's metric-direction semantics, L2 branch (vdb.py:20-22,162-166):
+    smaller-is-better ranking — the engine flips sort direction per metric,
+    same single-pass plan as the cosine path."""
+    emb = load(spark, sf_dir, "embeddings")
+    return knn_join(
+        _queries_df(spark, sf_dir),
+        emb.select("vec_id", "embedding"),
+        k=TOP_K,
+        metric="L2",
+        exclude_self=True,
+    )
+
+
 @register("q35_ann_ivf_search", survey="V3,V4,W1", sql=None)
 def q35_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full IVF path (rows-only check — KMeans centroids are not

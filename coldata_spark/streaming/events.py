@@ -113,6 +113,50 @@ def dedup_within_watermark(events: DataFrame) -> DataFrame:
     )
 
 
+def running_user_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user running
+    totals maintained across micro-batches (the reference's per-crawler
+    inserted-record counters, uci.py:87-93, generalized to keyed streaming
+    state).  State = (n_events, total_value); emits the updated row per user
+    per batch.  Watermark-less GroupStateTimeout keeps it simple; at scale
+    state is per-key-bounded and lives in the state store."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_available_now(stream_df: DataFrame, checkpoint: str, out_table: str):
     """R1: process-everything-new-then-stop refresh (the scheduler.py loop
     re-expressed).  Returns the finished StreamingQuery."""

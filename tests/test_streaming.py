@@ -81,6 +81,69 @@ def test_dedup_within_watermark(spark, events_dir, tmp_path):
     assert n_out <= n_in
 
 
+def test_stateful_running_user_stats(spark, sf_dir, events_dir, tmp_path):
+    """applyInPandasWithState totals must equal the batch groupBy at the end
+    of the stream; a second batch of files must CONTINUE the state."""
+    collected: list = []
+
+    def sink(batch_df, batch_id):
+        collected.extend(batch_df.collect())
+
+    def run(ckpt):
+        stream = SE.running_user_stats(SE.read_events_stream(spark, events_dir))
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    ckpt = str(tmp_path / "ckpt_stateful")
+    run(ckpt)
+    # last emitted row per user = final state
+    got = (
+        spark.createDataFrame(collected)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("total_value").alias("total_value"),
+        )
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    batch = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    assert got["n_events"].equals(batch["n_events"])
+    assert (got["total_value"] - batch["total_value"]).abs().max() < 0.05
+
+    # feed the same file again as a NEW batch: state must CONTINUE (counts
+    # double) because the checkpoint carries the per-user state forward
+    shutil.copy(f"{sf_dir}/events.parquet", f"{events_dir}/part-001.parquet")
+    collected.clear()
+    run(ckpt)
+    got2 = (
+        spark.createDataFrame(collected)
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    assert (got2["n_events"] == 2 * batch["n_events"]).all()
+
+
 def test_available_now_incremental(spark, sf_dir, tmp_path):
     """R1: second availableNow run over the same files processes nothing new;
     adding a file processes only the delta (exactly-once refresh)."""
