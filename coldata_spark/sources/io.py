@@ -1,0 +1,61 @@
+"""File sources & sinks (SURVEY.md §2.1 S4, S5, S7, S13).
+
+The reference's equivalents: pd.read_csv of the Meta-Kaggle dumps
+(/root/reference/src/coldata/crawler/kaggle.py:44-47), json.load of API
+metadata (kaggle.py:126-128), pickle caches of discovery lists
+(coldata/utils.py:16-41), and mongodump shell backup
+(mongo_backup_restore.sh).  Spark-native: the storage format IS the backup
+format, caches are parquet checkpoint tables, and schema inference is
+per-source explicit-or-inferred.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """S4: CSV scan.  Explicit schema when known (no inference pass over
+    100 TB); header+inference only as the exploratory default."""
+    reader = spark.read.option("header", "true")
+    if schema is not None:
+        return reader.schema(schema).csv(path)
+    return reader.option("inferSchema", "true").csv(path)
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """S5: JSON lines scan; schema_of_json-style inference when unspecified."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def decode_json_column(df: DataFrame, col: str, schema) -> DataFrame:
+    """S5/T12: parse an embedded JSON string column (kaggle.py:126-128's
+    double-decoded metadata -> nest from_json twice if needed)."""
+    return df.withColumn(col, F.from_json(F.col(col), schema))
+
+
+def checkpoint(df: DataFrame, path: str) -> DataFrame:
+    """S7: materialize an intermediate as a parquet checkpoint table (the
+    reference pickles discovery lists per crawler, utils.py:16-41) and
+    reread it — cuts lineage and makes the artifact shareable/resumable."""
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
+def backup(df: DataFrame, path: str) -> None:
+    """S13 (mongo_backup_restore.sh:26-42): dump = a parquet write."""
+    df.write.mode("overwrite").parquet(path)
+
+
+def restore(spark: SparkSession, path: str) -> DataFrame:
+    """S13 (mongo_backup_restore.sh:45-60): restore = a parquet read."""
+    return spark.read.parquet(path)

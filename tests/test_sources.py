@@ -1,0 +1,72 @@
+"""Source/sink roundtrips (S4, S5, S7, S13) on fixture-derived data."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from coldata_spark.sources import io as IO
+from coldata_spark.tables import load
+
+
+def test_csv_roundtrip_with_schema(spark, sf_dir, tmp_path):
+    cust = load(spark, sf_dir, "customer")
+    path = str(tmp_path / "cust_csv")
+    cust.write.option("header", "true").csv(path)
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    )
+    back = IO.read_csv(spark, path, schema)
+    assert back.count() == cust.count()
+    assert back.schema == schema
+    # kaggle.py:50-61 shape: dedup + join works on the csv-sourced frame
+    assert back.dropDuplicates(["c_custkey"]).count() == cust.count()
+
+
+def test_csv_schema_inference(spark, sf_dir, tmp_path):
+    nat = load(spark, sf_dir, "nation")
+    path = str(tmp_path / "nat_csv")
+    nat.write.option("header", "true").csv(path)
+    inferred = IO.read_csv(spark, path)
+    assert dict(inferred.dtypes)["n_nationkey"] == "int"
+    assert inferred.count() == 25
+
+
+def test_json_roundtrip_and_embedded_decode(spark, sf_dir, tmp_path):
+    ev = load(spark, sf_dir, "events").limit(500)
+    path = str(tmp_path / "events_json")
+    ev.select("event_id", "event_type", "props").write.json(path)
+    back = IO.read_json(spark, path)
+    assert back.count() == 500
+    decoded = IO.decode_json_column(
+        back, "props", T.StructType([T.StructField("k", T.LongType())])
+    )
+    ks = decoded.select(F.col("props.k").alias("k")).filter(F.col("k").isNotNull())
+    assert ks.count() == 500
+
+
+def test_checkpoint_cuts_lineage(spark, sf_dir, tmp_path):
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    ck = IO.checkpoint(docs, str(tmp_path / "ck"))
+    assert ck.count() == docs.count()
+    # checkpointed plan is a bare scan — the upstream filter predicate is
+    # gone (it was materialized at write time, lineage cut)
+    plan = ck._jdf.queryExecution().executedPlan().toString()
+    assert "doc_id % 2" not in plan and "FileScan" in plan
+
+
+def test_backup_restore(spark, sf_dir, tmp_path):
+    emb = load(spark, sf_dir, "embeddings")
+    IO.backup(emb, str(tmp_path / "bk"))
+    back = IO.restore(spark, str(tmp_path / "bk"))
+    assert back.count() == emb.count()
+    assert set(back.columns) == set(emb.columns)
+    a = back.agg(F.sum("vec_id")).collect()[0][0]
+    b = emb.agg(F.sum("vec_id")).collect()[0][0]
+    assert a == b
