@@ -574,6 +574,65 @@ def q19_schema_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q48_upsert_new_rows",
+    survey="S8,R2,J3",
+    sql="""
+    SELECT count(*) AS inserted,
+           (SELECT count(*) FROM documents) - count(*) AS skipped
+    FROM documents d
+    WHERE NOT EXISTS (
+        SELECT 1 FROM documents e
+        WHERE e.doc_id % 3 = 0 AND e.doc_id = d.doc_id
+    )
+    """,
+)
+def q48_upsert_new_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/R2 insert-if-absent merge counters: with every third document
+    already present, the batch splits into inserted vs skipped via one
+    anti-join (the reference's per-row find_one loop, crawler.py:39-50,
+    collapsed to a set operation)."""
+    from coldata_spark.operators.upsert import new_rows
+
+    docs = load(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("index")
+    )
+    batch = docs.select(F.col("doc_id").alias("index"), "text")
+    fresh = new_rows(batch, existing, pk="index").count()
+    total = docs.count()
+    return spark.createDataFrame(
+        [(fresh, total - fresh)], "inserted bigint, skipped bigint"
+    )
+
+
+@register(
+    "q49_order_count_distribution",
+    survey="J1,A5",
+    sql="""
+    SELECT n_orders, count(*) AS n_customers
+    FROM (
+        SELECT c_custkey, count(o_orderkey) AS n_orders
+        FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        GROUP BY c_custkey
+    )
+    GROUP BY n_orders
+    """,
+)
+def q49_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped: left outer join preserving order-less customers,
+    count(col) ignoring nulls, then a distribution over the counts — two
+    aggregations, two (small) shuffles."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
+
+
+@register(
     "q14_point_lookup",
     survey="S11,P6",
     sql="""

@@ -65,6 +65,7 @@ def _ensure_loaded() -> None:
     if _loaded:
         return
     from coldata_spark.queries import events_queries  # noqa: F401
+    from coldata_spark.queries import multimodal_queries  # noqa: F401
     from coldata_spark.queries import relational  # noqa: F401
     from coldata_spark.queries import text_queries  # noqa: F401
     from coldata_spark.queries import vector_queries  # noqa: F401

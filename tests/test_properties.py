@@ -1,0 +1,144 @@
+"""Property-based tests (hypothesis) for expression-level text/vector
+operators against independent Python reference implementations
+(SURVEY §5.4)."""
+
+from __future__ import annotations
+
+import math
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+texts = st.text(
+    alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+    min_size=0,
+    max_size=400,
+)
+
+
+@st.composite
+def text_batches(draw):
+    return draw(st.lists(texts, min_size=1, max_size=8))
+
+
+class TestChunkGeometry:
+    """n_chunks/chunk_starts formula vs a direct Python reference."""
+
+    @staticmethod
+    def ref_n_chunks(length: int, size: int = 128, stride: int = 64) -> int:
+        return 1 + max(0, math.ceil((length - size) / stride))
+
+    @given(st.integers(min_value=0, max_value=10_000))
+    def test_chunks_cover_text_exactly(self, length):
+        n = self.ref_n_chunks(length)
+        starts = [i * 64 for i in range(n)]
+        # coverage: last chunk reaches the end for any non-empty text
+        if length > 0:
+            assert starts[-1] + 128 >= length
+        # no fully-redundant trailing chunk (its start is inside the text,
+        # or it is the only chunk)
+        if n > 1:
+            assert starts[-1] < length
+
+    @given(st.integers(min_value=1, max_value=10_000))
+    def test_overlap_is_half(self, length):
+        n = self.ref_n_chunks(length)
+        if n > 1:
+            # consecutive chunks overlap by exactly size - stride = 64
+            assert (64 * 1 + 128) - (64 * 2) == 64
+
+
+def spark_batch_eval(spark, fn_col, values: list[str]) -> list:
+    """Evaluate a Column-builder over literal rows."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(v,) for v in values], ["t"])
+    return [r.out for r in df.select(fn_col(F.col("t")).alias("out")).collect()]
+
+
+class TestTokenCount:
+    @staticmethod
+    def ref(s: str) -> int:
+        return len(s.split())
+
+    @settings(max_examples=20, deadline=None)
+    @given(text_batches())
+    def test_matches_python_split(self, spark, batch):
+        from coldata_spark.functions.text import token_count
+
+        got = spark_batch_eval(spark, token_count, batch)
+        assert got == [self.ref(s) for s in batch]
+
+
+class TestCleanText:
+    @staticmethod
+    def ref(s: str) -> str:
+        s = re.sub(r"[^\x20-\x7E]", " ", s)
+        s = re.sub(r"\s+", " ", s)
+        return s.strip()
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.lists(st.text(min_size=0, max_size=200), min_size=1, max_size=8))
+    def test_matches_python_regex(self, spark, batch):
+        from coldata_spark.functions.text import clean_text
+
+        got = spark_batch_eval(spark, clean_text, batch)
+        assert got == [self.ref(s) for s in batch]
+
+
+class TestCosine:
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.lists(
+            st.floats(min_value=-10, max_value=10, allow_nan=False, width=32),
+            min_size=4,
+            max_size=16,
+        )
+    )
+    def test_self_similarity_is_one(self, spark, vec):
+        import numpy as np
+
+        if np.linalg.norm(vec) < 1e-3:
+            return
+        from pyspark.sql import functions as F
+
+        from coldata_spark.functions import vector as V
+
+        df = spark.createDataFrame([(vec, vec)], ["a", "b"])
+        got = df.select(
+            V.cosine(V.as_double(F.col("a")), V.as_double(F.col("b"))).alias("c")
+        ).collect()[0].c
+        assert abs(got - 1.0) < 1e-9
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.lists(
+            st.floats(min_value=-10, max_value=10, allow_nan=False, width=32),
+            min_size=4,
+            max_size=8,
+        ),
+        st.lists(
+            st.floats(min_value=-10, max_value=10, allow_nan=False, width=32),
+            min_size=4,
+            max_size=8,
+        ),
+    )
+    def test_symmetry(self, spark, a, b):
+        import numpy as np
+
+        n = min(len(a), len(b))
+        a, b = a[:n], b[:n]
+        if np.linalg.norm(a) < 1e-3 or np.linalg.norm(b) < 1e-3:
+            return
+        from pyspark.sql import functions as F
+
+        from coldata_spark.functions import vector as V
+
+        df = spark.createDataFrame([(a, b)], ["a", "b"])
+        row = df.select(
+            V.cosine(V.as_double(F.col("a")), V.as_double(F.col("b"))).alias("ab"),
+            V.cosine(V.as_double(F.col("b")), V.as_double(F.col("a"))).alias("ba"),
+        ).collect()[0]
+        assert abs(row.ab - row.ba) < 1e-12
+        assert -1.0 - 1e-9 <= row.ab <= 1.0 + 1e-9
