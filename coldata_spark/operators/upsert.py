@@ -33,6 +33,29 @@ def merge_append(batch: DataFrame, existing: DataFrame, pk: str = "index") -> Da
     return existing.unionByName(fresh.select(*existing.columns))
 
 
+def write_run_partition(
+    batch: DataFrame, table_path: str, run_id: str, existing: DataFrame | None = None,
+    pk: str = "index",
+) -> None:
+    """Exactly-once ingest on plain parquet (no Delta): each ingest run
+    writes its new rows into a run-scoped partition with dynamic
+    partition-overwrite, so a retried run REPLACES its own partition
+    instead of appending duplicates — idempotence without a transaction
+    log.  (With Delta available this is MERGE WHEN NOT MATCHED INSERT.)
+    """
+    spark = batch.sparkSession
+    rows = batch.dropDuplicates([pk])
+    if existing is not None:
+        rows = rows.join(existing.select(pk), pk, "left_anti")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        rows.withColumn("_run_id", F.lit(run_id))
+        .write.mode("overwrite")
+        .partitionBy("_run_id")
+        .parquet(table_path)
+    )
+
+
 def upsert_stats(batch: DataFrame, existing: DataFrame, pk: str = "index") -> DataFrame:
     """Counters the reference tracks per upload loop (A5, uci.py:87-93):
     how many batch rows were inserted vs skipped."""

@@ -1,0 +1,68 @@
+"""Skew salting and exactly-once run-partitioned ingest."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from coldata_spark.operators.skew import salted_agg
+from coldata_spark.operators.upsert import write_run_partition
+from coldata_spark.tables import load
+
+
+def test_salted_agg_matches_plain(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    got = (
+        salted_agg(
+            ev,
+            ["event_type"],
+            {
+                "n": (F.count("*"), F.sum("n")),
+                "total": (F.sum("value"), F.round(F.sum("total"), 2)),
+                "mx": (F.max("value"), F.round(F.max("mx"), 2)),
+            },
+        )
+        .toPandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    plain = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+            F.round(F.max("value"), 2).alias("mx"),
+        )
+        .toPandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    assert got["n"].equals(plain["n"])
+    assert (got["total"] - plain["total"]).abs().max() < 0.02  # fp order
+    assert got["mx"].equals(plain["mx"])
+
+
+def test_run_partition_idempotent_retry(spark, sf_dir, tmp_path):
+    """A retried run overwrites ITS OWN partition — no duplicates; a new
+    run appends its own partition only."""
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("index"), "text"
+    )
+    path = str(tmp_path / "ingest_table")
+
+    run1 = docs.filter(F.col("index").cast("long") < 100)
+    write_run_partition(run1, path, "run1")
+    n1 = spark.read.parquet(path).count()
+    # retry of run1 (e.g. after failure) — same partition replaced
+    write_run_partition(run1, path, "run1")
+    assert spark.read.parquet(path).count() == n1
+
+    run2 = docs.filter(
+        (F.col("index").cast("long") >= 100) & (F.col("index").cast("long") < 150)
+    )
+    write_run_partition(run2, path, "run2", existing=spark.read.parquet(path))
+    total = spark.read.parquet(path)
+    assert total.count() == n1 + run2.count()
+    assert total.select("index").distinct().count() == total.count()
+    # run2 retried with existing-check: its partition rewrites to the same rows
+    write_run_partition(run2, path, "run2")
+    assert spark.read.parquet(path).count() == n1 + run2.count()
