@@ -108,7 +108,7 @@ def embed_queries(
     the same model to queries)."""
     df = spark.createDataFrame(
         [(i, q) for i, q in enumerate(queries)], ["q_id", "q_text"]
-    )
+    ).coalesce(1)  # query batches are tiny — one Arrow batch, one worker
     emb = embed_documents(
         df, text_col="q_text", id_col="q_id", dim=dim, encoder_factory=encoder_factory
     )

@@ -54,7 +54,8 @@ def synthetic_images(spark, n: int = 64, width: int = 8, height: int = 8) -> Dat
         rng = np.random.default_rng(seed=i)
         px = rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
         rows.append((i, px.tobytes(), (width, height, 3, "RAW_RGB")))
-    return spark.createDataFrame(rows, IMAGE_SCHEMA)
+    # small synthetic tables: a few partitions, not one-Python-worker-per-row
+    return spark.createDataFrame(rows, IMAGE_SCHEMA).coalesce(max(1, n // 16))
 
 
 def decode_image_stub(content: bytes, meta) -> np.ndarray:
@@ -149,7 +150,7 @@ def synthetic_audio(spark, n: int = 32, sr: int = 8000, seconds: float = 0.1) ->
         t = np.arange(ns) / sr
         wave = (np.sin(2 * np.pi * (100 + 10 * i) * t) * 32767 * 0.5).astype("<i2")
         rows.append((i, wave.tobytes(), sr, ns))
-    return spark.createDataFrame(rows, AUDIO_SCHEMA)
+    return spark.createDataFrame(rows, AUDIO_SCHEMA).coalesce(max(1, n // 16))
 
 
 AUDIO_FEATURES = T.StructType(
