@@ -1,0 +1,126 @@
+"""End-to-end dataset search engine — the reference's public surface
+(SURVEY.md §3) as one Spark-first component.
+
+Reference dataflow (/root/reference/src/coldata/vdb/vdb.py, demo.py,
+main.py):
+  update:  scan document store -> record->text -> chunk -> embed ->
+           (re)build Milvus IVF index           (vdb.update, vdb.py:57-86)
+  search:  embed query strings -> ANN top-k -> chunk->parent group-best ->
+           sort -> join-back -> project          (vdb.search, vdb.py:88-122)
+  demo:    formatted results with rank + preview (main.py:48-58, demo.py)
+
+Spark shape: build is one batch job writing a centroid-partitioned parquet
+index; search is a small-broadcast plan over the pruned index.  Index
+"renew" (vdb.py:199-201) = overwrite, as in the reference.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from coldata_spark import embed as E
+from coldata_spark.functions import text as TX
+from coldata_spark.operators import ivf
+from coldata_spark.operators.similarity import group_best
+
+
+@dataclass
+class SearchIndex:
+    """Handle to a built index: path of the partitioned vector table plus
+    the (tiny) centroid table, mirroring the loaded Milvus collection."""
+
+    path: str
+    centroids: DataFrame
+    nlist: int
+
+
+def build_index(
+    documents: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    nlist: int = 16,
+    encoder_factory=E._default_encoder_factory,
+) -> SearchIndex:
+    """vdb.update: chunk -> embed -> KMeans cells -> partitioned write."""
+    starts = TX.chunk_starts(F.length(text_col))
+    chunks = documents.select(
+        F.col(id_col).alias("parent_id"),
+        F.col(text_col),
+        F.posexplode(starts).alias("_p", "i"),
+    ).select(
+        "parent_id",
+        F.concat_ws("_", F.col("parent_id"), F.col("i")).alias("chunk_id"),
+        F.expr(
+            f"substring({text_col}, 1 + i*{TX.CHUNK_STRIDE}, {TX.CHUNK_SIZE})"
+        ).alias("chunk_text"),
+    )
+    emb = E.embed_documents(
+        chunks, text_col="chunk_text", id_col="chunk_id",
+        encoder_factory=encoder_factory,
+    )
+    vectors = emb.join(chunks.select("chunk_id", "parent_id"), "chunk_id").select(
+        F.col("chunk_id").alias("vec_id"), "parent_id", "embedding"
+    )
+    assigned, centroids = ivf.build_ivf(vectors, nlist=nlist)
+    ivf.write_ivf(assigned, path)
+    return SearchIndex(path=path, centroids=centroids, nlist=nlist)
+
+
+def search(
+    spark: SparkSession,
+    index: SearchIndex,
+    documents: DataFrame,
+    queries: list[str],
+    k: int = 4,
+    nprobe: int | None = None,
+    metric: str = "COSINE",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    encoder_factory=E._default_encoder_factory,
+) -> DataFrame:
+    """vdb.search + demo projection: returns one row per (query, rank) with
+    the parent document's fields, best chunk score, and a text preview —
+    the reference's OrderedDict-of-records result (vdb.py:101-122,
+    main.py:48-58) as a DataFrame."""
+    nprobe = nprobe or index.nlist  # reference default: probe ALL cells
+    qdf = E.embed_queries(spark, queries, encoder_factory=encoder_factory)
+    hits = ivf.search_ivf(
+        spark,
+        index.path,
+        qdf.select("q_id", "q_vec"),
+        index.centroids,
+        k=max(k * 4, k),  # over-fetch chunks; parents collapse below
+        nprobe=nprobe,
+        metric=metric,
+    )
+    parents = hits.join(
+        spark.read.parquet(index.path).select("vec_id", "parent_id"), "vec_id"
+    )
+    best = group_best(parents, "parent_id", metric=metric)
+    from pyspark.sql import Window as W
+
+    desc = F.col("best_score").desc() if metric.upper() != "L2" else F.col(
+        "best_score"
+    ).asc()
+    w = W.partitionBy("q_id").orderBy(desc, F.col("parent_id"))
+    ranked = (
+        best.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    return (
+        ranked.join(qdf.select("q_id", "q_text"), "q_id")
+        .join(documents, ranked.parent_id == documents[id_col])
+        .select(
+            "q_id",
+            "q_text",
+            "rank",
+            F.col("best_score").alias("score"),
+            F.col(id_col),
+            TX.preview(F.col(text_col), 200).alias("preview"),
+        )
+        .orderBy("q_id", "rank")
+    )

@@ -1,0 +1,42 @@
+"""End-to-end search engine API (the reference's update/search surface)."""
+
+from __future__ import annotations
+
+from coldata_spark import search as S
+from coldata_spark.tables import load
+
+
+def test_build_and_search(spark, sf_dir, tmp_path):
+    docs = load(spark, sf_dir, "documents")
+    idx = S.build_index(docs, str(tmp_path / "search_idx"), nlist=8)
+
+    # query with each document's FIRST CHUNK (the indexed unit): the parent
+    # must appear in the top-k with a ~perfect score (another doc can tie
+    # only with an identical chunk)
+    targets = docs.orderBy("doc_id").limit(2).collect()
+    queries = [t.text[:128] for t in targets]
+    results = S.search(spark, idx, docs, queries, k=4).collect()
+    by_q = {}
+    for r in results:
+        by_q.setdefault(r.q_id, []).append(r)
+    assert set(by_q) == {0, 1}
+    for qid, target in enumerate(targets):
+        rows = sorted(by_q[qid], key=lambda r: r.rank)
+        assert len(rows) <= 4
+        assert rows[0].score > 0.99, f"query {qid}"
+        assert target.doc_id in [r.doc_id for r in rows], f"query {qid}"
+        assert rows[0].preview.endswith("...")
+        # ranks are contiguous from 1 and scores non-increasing
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        scores = [r.score for r in rows]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_search_pruned_probe_still_finds_self(spark, sf_dir, tmp_path):
+    docs = load(spark, sf_dir, "documents")
+    idx = S.build_index(docs, str(tmp_path / "search_idx2"), nlist=8)
+    target = docs.orderBy("doc_id").first()
+    res = S.search(spark, idx, docs, [target.text[:128]], k=2, nprobe=2).collect()
+    # the probed cell containing the query's own chunk must surface a
+    # perfect-score hit (the chunk's own cell is always the best-scoring one)
+    assert res and res[0].score > 0.99
