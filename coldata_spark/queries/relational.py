@@ -633,6 +633,64 @@ def q49_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q53_cheapest_part_per_brand",
+    survey="J1,A2",
+    sql="""
+    SELECT p_brand, p_partkey, p_name, round(p_retailprice, 2) AS price
+    FROM part p
+    WHERE p_retailprice = (SELECT min(p2.p_retailprice) FROM part p2
+                           WHERE p2.p_brand = p.p_brand)
+    """,
+)
+def q53_cheapest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q2's min-cost-supplier shape),
+    written through the SQL API — Catalyst decorrelates it into a
+    join-with-aggregate, which .explain confirms (no per-row subquery
+    execution; SURVEY §4's 'subquery decorrelation: built-in')."""
+    load(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT p_brand, p_partkey, p_name, round(p_retailprice, 2) AS price
+        FROM part p
+        WHERE p_retailprice = (SELECT min(p2.p_retailprice) FROM part p2
+                               WHERE p2.p_brand = p.p_brand)
+        """
+    )
+
+
+@register(
+    "q54_busiest_hours_per_type",
+    survey="W1,A5,R6",
+    sql="""
+    SELECT event_type, hr, n, rk
+    FROM (
+        SELECT event_type, hr, n,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY n DESC, hr) AS rk
+        FROM (
+            SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
+        )
+    )
+    WHERE rk <= 2
+    """,
+)
+def q54_busiest_hours_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window over an aggregate: top-2 busiest hours per event type —
+    aggregation shuffle then partition-local rank, no global sort."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count("*").alias("n"))
+    w = W.partitionBy("event_type").orderBy(F.col("n").desc(), F.col("hr"))
+    return (
+        hourly.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .select("event_type", "hr", "n", "rk")
+    )
+
+
+@register(
     "q14_point_lookup",
     survey="S11,P6",
     sql="""

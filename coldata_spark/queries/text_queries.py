@@ -341,6 +341,49 @@ def q47_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q55_chunk_parent_roundtrip",
+    survey="T9,O2,T5",
+    sql="""
+    SELECT chunk_id,
+           cast(string_split(chunk_id, '_')[1] AS BIGINT) AS parent_id,
+           string_split(url, '/')[-1] AS url_tail
+    FROM (
+        SELECT concat(cast(doc_id AS VARCHAR), '_', cast(i AS VARCHAR)) AS chunk_id,
+               concat('https://example.org/', source, '/',
+                      cast(doc_id AS VARCHAR)) AS url
+        FROM documents, unnest(generate_series(0,
+             cast(ceil(greatest(0, length(text) - 128) / 64.0) AS INT))) AS t(i)
+    )
+    """,
+)
+def q55_chunk_parent_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9 (vdb.py:188-190): recover the parent key from a chunk id via
+    split('_')[0], and O2 (uci.py:46 etc.): extract the URL tail segment —
+    the two string-surgery idioms of the reference.  (The engine normally
+    carries parent_id as a real column — q20 — but the split path is part
+    of the declared surface.)"""
+    from coldata_spark.tables import fan_out
+
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    starts = TX.chunk_starts(F.length("text"))
+    chunks = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(starts).alias("_p", "i"),
+    ).select(
+        F.concat_ws("_", F.col("doc_id"), F.col("i")).alias("chunk_id"),
+        F.concat(
+            F.lit("https://example.org/"), F.col("source"), F.lit("/"), F.col("doc_id")
+        ).alias("url"),
+    )
+    return chunks.select(
+        "chunk_id",
+        F.split(F.col("chunk_id"), "_")[0].cast("bigint").alias("parent_id"),
+        F.element_at(F.split(F.col("url"), "/"), -1).alias("url_tail"),
+    )
+
+
+@register(
     "q23_exact_dedup",
     survey="V6,A1,T6",
     sql="""
