@@ -49,11 +49,16 @@ def main() -> None:
         for name in HEADLINE:
             specs[name].fn(spark, warmup_dir).count()
 
+    # best-of-2: steady-state per-query time (first pass can absorb codegen
+    # compilation and broadcast warmup not attributable to the plan itself)
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        specs[name].fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            specs[name].fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

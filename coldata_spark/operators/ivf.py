@@ -44,7 +44,7 @@ def build_ivf(
     centroids = (centroid_id, cvec array<double>).
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     ml_df = vectors.withColumn(
         "_features", array_to_vector(V.as_double(F.col(vec_col)))

@@ -17,8 +17,6 @@ drop that to keep Arrow batches inside executor memory.
 
 from __future__ import annotations
 
-import hashlib
-import struct as _struct
 from collections.abc import Iterator
 
 import numpy as np
