@@ -189,6 +189,43 @@ def q34_knn_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q37_knn_ip_topk",
+    survey="J5,V5,W1",
+    sql="""
+    WITH q AS (
+        SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+        FROM embeddings WHERE vec_id < 8
+    ),
+    scored AS (
+        SELECT q.q_id, v.vec_id,
+               round(list_dot_product(q.q_vec, v.embedding::DOUBLE[]), 6) AS score
+        FROM q, embeddings v
+        WHERE q.q_id <> v.vec_id
+    )
+    SELECT q_id, vec_id, score, rank
+    FROM (
+        SELECT q_id, vec_id, score,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY score DESC, vec_id) AS rank
+        FROM scored
+    )
+    WHERE rank <= 4
+    """,
+)
+def q37_knn_ip_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V5's IP (inner-product) branch: larger-is-better like cosine but
+    unnormalized (vdb.py:20-22's COSINE/IP grouping)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return knn_join(
+        _queries_df(spark, sf_dir),
+        emb.select("vec_id", "embedding"),
+        k=TOP_K,
+        metric="IP",
+        exclude_self=True,
+    )
+
+
 @register("q35_ann_ivf_search", survey="V3,V4,W1", sql=None)
 def q35_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full IVF path (rows-only check — KMeans centroids are not
