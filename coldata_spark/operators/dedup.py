@@ -179,6 +179,76 @@ def minhash_neardup_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph -> (doc_id,
+    component) where component = min doc_id reachable.  Turns pairwise
+    near-dup evidence (minhash_neardup_pairs / embedding_neardup_pairs)
+    into DEDUP GROUPS: keep component, drop the rest.
+
+    Algorithm: iterative min-label propagation (each round joins labels
+    across edges and keeps the min; converges in O(diameter) rounds —
+    near-dup graphs are almost always tiny cliques, so 2-3 rounds).  Each
+    round is one join + one aggregate; intermediate results are cached and
+    the loop exits on a converged count, so the driver never touches row
+    data.  (GraphFrames' CC is the same loop minus the library dependency.)
+    """
+    edges = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    )
+    # undirected: propagate both ways
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).cache()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .cache()
+    )
+    for _ in range(max_iters):
+        # neighbor labels: for each node, min label among itself + neighbors
+        neighbor = (
+            edges.join(labels, edges.dst == labels.id)
+            .select(F.col("src").alias("id"), "component")
+        )
+        new_labels = (
+            labels.select("id", "component")
+            .union(neighbor)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_keepers(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Collapse near-dup groups: every doc in a component except the min-id
+    keeper is dropped.  Docs in no component survive untouched."""
+    comp = connected_components(pairs)
+    drop = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")
+
+
 def simhash_signatures(
     df: DataFrame, text_col: str, id_col: str, bits: int = 32
 ) -> DataFrame:

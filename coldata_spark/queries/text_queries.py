@@ -383,6 +383,22 @@ def q55_chunk_parent_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q59_dedup_groups", survey="V6,ext-minhash-lsh", sql=None)
+def q59_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup dedup pipeline (rows-only: iterative connected
+    components are not single-statement SQL): minhash-LSH candidate pairs
+    -> min-label-propagation components -> corpus with dup groups collapsed
+    to their keeper.  Returns survivor count + ids for stable checking."""
+    from coldata_spark.operators.dedup import dedup_keepers
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = DD.minhash_neardup_pairs(docs, "text", "doc_id").filter(
+        F.col("est_jaccard") >= 0.75
+    )
+    kept = dedup_keepers(docs, pairs)
+    return kept.select("doc_id", "source", "n_chars").orderBy("doc_id")
+
+
 @register(
     "q23_exact_dedup",
     survey="V6,A1,T6",

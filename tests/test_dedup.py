@@ -67,6 +67,31 @@ def test_minhash_estimates_jaccard(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs  # no band collision
 
 
+def test_connected_components_chain_and_clique(spark):
+    """Chain 1-2-3 and clique 10-11-12 plus isolated pair 20-21."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (10, 12), (11, 12), (20, 21)],
+        ["doc_a", "doc_b"],
+    )
+    comp = {r.id: r.component for r in DD.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dedup_keepers_end_to_end(spark):
+    """Duplicate texts -> minhash pairs -> components -> keepers."""
+    a = "spark shuffle partition broadcast join window " * 6
+    b = "zebra walrus xylophone yak quokka narwhal " * 6
+    df = spark.createDataFrame(
+        [(1, a), (2, a), (3, a), (4, b), (5, b), (6, "unique text about nothing else")],
+        ["doc_id", "text"],
+    )
+    pairs = DD.minhash_neardup_pairs(df, "text", "doc_id").filter(
+        F.col("est_jaccard") >= 0.9
+    )
+    kept = sorted(r.doc_id for r in DD.dedup_keepers(df, pairs).collect())
+    assert kept == [1, 4, 6]
+
+
 def test_embedding_neardup_threshold(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings").limit(200)
     pairs = DD.embedding_neardup_pairs(emb, threshold=0.9)
