@@ -792,6 +792,55 @@ def q58_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q60_price_percentiles",
+    survey="A5",
+    sql="""
+    SELECT c_mktsegment,
+           round(max(CASE WHEN rn = greatest(1, cast(ceil(0.5 * n) AS BIGINT))
+                          THEN o_totalprice END), 2) AS median_price,
+           round(max(CASE WHEN rn = greatest(1, cast(ceil(0.9 * n) AS BIGINT))
+                          THEN o_totalprice END), 2) AS p90_price,
+           round(min(o_totalprice), 2) AS min_price,
+           round(max(o_totalprice), 2) AS max_price
+    FROM (
+        SELECT c_mktsegment, o_totalprice,
+               row_number() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY o_totalprice, o_orderkey) AS rn,
+               count(*) OVER (PARTITION BY c_mktsegment) AS n
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    )
+    GROUP BY c_mktsegment
+    """,
+)
+def q60_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete (rank-based) percentiles per group — integer index
+    arithmetic, so the value is an actual group member and both engines
+    agree exactly (interpolated quantiles differ in last-ulp fp and can
+    flip at rounding boundaries).  At 100 TB swap to approx_percentile —
+    the exact form sorts each group within its reducer."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    w = W.partitionBy("c_mktsegment").orderBy("o_totalprice", "o_orderkey")
+    ranked = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_mktsegment", "o_totalprice", "o_orderkey")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(W.partitionBy("c_mktsegment")))
+    )
+    at = lambda q: F.greatest(F.lit(1), F.ceil(F.lit(q) * F.col("n")).cast("bigint"))
+    return ranked.groupBy("c_mktsegment").agg(
+        F.round(
+            F.max(F.when(F.col("rn") == at(0.5), F.col("o_totalprice"))), 2
+        ).alias("median_price"),
+        F.round(
+            F.max(F.when(F.col("rn") == at(0.9), F.col("o_totalprice"))), 2
+        ).alias("p90_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+@register(
     "q14_point_lookup",
     survey="S11,P6",
     sql="""

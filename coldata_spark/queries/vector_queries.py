@@ -226,6 +226,36 @@ def q37_knn_ip_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q38_embedding_dim_stats",
+    survey="ext-vector-stats,A5",
+    sql="""
+    SELECT i AS dim,
+           round(avg(embedding[i]::DOUBLE), 6) AS mean_val,
+           round(min(embedding[i]::DOUBLE), 6) AS min_val,
+           round(max(embedding[i]::DOUBLE), 6) AS max_val
+    FROM embeddings, unnest(generate_series(1, 64)) AS t(i)
+    GROUP BY i
+    """,
+)
+def q38_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension corpus statistics (the input to mean-centering /
+    whitening before indexing): posexplode the vector once, aggregate per
+    dim — one pass, 64 groups, map-side partials."""
+    from coldata_spark.functions import vector as V
+    from coldata_spark.tables import fan_out
+
+    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    dims = emb.select(
+        F.posexplode(V.as_double(F.col("embedding"))).alias("i0", "x")
+    ).select((F.col("i0") + 1).alias("dim"), "x")
+    return dims.groupBy("dim").agg(
+        F.round(F.avg("x"), 6).alias("mean_val"),
+        F.round(F.min("x"), 6).alias("min_val"),
+        F.round(F.max("x"), 6).alias("max_val"),
+    )
+
+
 @register("q35_ann_ivf_search", survey="V3,V4,W1", sql=None)
 def q35_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full IVF path (rows-only check — KMeans centroids are not
