@@ -179,6 +179,37 @@ def q44_asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> Dat
 
 
 @register(
+    "q45_events_sliding_window",
+    survey="R6,A5",
+    sql="""
+    SELECT (epoch_us(ts) // 1000000 - off) // 3600 * 3600 + off
+               AS window_start_epoch,
+           event_type,
+           count(*) AS n_events
+    FROM events, unnest([0, 1800]) AS t(off)
+    WHERE epoch_us(ts) // 1000000 >= (epoch_us(ts) // 1000000 - off) // 3600 * 3600 + off
+    GROUP BY 1, 2
+    """,
+)
+def q45_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour window, 30-minute step (batch form of
+    window(ts, '1 hour', '30 minutes')): each event lands in 2 windows —
+    expressed with integer epoch arithmetic so both engines agree exactly.
+    The streaming twin is streaming/events.sliding_value_sum."""
+    ev = load(spark, sf_dir, "events")
+    secs = (F.unix_micros(F.col("ts")) / 1000000).cast("long")
+    offs = F.explode(F.array(F.lit(0), F.lit(1800))).alias("off")
+    w_start = ((secs - F.col("off")) / 3600).cast("long") * 3600 + F.col("off")
+    return (
+        ev.select("event_type", "ts", offs)
+        .withColumn("ws", w_start)
+        .filter(secs >= F.col("ws"))
+        .groupBy(F.col("ws").alias("window_start_epoch"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+@register(
     "q43_events_latest_per_user",
     survey="A2,W1",
     sql="""

@@ -841,6 +841,36 @@ def q60_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q61_intersect_nations",
+    survey="U1",
+    sql="""
+    SELECT n_nationkey AS natkey FROM nation
+    JOIN customer ON c_nationkey = n_nationkey
+    INTERSECT
+    SELECT n_nationkey FROM nation
+    JOIN supplier ON s_nationkey = n_nationkey
+    """,
+)
+def q61_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intersect (the set op the reference never needed — SURVEY §2.7
+    'absent; built-in'): nations with BOTH customers and suppliers."""
+    nat = load(spark, sf_dir, "nation")
+    cust_nat = (
+        load(spark, sf_dir, "customer")
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_nationkey")
+    )
+    sup_nat = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("n_nationkey")
+    )
+    return cust_nat.intersect(sup_nat).select(
+        F.col("n_nationkey").alias("natkey")
+    )
+
+
+@register(
     "q14_point_lookup",
     survey="S11,P6",
     sql="""
