@@ -23,18 +23,23 @@ from coldata_spark import registry
 from coldata_spark.session import get_spark
 
 # Headline set: one per engine layer — agg scan, multi-join, window,
-# chunking flatMap, minhash dedup, kNN similarity join, sessionization.
+# chunking flatMap, minhash dedup, kNN similarity join, sessionization,
+# selective scan, n-gram jaccard join, as-of join, outer-join distribution.
 HEADLINE = [
     "q01_pricing_summary",
     "q02_top_orders_by_revenue",
     "q03_region_nation_revenue",
     "q09_topk_parts_per_brand",
+    "q16_selective_scan",
     "q20_chunk_documents",
     "q23_exact_dedup",
     "q25_minhash_signatures",
+    "q29_ngram_jaccard",
     "q30_knn_cosine_topk",
     "q31_search_group_best",
     "q42_events_sessionize",
+    "q44_asof_last_click_before_purchase",
+    "q49_order_count_distribution",
 ]
 
 
