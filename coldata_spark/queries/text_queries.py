@@ -400,6 +400,51 @@ def q59_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q63_top_terms",
+    survey="ext-wordcount,A5,W1",
+    sql="""
+    SELECT term, n, rk
+    FROM (
+        SELECT term, n,
+               row_number() OVER (ORDER BY n DESC, term) AS rk
+        FROM (
+            SELECT term, count(*) AS n
+            FROM (
+                SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+                FROM documents
+                WHERE length(trim(text)) > 0
+            )
+            GROUP BY term
+        )
+    )
+    WHERE rk <= 20
+    """,
+)
+def q63_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequencies, global top-20 — the canonical wordcount:
+    token explode (flatMap) -> count with map-side partials -> global top-k
+    via TakeOrdered on the (tiny) distinct-term aggregate."""
+    from pyspark.sql import Window as W
+
+    from coldata_spark.tables import fan_out
+
+    docs = fan_out(load(spark, sf_dir, "documents")).filter(
+        F.length(F.trim("text")) > 0
+    )
+    counts = (
+        docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+    w = W.orderBy(F.col("n").desc(), F.col("term"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("term", "n", "rk")
+    )
+
+
+@register(
     "q23_exact_dedup",
     survey="V6,A1,T6",
     sql="""
