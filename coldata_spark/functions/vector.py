@@ -53,6 +53,45 @@ def l2(a: Column, b: Column) -> Column:
 METRIC_DESCENDING = {"COSINE": True, "IP": True, "L2": False}
 
 
+def center_vectors_per_group(
+    df, group_col: str, vec_col: str = "embedding", id_col: str = "vec_id"
+):
+    """Grouped-map applyInPandas: subtract each group's mean vector
+    (per-cluster centering before residual indexing — the grouped-map UDF
+    kind of SURVEY §2.10, numpy-vectorized per group).
+
+    One shuffle on the group key; each group's rows are centered in a
+    single pandas call.  Returns (id, group, centered array<double>).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            df.schema[group_col],
+            T.StructField("centered", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def center(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        mat = mat - mat.mean(axis=0, keepdims=True)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].values,
+                group_col: pdf[group_col].values,
+                "centered": list(mat),
+            }
+        )
+
+    return df.select(id_col, group_col, vec_col).groupBy(group_col).applyInPandas(
+        center, schema=out_schema
+    )
+
+
 def score_expr(metric: str, a: Column, b: Column) -> Column:
     m = metric.upper()
     if m == "COSINE":

@@ -92,6 +92,52 @@ def test_ivf_build_search_recall(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in probe_plan or "centroid_id" in probe_plan
 
 
+def test_grouped_map_centering(spark, sf_dir):
+    """applyInPandas per-label centering: group means become ~zero."""
+    from coldata_spark.functions.vector import center_vectors_per_group
+
+    emb = load(spark, sf_dir, "embeddings").limit(300)
+    centered = center_vectors_per_group(emb, "label")
+    # per-group mean of centered vectors ~ 0 in every dimension
+    agg = (
+        centered.select("label", F.posexplode("centered").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.abs(F.avg("x")).alias("m"))
+        .agg(F.max("m").alias("worst"))
+        .collect()[0]
+    )
+    assert agg.worst < 1e-12
+    assert centered.count() == 300
+
+
+def test_stream_source_throttling(spark, sf_dir, tmp_path):
+    """R3 as source throttling: maxFilesPerTrigger=4 with 8 files -> at
+    least 2 micro-batches in one availableNow run."""
+    import shutil
+
+    from coldata_spark.streaming import events as SE
+
+    d = tmp_path / "throttle_in"
+    d.mkdir()
+    for i in range(8):
+        shutil.copy(f"{sf_dir}/events.parquet", d / f"f{i}.parquet")
+    batches = []
+
+    def sink(batch_df, batch_id):
+        batches.append(batch_df.count())
+
+    q = (
+        SE.read_events_stream(spark, str(d))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_throttle"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(batches) >= 2
+    assert sum(batches) == spark.read.parquet(str(d)).count()
+
+
 def test_upsert_merge_idempotent(spark, sf_dir):
     """R2 (crawler.py:40-50): re-running the same batch inserts 0."""
     docs = load(spark, sf_dir, "documents").select(
