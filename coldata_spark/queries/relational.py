@@ -871,6 +871,80 @@ def q61_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q64_returned_revenue_by_customer",
+    survey="J1,A5,O1,O3",
+    sql="""
+    SELECT c_custkey, c_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q64_returned_revenue_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped: lost-revenue ranking over a 4-way join with a
+    wide group key; nation broadcasts, orders filter prunes before the
+    fact join, top-20 via TakeOrdered."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nat = load(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q65_large_orders",
+    survey="J4,A5",
+    sql="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS total, total_qty
+    FROM orders
+    JOIN (
+        SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING sum(l_quantity) > 150
+    ) big ON o_orderkey = big.l_orderkey
+    """,
+)
+def q65_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped: HAVING over a fact aggregation, joined back to the
+    order header — aggregate-then-join keeps the join input small."""
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .filter(F.col("_qty") > 150)
+        .select("l_orderkey", F.round("_qty", 2).alias("total_qty"))
+    )
+    orders = load(spark, sf_dir, "orders")
+    return orders.join(big, orders.o_orderkey == big.l_orderkey).select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("total"), "total_qty"
+    )
+
+
+@register(
     "q14_point_lookup",
     survey="S11,P6",
     sql="""
