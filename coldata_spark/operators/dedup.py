@@ -249,6 +249,87 @@ def dedup_keepers(
     return df.join(drop, id_col, "left_anti")
 
 
+def embedding_neardup_lsh(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    band_size: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup via random-hyperplane LSH blocking: exact cosine
+    is computed ONLY within candidate buckets, never across the full n^2.
+
+    sign(v . h_j) over n_planes hyperplanes -> bit signature; signatures
+    split into bands of band_size bits; vectors sharing any band bucket are
+    candidates.  P(bit agrees) = 1 - angle/pi, so cos >= 0.95 pairs agree
+    per bit with p ~ 0.9 and collide on some 4-bit band with p ~ 0.94 at 4
+    bands.  Shapes: vectors x planes flatMap (no shuffle), band groupBy,
+    within-bucket join — the same topology as MinHash-LSH, on embeddings.
+    """
+    import numpy as np
+
+    from coldata_spark.functions import vector as V
+    from coldata_spark.tables import fan_out
+
+    rng = np.random.default_rng(seed)
+    spark = emb.sparkSession
+    dim = len(emb.select(vec_col).first()[0])
+    planes = [
+        (j, [float(x) for x in rng.standard_normal(dim)]) for j in range(n_planes)
+    ]
+    pdf = spark.createDataFrame(planes, ["plane_id", "pvec"]).coalesce(1)
+
+    vec = fan_out(emb).select(
+        F.col(id_col).alias("vid"), V.as_double(F.col(vec_col)).alias("v")
+    )
+    bits = (
+        vec.join(F.broadcast(pdf))
+        .select(
+            "vid",
+            "plane_id",
+            F.when(V.dot(F.col("v"), F.col("pvec")) >= 0, "1").otherwise("0").alias("bit"),
+        )
+    )
+    sigs = (
+        bits.withColumn("band", (F.col("plane_id") / band_size).cast("int"))
+        .groupBy("vid", "band")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("plane_id"), F.col("bit")))
+                    ),
+                    lambda s: s.bit,
+                ),
+            ).alias("band_key")
+        )
+    )
+    a = sigs.select(F.col("vid").alias("id_a"), "band", "band_key")
+    b = sigs.select(F.col("vid").alias("id_b"), "band", "band_key")
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = emb.select(
+        F.col(id_col).alias("id_a"), V.as_double(F.col(vec_col)).alias("va")
+    )
+    vb = emb.select(
+        F.col(id_col).alias("id_b"), V.as_double(F.col(vec_col)).alias("vb")
+    )
+    cos = F.round(V.cosine(F.col("va"), F.col("vb")), 6)
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def simhash_signatures(
     df: DataFrame, text_col: str, id_col: str, bits: int = 32
 ) -> DataFrame:

@@ -256,6 +256,16 @@ def q38_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q39_embedding_neardup_lsh", survey="V6,ext-embedding-dedup", sql=None)
+def q39_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for embedding near-dup (rows-only: random-hyperplane
+    signatures have no SQL twin; recall vs the exact q32 is asserted in
+    tests): LSH band blocking -> exact cosine only within buckets."""
+    return DD.embedding_neardup_lsh(
+        load(spark, sf_dir, "embeddings"), threshold=0.95
+    )
+
+
 @register("q35_ann_ivf_search", survey="V3,V4,W1", sql=None)
 def q35_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full IVF path (rows-only check — KMeans centroids are not

@@ -99,3 +99,22 @@ def test_embedding_neardup_threshold(spark, sf_dir):
     for r in rows:
         assert r.cos_sim >= 0.9
         assert r.id_a < r.id_b
+
+
+def test_embedding_neardup_lsh_recall(spark, sf_dir):
+    """LSH blocking must find the high-similarity pairs the exact path
+    finds (surviving pairs are verified, so precision is 1 by construction;
+    recall at cos>=0.9 should be high with 4x4-bit bands)."""
+    emb = load(spark, sf_dir, "embeddings")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in DD.embedding_neardup_pairs(emb, threshold=0.9).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in DD.embedding_neardup_lsh(emb, threshold=0.9).collect()
+    }
+    assert lsh <= exact  # verified candidates only
+    if exact:
+        recall = len(lsh & exact) / len(exact)
+        assert recall >= 0.6, f"recall {recall} over {len(exact)} pairs"
