@@ -71,26 +71,39 @@ def knn_join(
         F.col("score").desc() if desc else F.col("score").asc(),
         F.col(vec_id).asc(),
     ]
-    # Two-stage top-k.  A single window on q_id funnels EVERY scored pair
-    # into #queries reducers — with few queries that is catastrophic skew
-    # (a handful of reducers sort the whole vector table).  Stage 1 ranks
-    # within (q_id, salt) — same bytes shuffled but spread over
-    # #queries x n_salts reducers, each sorting a bounded slice and
-    # emitting at most k rows; stage 2 merges the tiny survivors.
-    n_salts = 64
-    salt = F.pmod(F.hash(F.col(vec_id)), F.lit(n_salts))
-    w_local = W.partitionBy(query_id, "_salt").orderBy(*order)
-    local = (
-        scored.withColumn("_salt", salt)
-        .withColumn("_lr", F.row_number().over(w_local))
-        .filter(F.col("_lr") <= k)
-        .drop("_lr", "_salt")
-    )
+    # Two-stage top-k for LARGE vector tables.  A single window on q_id
+    # funnels every scored pair into #queries reducers — with few queries
+    # that is catastrophic skew (a handful of reducers sort the whole
+    # table).  Stage 1 ranks within (q_id, salt): same bytes shuffled but
+    # spread over #queries x n_salts reducers, each sorting a bounded slice
+    # and emitting at most k rows; stage 2 merges the survivors.  For small
+    # inputs the extra exchange costs more than the skew it prevents, so
+    # gate on the optimizer's size estimate (same spirit as AQE).
+    if _estimated_bytes(vectors) > 256 * 1024 * 1024:
+        n_salts = 64
+        salt = F.pmod(F.hash(F.col(vec_id)), F.lit(n_salts))
+        w_local = W.partitionBy(query_id, "_salt").orderBy(*order)
+        scored = (
+            scored.withColumn("_salt", salt)
+            .withColumn("_lr", F.row_number().over(w_local))
+            .filter(F.col("_lr") <= k)
+            .drop("_lr", "_salt")
+        )
     w = W.partitionBy(query_id).orderBy(*order)
     return (
-        local.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def _estimated_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for a plan (file sizes for scans)."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return 0
 
 
 def group_best(
