@@ -14,9 +14,9 @@ pipeline needs content-level dedup; this module provides the ladder:
 Scale notes: shingle explode is a flatMap (no shuffle); signatures reduce via
 min() with map-side partial aggregation; LSH banding turns the O(n^2) pair
 problem into groupBy(band_hash) + within-bucket joins — the standard
-MinHash-LSH shape.  md5 is used as the hash family (seeded by prefix) because
-it is identical across engines, making every stage oracle-checkable in
-DuckDB.
+MinHash-LSH shape.  The hash family is md5-based (one digest per shingle,
+seed variants derived arithmetically) because md5 is identical across
+engines, keeping every stage oracle-checkable in DuckDB.
 """
 
 from __future__ import annotations
@@ -60,13 +60,12 @@ def shingles(
     width: int = SHINGLE_LEN,
     distinct: bool = False,
 ) -> DataFrame:
-    """Explode each document into its character shingles.
+    """Explode each document into its character shingles (flatMap; the
+    shingle array is built in-expression per row, then exploded).
 
-    Position-explode + substring — a pure flatMap that never materializes a
-    per-doc array of shingle strings.  ``distinct`` is OFF by default:
-    min-hash is insensitive to duplicate shingles, so the dedup (a shuffle
-    or per-doc set build) is pure cost there; turn it on for true Jaccard
-    set semantics.
+    ``distinct`` applies array_distinct per doc BEFORE the explode — true
+    per-doc set semantics with no shuffle.  On natural text it also cuts
+    downstream hashing substantially, which is why minhash turns it on.
     """
     from coldata_spark.tables import fan_out
 
@@ -85,10 +84,7 @@ def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, n_hashes: int = N_HASHES
 ) -> DataFrame:
     """(doc_id, seed, minhash): for each of ``n_hashes`` seeded hash
-    functions, the minimum md5 over the document's shingles.
-
-    Seeding = prefixing the seed to the shingle before hashing — a standard
-    trick that keeps the hash family reproducible in any engine with md5.
+    functions, the minimum hash value over the document's shingle set.
     """
     # Shingles are DISTINCT-per-doc here: min-hash is set-insensitive, and
     # on natural-language text the per-doc array_distinct cuts the number
