@@ -71,6 +71,55 @@ def write_ivf(assigned: DataFrame, path: str) -> None:
     )
 
 
+def assign_to_centroids(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    metric: str = "COSINE",
+) -> DataFrame:
+    """Assign each vector to its nearest FIXED centroid — pure DataFrame
+    op (broadcast centroid table + per-vector arg-best), no MLlib refit."""
+    from pyspark.sql import Window as W
+
+    desc = V.METRIC_DESCENDING[metric.upper()]
+    cents = centroids.select(
+        F.col("centroid_id").alias("_cid"), F.col("cvec").alias("_cvec")
+    )
+    score = V.score_expr(metric, V.as_double(F.col(vec_col)), F.col("_cvec"))
+    w = W.partitionBy(F.col("_row")).orderBy(
+        score.desc() if desc else score.asc(), F.col("_cid")
+    )
+    withrow = vectors.withColumn("_row", F.monotonically_increasing_id())
+    return (
+        withrow.join(F.broadcast(cents))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .withColumnRenamed("_cid", "centroid_id")
+        .drop("_cvec", "_rn", "_row")
+    )
+
+
+def append_to_index(
+    new_vectors: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    metric: str = "COSINE",
+) -> None:
+    """Incremental index growth: assign new vectors to the EXISTING
+    centroids and append into their partitions.  The reference can only
+    drop-and-rebuild (renew, vdb.py:199-201); partition-append makes
+    ingest incremental — cells drift only if the data distribution does,
+    at which point build_ivf refits (the standard IVF maintenance trade)."""
+    assigned = assign_to_centroids(new_vectors, centroids, vec_col, metric)
+    (
+        assigned.repartition("centroid_id")
+        .write.mode("append")
+        .partitionBy("centroid_id")
+        .parquet(path)
+    )
+
+
 def search_ivf(
     spark: SparkSession,
     index_path: str,

@@ -138,6 +138,31 @@ def test_stream_source_throttling(spark, sf_dir, tmp_path):
     assert sum(batches) == spark.read.parquet(str(d)).count()
 
 
+def test_ivf_incremental_append(spark, sf_dir, tmp_path):
+    """Index built on half the corpus, grown by append: searches must find
+    appended vectors, and assignments must agree with the KMeans model's."""
+    emb = load(spark, sf_dir, "embeddings")
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    second = emb.filter(F.col("vec_id") % 2 == 1)
+    assigned, centroids = ivf.build_ivf(first, nlist=4)
+    path = str(tmp_path / "inc_index")
+    ivf.write_ivf(assigned, path)
+    n1 = spark.read.parquet(path).count()
+
+    ivf.append_to_index(second, centroids, path)
+    total = spark.read.parquet(path)
+    assert total.count() == n1 + second.count()
+
+    # a query equal to an APPENDED vector must surface it at rank 1
+    target = second.orderBy("vec_id").first()
+    qs = spark.createDataFrame(
+        [(0, target.embedding)], ["q_id", "q_vec"]
+    )
+    hits = ivf.search_ivf(spark, path, qs, centroids, k=1, nprobe=4).collect()
+    assert hits and hits[0].vec_id == target.vec_id
+    assert hits[0].score == 1.0
+
+
 def test_upsert_merge_idempotent(spark, sf_dir):
     """R2 (crawler.py:40-50): re-running the same batch inserts 0."""
     docs = load(spark, sf_dir, "documents").select(
