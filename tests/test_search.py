@@ -32,6 +32,60 @@ def test_build_and_search(spark, sf_dir, tmp_path):
         assert scores == sorted(scores, reverse=True)
 
 
+def test_streaming_ingest_feeds_index(spark, sf_dir, tmp_path):
+    """The full refresh loop (scheduler.py:21-33 re-crawl -> vdb.update
+    rebuild) as INCREMENTAL streaming: new document files arrive -> embed ->
+    append to the existing IVF index via foreachBatch; appended docs are
+    immediately searchable."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from coldata_spark import embed as E
+    from coldata_spark.operators import ivf
+
+    docs = load(spark, sf_dir, "documents")
+    half = docs.filter(F.col("doc_id") < 250)
+    rest = docs.filter(F.col("doc_id") >= 250)
+
+    # initial index over half the corpus (doc-level vectors for simplicity)
+    emb_half = E.embed_documents(half).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    assigned, centroids = ivf.build_ivf(emb_half, nlist=4)
+    path = str(tmp_path / "stream_index")
+    ivf.write_ivf(assigned, path)
+
+    # the other half arrives as a stream of parquet files
+    in_dir = tmp_path / "incoming"
+    in_dir.mkdir()
+    rest.write.parquet(str(in_dir / "batch0"))
+    stream = (
+        spark.readStream.schema(rest.schema).parquet(str(in_dir) + "/*")
+    )
+
+    def absorb(batch_df, batch_id):
+        vecs = E.embed_documents(batch_df).select(
+            F.col("doc_id").alias("vec_id"), "embedding"
+        )
+        ivf.append_to_index(vecs, centroids, path)
+
+    q = (
+        stream.writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ingest"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert spark.read.parquet(path).count() == docs.count()
+    # a late-arriving document is searchable
+    target = rest.orderBy("doc_id").first()
+    qdf = E.embed_queries(spark, [target.text]).select("q_id", "q_vec")
+    hits = ivf.search_ivf(spark, path, qdf, centroids, k=1, nprobe=4).collect()
+    assert hits and hits[0].vec_id == target.doc_id
+
+
 def test_search_pruned_probe_still_finds_self(spark, sf_dir, tmp_path):
     docs = load(spark, sf_dir, "documents")
     idx = S.build_index(docs, str(tmp_path / "search_idx2"), nlist=8)
