@@ -56,6 +56,34 @@ def write_run_partition(
     )
 
 
+def merge_upsert(
+    existing: DataFrame, updates: DataFrame, pk: str = "index"
+) -> DataFrame:
+    """Full MERGE: WHEN MATCHED UPDATE (all non-pk columns) / WHEN NOT
+    MATCHED INSERT — the Delta-MERGE generalization of the reference's
+    insert-only path (crawler.py:39-50 never updates an existing doc).
+
+    One full-outer join on the pk + per-column coalesce(update, existing) —
+    a single shuffle; updates are deduped on pk first (last-writer ambiguity
+    removed by keeping one deterministic row per pk).  Both inputs must
+    share the same schema.
+    """
+    if set(existing.columns) != set(updates.columns):
+        raise ValueError(
+            f"schema mismatch: existing={sorted(existing.columns)} "
+            f"updates={sorted(updates.columns)}"
+        )
+    upd = updates.dropDuplicates([pk])
+    e = existing.alias("e")
+    u = upd.alias("u")
+    merged = e.join(u, F.col(f"e.{pk}") == F.col(f"u.{pk}"), "full_outer")
+    cols = [
+        F.coalesce(F.col(f"u.{c}"), F.col(f"e.{c}")).alias(c)
+        for c in existing.columns
+    ]
+    return merged.select(*cols)
+
+
 def upsert_stats(batch: DataFrame, existing: DataFrame, pk: str = "index") -> DataFrame:
     """Counters the reference tracks per upload loop (A5, uci.py:87-93):
     how many batch rows were inserted vs skipped."""

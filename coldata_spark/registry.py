@@ -68,6 +68,7 @@ def _ensure_loaded() -> None:
     from coldata_spark.queries import multimodal_queries  # noqa: F401
     from coldata_spark.queries import relational  # noqa: F401
     from coldata_spark.queries import text_queries  # noqa: F401
+    from coldata_spark.queries import tpch_extra  # noqa: F401
     from coldata_spark.queries import vector_queries  # noqa: F401
 
     _loaded = True
