@@ -20,7 +20,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from coldata_spark import registry
-from coldata_spark.session import get_spark
+from coldata_spark.session import dir_bytes, get_spark, tune_for_input
 
 # Headline set: one per engine layer — agg scan, multi-join, window,
 # chunking flatMap, minhash dedup, kNN similarity join, sessionization,
@@ -47,6 +47,9 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark(app_name="coldata_spark_bench")
+    # size shuffle/AQE knobs to the measured input (static small plans for
+    # sub-GB fixtures; AQE + proportional partitions at cluster scale)
+    tune_for_input(spark, dir_bytes(sf_dir))
     specs = registry.specs()
 
     warmup_dir = "/root/testdata/sf0.001"

@@ -53,3 +53,49 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+# Below this input size, AQE's per-query replanning rounds (each shuffle
+# stage materializes, re-optimizes, reschedules — ~100ms+ per round) cannot
+# pay for themselves: a static small plan is strictly faster.  Above it,
+# runtime re-planning (skew splits, coalescing, join demotion) is what makes
+# the 100 TB case work.  2 GiB ≈ where a single shuffle stage's useful work
+# starts to dominate its scheduling latency at local[32].
+SMALL_INPUT_BYTES = 2 << 30
+TARGET_SHUFFLE_BYTES = 128 << 20  # aim ~128 MiB per reduce partition
+
+
+def dir_bytes(path: str) -> int:
+    """Total bytes under a fixture dir (driver-side os.walk — cheap, local)."""
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def tune_for_input(spark: SparkSession, input_bytes: int) -> None:
+    """Size the shuffle/AQE knobs to the data, per the scale design rule
+    'size spark.sql.shuffle.partitions so partitions fit in executor memory
+    at the target SF':
+
+      * tiny inputs  -> AQE OFF, reduce partitions ~ cores/2 (static plan,
+        no replanning latency, tasks big enough to amortize scheduling);
+      * large inputs -> AQE ON, initial reduce partitions ~ bytes/128MiB
+        clamped to [cores, 2000] (AQE coalesces down from there at runtime).
+
+    Shuffled data is usually smaller than the scan (filters/projections run
+    first), so bytes/128MiB is an upper bound AQE can shrink — never a
+    too-few-partitions OOM.
+    """
+    cpus = spark.sparkContext.defaultParallelism
+    if input_bytes < SMALL_INPUT_BYTES:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", str(max(8, cpus // 2)))
+    else:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        parts = min(2000, max(cpus, input_bytes // TARGET_SHUFFLE_BYTES))
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))

@@ -32,12 +32,26 @@ BROADCAST_SAFE = {"region", "nation", "supplier", "part"}
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
+# Catalog cache: (session-id, sf_dir, table) -> resolved DataFrame.  Listing
+# files + reading parquet footers for schema on EVERY load() call costs
+# ~100ms per table per query in plan-build time alone; a real engine resolves
+# a table once in its catalog.  DataFrames are immutable plans, so reuse is
+# safe; the fixture dirs are read-only so schemas never go stale.
+_CATALOG: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    if name == "events":
-        return _load_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    key = (id(spark), sf_dir, name)
+    df = _CATALOG.get(key)
+    if df is None:
+        if name == "events":
+            df = _load_events(spark, sf_dir)
+        else:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        _CATALOG[key] = df
+    return df
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
