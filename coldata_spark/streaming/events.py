@@ -170,3 +170,50 @@ def run_available_now(stream_df: DataFrame, checkpoint: str, out_table: str):
     )
     q.awaitTermination()
     return q
+
+
+def stream_merge_into(
+    stream_df: DataFrame, table_path: str, checkpoint: str, pk: str = "index"
+):
+    """CDC-style streaming MERGE: each micro-batch of updates is merged into
+    the parquet table with full upsert semantics (WHEN MATCHED UPDATE /
+    WHEN NOT MATCHED INSERT via operators.upsert.merge_upsert) inside
+    foreachBatch — the streaming twin of q73.
+
+    Plain parquet has no transaction log, so the merged result is staged to
+    a sibling directory and swapped in with two renames (atomic on a real
+    filesystem; on object stores or with concurrent readers use Delta MERGE,
+    which is this exact plan plus a txn commit).  Checkpoint + availableNow
+    gives exactly-once across restarts: a replayed batch re-merges the same
+    updates, and merge is idempotent.
+
+    Returns the finished StreamingQuery.
+    """
+    import os
+    import shutil
+
+    from coldata_spark.operators.upsert import merge_upsert
+
+    def do_merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if os.path.isdir(table_path):
+            existing = spark.read.parquet(table_path)
+            merged = merge_upsert(existing, batch_df, pk=pk)
+        else:
+            merged = batch_df.dropDuplicates([pk])
+        stage = f"{table_path}.stage-{batch_id}"
+        merged.write.mode("overwrite").parquet(stage)
+        old = f"{table_path}.old-{batch_id}"
+        if os.path.isdir(table_path):
+            os.rename(table_path, old)
+        os.rename(stage, table_path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    q = (
+        stream_df.writeStream.foreachBatch(do_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

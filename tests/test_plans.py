@@ -115,3 +115,46 @@ def test_no_cartesian_in_oracle_queries(spark, sf_dir):
             continue
         plan = plan_of(spec.fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, name
+
+
+def test_scalar_subquery_broadcasts_not_recomputes(spark, sf_dir):
+    """q69/q71: the 1-row threshold aggregate must reach the filter as a
+    broadcast nested-loop join — never a per-row recompute or a shuffled
+    join."""
+    for name in ("q69_sales_opportunity", "q71_top_supplier"):
+        plan = plan_of(registry.specs()[name].fn(spark, sf_dir))
+        # Catalyst may even turn crossJoin+equality-filter into an
+        # equi-broadcast join (q71) — any broadcast form is acceptable
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_not_exists_is_anti_join_q69(spark, sf_dir):
+    plan = plan_of(registry.specs()["q69_sales_opportunity"].fn(spark, sf_dir))
+    assert "LeftAnti" in plan
+
+
+def test_disjunctive_part_filter_pushed_below_join(spark, sf_dir):
+    """q70: the brand disjunction must shrink the part build side BEFORE the
+    join (In(p_brand, ...) pushed to the part scan), and the join must
+    broadcast."""
+    plan = plan_of(registry.specs()["q70_disjunctive_revenue"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    scan_sections = plan.split("PushedFilters")
+    assert any("p_brand" in s.splitlines()[0] for s in scan_sections[1:])
+
+
+def test_merge_upsert_single_shuffle_join(spark, sf_dir):
+    """q73: MERGE compiles to ONE full-outer join on the pk — no per-row
+    lookups, no extra exchanges beyond the join's own."""
+    plan = plan_of(registry.specs()["q73_merge_upsert"].fn(spark, sf_dir))
+    assert "FullOuter" in plan
+
+
+def test_window_analytics_single_window_exchange(spark, sf_dir):
+    """q72: all five window functions share one partitioning — the plan
+    must contain exactly one hashpartitioning exchange on o_custkey."""
+    plan = plan_of(registry.specs()["q72_order_timeline_analytics"].fn(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    n_exchanges = tree.count("Exchange")
+    assert n_exchanges == 1, f"expected 1 exchange, plan tree has {n_exchanges}"

@@ -191,3 +191,30 @@ def test_available_now_incremental(spark, sf_dir, tmp_path):
     shutil.copy(f"{sf_dir}/events.parquet", d / "b.parquet")
     n2 = run_once()
     assert n2 == 2 * n1
+
+
+def test_stream_merge_into_upserts(spark, tmp_path):
+    """CDC streaming merge: batch 2 must UPDATE an existing pk and INSERT a
+    new one (full merge semantics, not insert-only)."""
+    src = tmp_path / "merge_src"
+    src.mkdir()
+    table = str(tmp_path / "merge_table")
+    ckpt = str(tmp_path / "merge_ckpt")
+    schema = "pk bigint, val string"
+
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], schema
+    ).coalesce(1).write.parquet(str(src / "batch1"))
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src / "*"))
+    SE.stream_merge_into(stream, table, ckpt, pk="pk")
+    got = {r["pk"]: r["val"] for r in spark.read.parquet(table).collect()}
+    assert got == {1: "a", 2: "b"}
+
+    spark.createDataFrame(
+        [(2, "B2"), (3, "c")], schema
+    ).coalesce(1).write.parquet(str(src / "batch2"))
+    SE.stream_merge_into(stream, table, ckpt, pk="pk")
+    got = {r["pk"]: r["val"] for r in spark.read.parquet(table).collect()}
+    assert got == {1: "a", 2: "B2", 3: "c"}
