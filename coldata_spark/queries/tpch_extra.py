@@ -594,3 +594,103 @@ def q76_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         """
     )
+
+
+# --------------------------------------------------------------------------
+# q77 — TPC-H Q5-shaped: local supplier volume (customer+supplier co-nation)
+# --------------------------------------------------------------------------
+@register(
+    "q77_local_supplier_volume",
+    survey="J1,A5,P3",
+    sql="""
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    JOIN region   ON r_regionkey = n_regionkey
+    WHERE r_name = 'EUROPE'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q77_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped: revenue from LOCAL supply chains (supplier nation ==
+    customer nation) within one region.  The co-nation predicate rides the
+    supplier join as a second equi-condition — no post-join filter pass.
+    Region/nation/supplier broadcast; the orders date filter prunes before
+    the fact join.
+    """
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nat = load(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q78 — TPC-H Q17-shaped: correlated AVG subquery (small-quantity orders)
+# --------------------------------------------------------------------------
+@register(
+    "q78_small_quantity_revenue",
+    survey="J1,A5",
+    sql="""
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#11'
+      AND l_quantity < (
+          SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+)
+def q78_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped: lines whose quantity is below 20% of their part's
+    average — a correlated AVG subquery decorrelated into aggregate-then-
+    join (one shuffle on l_partkey to build per-part averages, broadcast
+    back against the brand-filtered probe).
+
+    The 0.2*avg threshold comparison is fp-identical across engines: same
+    doubles, same multiply, strict <.  Quantities are integers-valued, far
+    from any threshold representation boundary.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11")
+    per_part_avg = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("_threshold")
+    )
+    return (
+        li.join(F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(per_part_avg, F.col("l_partkey") == F.col("_pk"))
+        .filter(F.col("l_quantity") < F.col("_threshold"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )

@@ -59,3 +59,23 @@ def backup(df: DataFrame, path: str) -> None:
 def restore(spark: SparkSession, path: str) -> DataFrame:
     """S13 (mongo_backup_restore.sh:45-60): restore = a parquet read."""
     return spark.read.parquet(path)
+
+
+def read_binary_files(
+    spark: SparkSession, dir_path: str, glob: str | None = None
+) -> DataFrame:
+    """Media ingestion source: each file becomes one row
+    (path, modificationTime, length, content binary) via Spark's binaryFile
+    reader — the on-ramp from a raw object-store prefix of images/audio into
+    the multimodal column model (operators/multimodal.py).
+
+    Scale notes: listing parallelizes across the driver's listing threads;
+    files are NOT splittable (one file = one row), so very large media
+    archives should be sharded into many files upstream.  Column pruning
+    applies — selecting only `path`/`length` skips reading content bytes,
+    and `pathGlobFilter` prunes at listing time, before any read.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(dir_path)
