@@ -241,3 +241,64 @@ def q43_events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type").alias("last_type"),
         )
     )
+
+
+@register(
+    "q80_events_range_join",
+    survey="ext-asof,J5,R6",
+    sql="""
+    SELECT a.user_id,
+           a.event_id AS event_a, b.event_id AS event_b,
+           date_diff('second', a.ts, b.ts) AS gap_s
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND date_diff('second', a.ts, b.ts) BETWEEN 1 AND 300
+    """,
+)
+def q80_events_range_join(spark, sf_dir):
+    """Bounded range join: pairs of same-user events within 300 s — the
+    banded-join pattern for interval/range joins at scale.
+
+    A naive theta-join (ts inequality only) is a per-user cross product;
+    instead each left row is exploded to its TWO candidate 300 s time
+    buckets, the join runs as an EQUI-join on (user_id, bucket) — hash
+    shuffle, no nested loop — and the exact inequality filters the small
+    candidate set.  Shuffle volume is 2x the input, and per-bucket
+    cardinality bounds the quadratic term the same way LSH banding bounds
+    near-dup candidate generation.
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    bucket = (F.unix_timestamp("ts") / F.lit(300)).cast("long")
+    a = (
+        ev.withColumn("_jb", F.explode(F.array(bucket, bucket + 1)))
+        .select(
+            F.col("user_id").alias("a_user"),
+            F.col("event_id").alias("event_a"),
+            F.col("ts").alias("a_ts"),
+            "_jb",
+        )
+    )
+    b = ev.select(
+        F.col("user_id").alias("b_user"),
+        F.col("event_id").alias("event_b"),
+        F.col("ts").alias("b_ts"),
+        bucket.alias("_bb"),
+    )
+    return (
+        a.join(b, (F.col("a_user") == F.col("b_user")) & (F.col("_jb") == F.col("_bb")))
+        # truncated-second semantics on BOTH engines (DuckDB date_diff
+        # counts second-boundary crossings == unix_timestamp subtraction);
+        # an exact-microsecond comparison here would disagree with the
+        # oracle on pairs whose gap straddles the 300.0 s boundary
+        .filter(
+            (F.unix_timestamp("b_ts") - F.unix_timestamp("a_ts") >= 1)
+            & (F.unix_timestamp("b_ts") - F.unix_timestamp("a_ts") <= 300)
+        )
+        .select(
+            F.col("a_user").alias("user_id"),
+            "event_a",
+            "event_b",
+            (F.unix_timestamp("b_ts") - F.unix_timestamp("a_ts")).alias("gap_s"),
+        )
+    )

@@ -550,3 +550,37 @@ def q26_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature agreement.  Banding turns O(n^2) into groupBy(band_key) +
     within-bucket join — the scale path for 100 TB dedup."""
     return DD.minhash_neardup_pairs(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "q79_bpe_token_estimate",
+    survey="ext-langid,T1",
+    sql="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'))
+               AS bpe_tokens,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+               AS ws_tokens,
+           n_chars
+    FROM documents
+    """,
+)
+def q79_bpe_token_estimate(spark, sf_dir):
+    """BPE-ish token counting: a GPT-2-style pre-tokenizer approximation
+    (letter runs | digit runs | punctuation runs) vs plain whitespace
+    tokens.  Pure JVM regex per row — no UDF, no shuffle; at 100 TB this is
+    a map-only pass whose cost is the scan itself.  Token counts drive
+    quality filtering and cost estimation in training-data pipelines.
+    """
+    docs = load(spark, sf_dir, "documents")
+    bpe = F.size(F.expr(r"regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+', 0)"))
+    ws = F.when(F.length(F.trim("text")) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    )
+    return docs.select(
+        "doc_id",
+        bpe.cast("long").alias("bpe_tokens"),
+        ws.cast("long").alias("ws_tokens"),
+        "n_chars",
+    )
