@@ -40,6 +40,13 @@ HEADLINE = [
     "q42_events_sessionize",
     "q44_asof_last_click_before_purchase",
     "q49_order_count_distribution",
+    # round-1 widening: correlated subquery, MERGE, banded range join,
+    # hierarchical time rollup, stratified sampling
+    "q66_min_cost_supply",
+    "q73_merge_upsert",
+    "q80_events_range_join",
+    "q82_stratified_cap",
+    "q83_hypertable_rollup",
 ]
 
 

@@ -302,3 +302,51 @@ def q80_events_range_join(spark, sf_dir):
             (F.unix_timestamp("b_ts") - F.unix_timestamp("a_ts")).alias("gap_s"),
         )
     )
+
+
+@register(
+    "q83_hypertable_rollup",
+    survey="A5,R6",
+    sql="""
+    SELECT coalesce(day_e, -1)  AS day_epoch,
+           coalesce(hour_e, -1) AS hour_epoch,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM (
+        SELECT CAST(epoch_us(date_trunc('day', ts))  // 1000000 AS BIGINT) AS day_e,
+               CAST(epoch_us(date_trunc('hour', ts)) // 1000000 AS BIGINT) AS hour_e,
+               value
+        FROM events
+    )
+    GROUP BY ROLLUP (day_e, hour_e)
+    """,
+)
+def q83_hypertable_rollup(spark, sf_dir):
+    """Hypertable-style hierarchical time rollup: hour-grain, day-grain and
+    grand-total aggregates of the event stream in ONE pass (ROLLUP =
+    Expand(3 replicas) + single shuffle) — the batch form of a continuous
+    aggregate / materialized rollup over a time-partitioned table.
+
+    At scale the same plan materializes incrementally: a watermarked
+    streaming agg maintains the hour grain and the coarser grains roll up
+    from it (each level aggregates its child, never the raw stream).  Time
+    keys are epoch bigints (null rollup levels -> -1): engines disagree on
+    timestamp/timezone rendering but never on integers.
+    """
+    ev = load(spark, sf_dir, "events")
+    day_e = F.unix_timestamp(F.date_trunc("DAY", F.col("ts"))).alias("day_e")
+    hour_e = F.unix_timestamp(F.date_trunc("HOUR", F.col("ts"))).alias("hour_e")
+    return (
+        ev.select(day_e, hour_e, "value")
+        .rollup("day_e", "hour_e")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.coalesce(F.col("day_e"), F.lit(-1)).alias("day_epoch"),
+            F.coalesce(F.col("hour_e"), F.lit(-1)).alias("hour_epoch"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -9,6 +9,7 @@ and scores are bit-reproducible across engines.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from coldata_spark.functions import text as TX
@@ -583,4 +584,84 @@ def q79_bpe_token_estimate(spark, sf_dir):
         bpe.cast("long").alias("bpe_tokens"),
         ws.cast("long").alias("ws_tokens"),
         "n_chars",
+    )
+
+
+@register(
+    "q81_train_test_split",
+    survey="A5,ext-fingerprint",
+    sql="""
+    SELECT split, count(*) AS n_docs, sum(n_chars) AS total_chars
+    FROM (
+        SELECT CASE WHEN ('0x' || substring(md5(cast(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                         % 100 < 90
+                    THEN 'train' ELSE 'test' END AS split,
+               n_chars
+        FROM documents
+    )
+    GROUP BY split
+    """,
+)
+def q81_train_test_split(spark, sf_dir):
+    """Deterministic 90/10 train/test split by content-independent key hash
+    (md5 of the doc id) — the reproducible-split primitive every training
+    pipeline needs: stable across runs, engines, and partitionings, unlike
+    sample()/rand() which depend on partition layout.
+
+    Map-only expression work + one tiny 2-group aggregation; at 100 TB the
+    split column is computed inline during the scan and never shuffled.
+    """
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 100"
+    )
+    split = F.when(bucket < 90, "train").otherwise("test")
+    return (
+        docs.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "q82_stratified_cap",
+    survey="W1,A5",
+    sql="""
+    SELECT source, count(*) AS n_kept, sum(n_chars) AS kept_chars
+    FROM (
+        SELECT source, n_chars,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY ('0x' || substring(md5(cast(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+                            doc_id
+               ) AS rn
+        FROM documents
+    )
+    WHERE rn <= 50
+    GROUP BY source
+    """,
+)
+def q82_stratified_cap(spark, sf_dir):
+    """Stratified downsampling: cap each source at 50 documents, chosen by
+    deterministic hash order (a seeded uniform draw that is reproducible
+    across engines and partitionings).  Domain-balancing a web corpus —
+    capping over-represented sources — is exactly this plan at 100 TB: one
+    shuffle on the stratum key, per-partition local sort, no global sort.
+    """
+    docs = load(spark, sf_dir, "documents")
+    h = F.expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)"
+    )
+    w = W.partitionBy("source").orderBy(h, F.col("doc_id"))
+    return (
+        docs.select("source", "n_chars", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 50)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_chars").cast("long").alias("kept_chars"),
+        )
     )
