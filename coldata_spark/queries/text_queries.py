@@ -665,3 +665,61 @@ def q82_stratified_cap(spark, sf_dir):
             F.sum("n_chars").cast("long").alias("kept_chars"),
         )
     )
+
+
+@register(
+    "q84_tfidf_top_terms",
+    survey="W1,A5,T1",
+    sql="""
+    WITH tokens AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tokens GROUP BY doc_id, term),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+    SELECT doc_id, term, tf, df, rnk
+    FROM (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               CAST(row_number() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY tf.tf DESC, df.df ASC, tf.term) AS BIGINT) AS rnk
+        FROM tf JOIN df USING (term)
+    )
+    WHERE rnk <= 3
+    """,
+)
+def q84_tfidf_top_terms(spark, sf_dir):
+    """TF-IDF-style salient terms: top-3 terms per document ranked by
+    (tf DESC, df ASC) — for a fixed corpus, ln(N/df) is strictly monotone
+    in -df, so this integer ranking IS the tf-idf order without computing
+    a logarithm (whose last-ulp differs between libm implementations,
+    breaking cross-engine ties nondeterministically).
+
+    Plan: explode -> per-doc tf agg (shuffle on doc+term), df agg from tf
+    (shuffle on term), term-keyed join back, per-doc window top-k.  At
+    100 TB the df side is the corpus vocabulary — heavy-tailed, so AQE
+    skew-join (or frequency-capped broadcast of the head) handles the
+    'the'/'and' hot keys.
+    """
+    docs = load(spark, sf_dir, "documents")
+    from coldata_spark.tables import fan_out
+
+    tokens = fan_out(docs).select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("term"),
+    )
+    tf = tokens.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    w = W.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term")
+    )
+    return (
+        tf.join(df, "term")
+        .select(
+            "doc_id", "term", "tf", "df",
+            F.row_number().over(w).cast("long").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )

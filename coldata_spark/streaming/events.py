@@ -217,3 +217,47 @@ def stream_merge_into(
     )
     q.awaitTermination()
     return q
+
+
+def clicks_joined_to_purchases(
+    events: DataFrame, max_gap: str = "5 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the same user's
+    clicks in the preceding ``max_gap`` — attribution as a streaming
+    computation (the streaming twin of the q80 banded range join / q44
+    as-of pattern).
+
+    Both sides carry watermarks and the join condition bounds click_ts in
+    [purchase_ts - max_gap, purchase_ts), so Spark can expire join state:
+    without BOTH the watermark and the time bound, stream-stream join state
+    grows forever — the 100 TB trap this operator exists to avoid.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            f"""
+            p_user = c_user
+            AND click_ts < purchase_ts
+            AND click_ts >= purchase_ts - INTERVAL {max_gap}
+            """
+        ),
+        "inner",
+    )

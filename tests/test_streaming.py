@@ -218,3 +218,46 @@ def test_stream_merge_into_upserts(spark, tmp_path):
     SE.stream_merge_into(stream, table, ckpt, pk="pk")
     got = {r["pk"]: r["val"] for r in spark.read.parquet(table).collect()}
     assert got == {1: "a", 2: "B2", 3: "c"}
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir, events_dir, tmp_path):
+    """Stream-stream interval join (purchase <- preceding clicks within 5 min)
+    must produce exactly the batch join's pairs."""
+    stream_ev = SE.read_events_stream(spark, events_dir)
+    joined = SE.clicks_joined_to_purchases(stream_ev)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssjoin_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ssjoin_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.table("ssjoin_t").collect()
+    }
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    want = {
+        (r["purchase_id"], r["click_id"])
+        for r in purchases.join(
+            clicks,
+            F.expr(
+                "p_user = c_user AND click_ts < purchase_ts "
+                "AND click_ts >= purchase_ts - INTERVAL 5 minutes"
+            ),
+        ).collect()
+    }
+    assert got == want and len(want) > 0
