@@ -378,3 +378,24 @@ def q33_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dot").alias("centroid_score"),
         )
     )
+
+
+@register("q85_pq_candidates", survey="V3,V4,ext-ivf", sql=None)
+def q85_pq_candidates(spark, sf_dir):
+    """Product-quantization candidate generation (IVF-PQ's compression
+    half): train a (m=8, k=16) codebook on a sample, encode the corpus to
+    8-byte codes (32x compression of 64-dim f32), ADC-scan for the first
+    vector's 50 nearest candidates.  Rows-only: k-means codebooks are not
+    SQL-expressible; recall vs the exact path is asserted in
+    tests/test_search.py::test_pq_encode_compresses_and_recalls.
+    """
+    import numpy as np
+
+    from coldata_spark.operators import ivf
+    from coldata_spark.tables import load as _load
+
+    emb = _load(spark, sf_dir, "embeddings").withColumnRenamed("vec_id", "item_id")
+    codebook = ivf.pq_train(emb, m=8, k=16, sample_limit=500)
+    codes = ivf.pq_encode(emb, codebook)
+    q = np.array(emb.select("embedding").first()[0], dtype=np.float64)
+    return ivf.pq_search(codes, q, codebook, top_k=50)

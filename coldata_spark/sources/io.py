@@ -79,3 +79,58 @@ def read_binary_files(
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     return reader.load(dir_path)
+
+
+def compact(
+    spark: SparkSession,
+    table_path: str,
+    target_file_bytes: int = 128 << 20,
+    sort_by: list[str] | None = None,
+) -> int:
+    """Small-files compaction: rewrite a parquet table into
+    ceil(bytes / target_file_bytes) files, optionally sort-clustered by
+    ``sort_by`` so min/max row-group stats become selective (poor-man's
+    clustering; Delta OPTIMIZE / Z-ORDER is this plus a txn log).
+
+    Small files are the quiet killer at 100 TB: a 1e6-file table costs
+    minutes of listing per query and starves scan parallelism of useful
+    work per task.  Streaming sinks and per-run ingest partitions
+    (upsert.write_run_partition) both produce them; compaction is the
+    periodic repair.  Returns the new file count.
+
+    Staged rewrite + rename swap, same pattern as stream_merge_into: no
+    readers see a half-compacted table.
+    """
+    import math
+    import os
+    import shutil
+
+    size = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _d, fs in os.walk(table_path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(size / target_file_bytes))
+    df = spark.read.parquet(table_path)
+    if sort_by:
+        out = df.repartitionByRange(n_files, *sort_by).sortWithinPartitions(*sort_by)
+    else:
+        out = df.repartition(n_files)
+    stage = table_path.rstrip("/") + ".compact-stage"
+    out.write.mode("overwrite").parquet(stage)
+    old = table_path.rstrip("/") + ".compact-old"
+    os.rename(table_path, old)
+    os.rename(stage, table_path)
+    shutil.rmtree(old, ignore_errors=True)
+    return len(
+        [f for f in os.listdir(table_path) if f.endswith(".parquet")]
+    )
+
+
+def read_parquet_merged_schema(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution read: union the schemas of all files under ``path``
+    (mergeSchema) so older files missing newer columns surface them as
+    nulls — the reference's schemaless document store (mongodb.py:29-41
+    infers per-key type sets) mapped onto parquet's additive evolution."""
+    return spark.read.option("mergeSchema", "true").parquet(path)

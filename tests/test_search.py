@@ -94,3 +94,36 @@ def test_search_pruned_probe_still_finds_self(spark, sf_dir, tmp_path):
     # the probed cell containing the query's own chunk must surface a
     # perfect-score hit (the chunk's own cell is always the best-scoring one)
     assert res and res[0].score > 0.99
+
+
+def test_pq_encode_compresses_and_recalls(spark, sf_dir):
+    """PQ: codes are m small ints; ADC candidate list at 5x over-fetch must
+    recover most of the exact L2 top-10 (the IVF-PQ re-rank contract)."""
+    import numpy as np
+
+    from coldata_spark.operators import ivf
+    from coldata_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings").withColumnRenamed("vec_id", "item_id")
+    codebook = ivf.pq_train(emb, m=8, k=16, sample_limit=500)
+    assert codebook.shape == (8, 16, 8)
+
+    codes = ivf.pq_encode(emb, codebook)
+    row = codes.first()
+    assert len(row["pq_codes"]) == 8
+    assert all(0 <= c < 16 for c in row["pq_codes"])
+
+    q = np.array(emb.select("embedding").first()[0], dtype=np.float64)
+    cands = {
+        r["item_id"]
+        for r in ivf.pq_search(codes, q, codebook, top_k=50).collect()
+    }
+    # exact L2 top-10, numpy-side (500 rows at sf0.001)
+    import pandas as pd
+
+    pdf = emb.select("item_id", "embedding").toPandas()
+    x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    d2 = ((x - q[None, :]) ** 2).sum(axis=1)
+    exact10 = set(pdf["item_id"].to_numpy()[np.argsort(d2, kind="stable")[:10]])
+    hit = len(cands & exact10)
+    assert hit >= 6, f"PQ candidates recovered only {hit}/10 exact neighbors"

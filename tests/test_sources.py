@@ -70,3 +70,38 @@ def test_backup_restore(spark, sf_dir, tmp_path):
     a = back.agg(F.sum("vec_id")).collect()[0][0]
     b = emb.agg(F.sum("vec_id")).collect()[0][0]
     assert a == b
+
+
+def test_compact_small_files(spark, sf_dir, tmp_path):
+    from coldata_spark.sources.io import compact
+
+    t = str(tmp_path / "frag_table")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    li.repartition(40).write.parquet(t)  # fragment: 40 tiny files
+    import os
+
+    assert len([f for f in os.listdir(t) if f.endswith(".parquet")]) == 40
+    before = spark.read.parquet(t)
+    n_rows, checksum = before.count(), before.agg(F.sum("l_quantity")).collect()[0][0]
+
+    n_files = compact(spark, t, target_file_bytes=1 << 20, sort_by=["l_orderkey"])
+    assert n_files < 40
+    after = spark.read.parquet(t)
+    assert after.count() == n_rows
+    assert after.agg(F.sum("l_quantity")).collect()[0][0] == checksum
+
+
+def test_merge_schema_read(spark, tmp_path):
+    from coldata_spark.sources.io import read_parquet_merged_schema
+
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id bigint, name string").write.parquet(
+        p + "/batch=1"
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id bigint, name string, score double"
+    ).write.parquet(p + "/batch=2")
+    df = read_parquet_merged_schema(spark, p)
+    assert set(df.columns) >= {"id", "name", "score"}
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 9.5
