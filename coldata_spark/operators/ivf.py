@@ -298,3 +298,149 @@ def pq_search(
 
     scored = codes.mapInPandas(run, schema=f"{id_col} long, approx_l2sq double")
     return scored.orderBy(F.col("approx_l2sq").asc(), F.col(id_col)).limit(top_k)
+
+
+def build_ivf_pq(
+    vectors: DataFrame,
+    nlist: int = 16,
+    m: int = 8,
+    k_codes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """IVF-PQ index build: coarse KMeans cells (IVF half) + per-subspace
+    product codes (PQ half).  Returns (index, centroids, codebook) where
+    index = (id, embedding, centroid_id, pq_codes).
+
+    This is the production trillion-vector layout: partition pruning cuts
+    WHICH rows are scanned (nprobe/nlist), PQ cuts the BYTES per scanned
+    row (D*4 -> m).  The full-precision vector column stays in the parquet
+    (for re-ranking) but the ADC scan never reads it — column pruning
+    keeps it on disk.
+    """
+    assigned, centroids = build_ivf(vectors, nlist=nlist, vec_col=vec_col)
+    codebook = pq_train(vectors, m=m, k=k_codes, vec_col=vec_col)
+    codes = pq_encode(vectors, codebook, vec_col=vec_col, id_col=id_col)
+    return assigned.join(codes, id_col), centroids, codebook
+
+
+def search_ivf_pq(
+    index: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebook,
+    k: int = 4,
+    nprobe: int = 4,
+    overfetch: int = 4,
+    metric: str = "COSINE",
+) -> DataFrame:
+    """Full production ANN path: IVF cell pruning -> PQ ADC candidate scan
+    -> full-precision re-rank of k*overfetch candidates.
+
+    1. probe: score queries against the centroid table, keep nprobe cells
+       per query (tiny join; prunes index partitions at the scan);
+    2. ADC scan: per-query m x k lookup tables (dot-product tables for
+       COSINE/IP, squared-distance for L2) broadcast to executors; each
+       candidate costs m lookups over its codes — the embedding column is
+       never read (column pruning);
+    3. top k*overfetch per query by approximate score (window);
+    4. re-rank: join ONLY those candidates back to full vectors, exact
+       score, top-k.  PQ error affects recall, never returned scores.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window as W
+
+    m, kc, sub = codebook.shape
+    desc = V.METRIC_DESCENDING[metric.upper()]
+
+    probe = knn_join(
+        queries,
+        centroids.select(
+            F.col("centroid_id").alias("vec_id"), F.col("cvec").alias("embedding")
+        ),
+        k=nprobe,
+        metric=metric,
+        score_decimals=None,
+    ).select("q_id", F.col("vec_id").alias("centroid_id"))
+    cells = [r.centroid_id for r in probe.select("centroid_id").distinct().collect()]
+
+    # per-query ADC lookup tables (queries are few — driver-side numpy)
+    luts: dict[int, np.ndarray] = {}
+    qnorms: dict[int, float] = {}
+    for r in queries.collect():
+        qv = np.asarray(r["q_vec"], dtype=np.float64)
+        lut = np.zeros((m, kc))
+        for j in range(m):
+            qs = qv[j * sub : (j + 1) * sub]
+            if metric.upper() == "L2":
+                lut[j] = ((codebook[j] - qs[None, :]) ** 2).sum(axis=1)
+            else:  # dot-product decomposition for IP/COSINE
+                lut[j] = codebook[j] @ qs
+        luts[r["q_id"]] = lut
+        qnorms[r["q_id"]] = float(np.linalg.norm(qv))
+    # reconstructed-vector norm table for COSINE: ||v̂||^2 = sum_j ||c_j||^2
+    norm_lut = (codebook**2).sum(axis=2)  # (m, kc)
+
+    spark = index.sparkSession
+    bc = spark.sparkContext.broadcast((luts, qnorms, norm_lut, metric.upper()))
+
+    pruned = index.filter(F.col("centroid_id").isin(cells)).join(
+        F.broadcast(probe), "centroid_id"
+    )
+
+    def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tables, qn, nlut, met = bc.value
+        js = np.arange(m)
+        for pdf in batches:
+            codes = np.stack(pdf["pq_codes"].to_numpy())
+            out = np.zeros(len(pdf))
+            for q_id in pdf["q_id"].unique():
+                mask = (pdf["q_id"] == q_id).to_numpy()
+                t = tables[q_id]
+                s = t[js[None, :], codes[mask]].sum(axis=1)
+                if met == "COSINE":
+                    vnorm = np.sqrt(nlut[js[None, :], codes[mask]].sum(axis=1))
+                    s = s / np.maximum(vnorm * qn[q_id], 1e-12)
+                out[mask] = s
+            yield pd.DataFrame(
+                {"q_id": pdf["q_id"], "vec_id": pdf["vec_id"], "approx": out}
+            )
+
+    scored = pruned.select("q_id", "vec_id", "pq_codes").mapInPandas(
+        adc, schema="q_id long, vec_id long, approx double"
+    )
+    order_a = [
+        F.col("approx").desc() if desc else F.col("approx").asc(),
+        F.col("vec_id").asc(),
+    ]
+    wa = W.partitionBy("q_id").orderBy(*order_a)
+    cands = (
+        scored.withColumn("_r", F.row_number().over(wa))
+        .filter(F.col("_r") <= k * overfetch)
+        .select("q_id", "vec_id")
+    )
+
+    rerank = (
+        cands.join(index.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(queries), "q_id")
+    )
+    exact = F.round(
+        V.score_expr(
+            metric, V.as_double(F.col("q_vec")), V.as_double(F.col("embedding"))
+        ),
+        6,
+    )
+    order_e = [
+        F.col("score").desc() if desc else F.col("score").asc(),
+        F.col("vec_id").asc(),
+    ]
+    we = W.partitionBy("q_id").orderBy(*order_e)
+    return (
+        rerank.select("q_id", "vec_id", exact.alias("score"))
+        .withColumn("rank", F.row_number().over(we))
+        .filter(F.col("rank") <= k)
+    )

@@ -399,3 +399,23 @@ def q85_pq_candidates(spark, sf_dir):
     codes = ivf.pq_encode(emb, codebook)
     q = np.array(emb.select("embedding").first()[0], dtype=np.float64)
     return ivf.pq_search(codes, q, codebook, top_k=50)
+
+
+@register("q86_ivf_pq_search", survey="V3,V4,ext-ivf", sql=None)
+def q86_ivf_pq_search(spark, sf_dir):
+    """Complete production ANN path: IVF cell pruning + PQ ADC candidate
+    scan + full-precision re-rank (operators.ivf.search_ivf_pq).  Rows-only;
+    recall vs the exact path asserted in tests/test_search.py::
+    test_ivf_pq_end_to_end_recall (>=0.75 at nprobe=nlist, overfetch=8).
+    """
+    from coldata_spark.operators import ivf
+    from coldata_spark.tables import load as _load
+
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.limit(5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    index, centroids, codebook = ivf.build_ivf_pq(emb, nlist=8, m=8, k_codes=16)
+    return ivf.search_ivf_pq(
+        index, queries, centroids, codebook, k=4, nprobe=4, overfetch=8
+    )

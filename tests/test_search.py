@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from coldata_spark import search as S
 from coldata_spark.tables import load
 
@@ -127,3 +129,36 @@ def test_pq_encode_compresses_and_recalls(spark, sf_dir):
     exact10 = set(pdf["item_id"].to_numpy()[np.argsort(d2, kind="stable")[:10]])
     hit = len(cands & exact10)
     assert hit >= 6, f"PQ candidates recovered only {hit}/10 exact neighbors"
+
+
+def test_ivf_pq_end_to_end_recall(spark, sf_dir):
+    """IVF-PQ with full probe + re-rank must recover most of the exact
+    top-4 (PQ error is confined to candidate selection; re-rank restores
+    exact scores)."""
+    from coldata_spark.operators import ivf
+    from coldata_spark.operators.similarity import knn_join
+    from coldata_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = (
+        emb.limit(5)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    )
+    index, centroids, codebook = ivf.build_ivf_pq(emb, nlist=8, m=8, k_codes=16)
+
+    got = ivf.search_ivf_pq(
+        index, queries, centroids, codebook, k=4, nprobe=8, overfetch=8,
+        metric="COSINE",
+    )
+    exact = knn_join(queries, emb, k=4, metric="COSINE")
+
+    got_pairs = {(r["q_id"], r["vec_id"]) for r in got.collect()}
+    exact_pairs = {(r["q_id"], r["vec_id"]) for r in exact.collect()}
+    recall = len(got_pairs & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.75, f"IVF-PQ recall {recall}"
+    # returned scores are exact (re-ranked), so overlapping pairs agree
+    got_scores = {(r["q_id"], r["vec_id"]): r["score"] for r in got.collect()}
+    for r in exact.collect():
+        key = (r["q_id"], r["vec_id"])
+        if key in got_scores:
+            assert abs(got_scores[key] - r["score"]) < 1e-9
