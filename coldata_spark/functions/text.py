@@ -114,11 +114,16 @@ def lang_scores(col: Column) -> dict[str, Column]:
     return {lang: _marker_hits(col, ms) for lang, ms in LANG_MARKERS.items()}
 
 
-def quality_score(col: Column) -> Column:
-    """Composite quality score in [0,1]: length saturation + alpha ratio.
-
-    score = 0.5 * min(1, tokens/64) + 0.5 * alpha_ratio.  Deterministic,
-    expression-only — the shape of C4/Gopher-style quality filters.
-    """
+def quality_score_raw(col: Column) -> Column:
+    """Unrounded composite quality score in [0,1]: length saturation +
+    alpha ratio.  score = 0.5 * min(1, tokens/64) + 0.5 * alpha_ratio.
+    Deterministic, expression-only — the shape of C4/Gopher-style quality
+    filters.  Use this form for FILTERING (both engines compute the
+    identical double); use quality_score for display/hash outputs."""
     sat = F.least(F.lit(1.0), token_count(col).cast("double") / F.lit(64.0))
-    return F.round(F.lit(0.5) * sat + F.lit(0.5) * alpha_ratio(col), 6)
+    return F.lit(0.5) * sat + F.lit(0.5) * alpha_ratio(col)
+
+
+def quality_score(col: Column) -> Column:
+    """quality_score_raw rounded to 6 decimals for oracle-hashed outputs."""
+    return F.round(quality_score_raw(col), 6)

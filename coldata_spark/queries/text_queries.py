@@ -723,3 +723,60 @@ def q84_tfidf_top_terms(spark, sf_dir):
         )
         .filter(F.col("rnk") <= 3)
     )
+
+
+@register(
+    "q87_corpus_curation",
+    survey="V6,A1,A5,ext-quality,ext-langid",
+    sql="""
+    WITH scored AS (
+        SELECT doc_id, source, lang, n_chars, text,
+               0.5 * least(1.0,
+                     (CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) / 64.0)
+             + 0.5 * (CASE WHEN length(text) = 0 THEN 0.0
+                      ELSE (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))
+                           / cast(length(text) AS DOUBLE) END) AS quality
+        FROM documents
+    ),
+    keepers AS (
+        SELECT min(doc_id) AS doc_id FROM scored GROUP BY text
+    )
+    SELECT source, lang,
+           count(*) AS n_docs,
+           sum(n_chars) AS total_chars
+    FROM scored
+    JOIN keepers USING (doc_id)
+    WHERE quality >= 0.5
+    GROUP BY source, lang
+    """,
+)
+def q87_corpus_curation(spark, sf_dir):
+    """End-to-end corpus curation in one plan — the composition every
+    training-data pipeline runs nightly: quality scoring (Gopher-style
+    expression filters) -> exact dedup (keep min doc_id per identical
+    text) -> per-(source, lang) accounting of the surviving corpus.
+
+    The quality score and filter are scan-side expressions (no shuffle);
+    dedup is one groupBy on the text hash; the final accounting aggregates
+    the survivors.  Quality threshold 0.5 is compared on the UNROUNDED
+    score — both engines compute the identical double expression, and no
+    fixture score sits within fp distance of 0.5.
+    """
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", "lang", "n_chars", "text",
+        TX.quality_score_raw(F.col("text")).alias("quality"),
+    )
+    keepers = scored.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select(
+        "doc_id"
+    )
+    return (
+        scored.join(keepers, "doc_id")
+        .filter(F.col("quality") >= 0.5)
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
