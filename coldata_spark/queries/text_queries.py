@@ -780,3 +780,55 @@ def q87_corpus_curation(spark, sf_dir):
             F.sum("n_chars").cast("long").alias("total_chars"),
         )
     )
+
+
+@register(
+    "q88_token_freq_histogram",
+    survey="A5,ext-tokens",
+    sql="""
+    WITH df AS (
+        SELECT term, count(*) AS doc_freq
+        FROM (
+            SELECT DISTINCT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+            FROM documents
+        )
+        GROUP BY term
+    )
+    SELECT CAST(floor(log2(doc_freq)) AS BIGINT) AS freq_bucket,
+           count(*) AS n_terms,
+           min(doc_freq) AS min_df,
+           max(doc_freq) AS max_df
+    FROM df
+    GROUP BY freq_bucket
+    """,
+)
+def q88_token_freq_histogram(spark, sf_dir):
+    """Zipf-style vocabulary histogram: terms bucketed by floor(log2(doc
+    frequency)) — the corpus statistic behind vocabulary pruning and
+    stopword discovery.  log2 is exact on powers of two in IEEE, so bucket
+    boundaries agree across engines; everything else is integer.
+
+    Plan: explode -> distinct (doc,term) -> term agg -> tiny bucket agg.
+    The vocabulary shuffle is the heavy stage at scale; its key space is
+    the vocabulary (bounded by Heaps' law), not the corpus.
+    """
+    from coldata_spark.tables import fan_out
+
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    tokens = docs.select(
+        "doc_id",
+        F.explode(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).alias(
+            "term"
+        ),
+    ).distinct()
+    df = tokens.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    bucket = F.floor(F.log2("doc_freq")).cast("long")
+    return (
+        df.groupBy(bucket.alias("freq_bucket"))
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.min("doc_freq").alias("min_df"),
+            F.max("doc_freq").alias("max_df"),
+        )
+    )

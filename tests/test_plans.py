@@ -158,3 +158,27 @@ def test_window_analytics_single_window_exchange(spark, sf_dir):
     tree = plan.split("\n\n")[0]
     n_exchanges = tree.count("Exchange")
     assert n_exchanges == 1, f"expected 1 exchange, plan tree has {n_exchanges}"
+
+
+def test_date_partitioned_events_prunes(spark, sf_dir, tmp_path):
+    """The canonical 100 TB fact layout: events written partitioned by event
+    date; a single-day predicate must prune partitions at the source (read
+    one directory, not 30)."""
+    from coldata_spark.tables import load as _load
+
+    p = str(tmp_path / "events_by_day")
+    ev = _load(spark, sf_dir, "events")
+    ev.withColumn("event_date", F.to_date("ts")).write.partitionBy(
+        "event_date"
+    ).parquet(p)
+
+    one_day = (
+        spark.read.parquet(p)
+        .filter(F.col("event_date") == "2024-01-03")
+    )
+    plan = plan_of(one_day)
+    assert "PartitionFilters" in plan
+    assert "event_date" in plan.split("PartitionFilters")[1].splitlines()[0]
+    # and correctness: matches a ts-range filter on the unpartitioned table
+    want = ev.filter(F.to_date("ts") == "2024-01-03").count()
+    assert one_day.count() == want and want > 0
