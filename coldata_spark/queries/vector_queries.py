@@ -11,6 +11,7 @@ hits back onto the ``documents`` fixture for the join-back stage (J2).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from coldata_spark.operators import dedup as DD
@@ -418,4 +419,169 @@ def q86_ivf_pq_search(spark, sf_dir):
     index, centroids, codebook = ivf.build_ivf_pq(emb, nlist=8, m=8, k_codes=16)
     return ivf.search_ivf_pq(
         index, queries, centroids, codebook, k=4, nprobe=4, overfetch=8
+    )
+
+
+@register(
+    "q89_filtered_knn",
+    survey="J5,W1,V4,S12",
+    sql="""
+    WITH q AS (
+        SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+        FROM embeddings WHERE vec_id < 4
+    ),
+    cand AS (
+        SELECT vec_id, embedding, label FROM embeddings WHERE label IN (0, 1, 2)
+    ),
+    scored AS (
+        SELECT q.q_id, c.vec_id, c.label,
+               round(list_dot_product(q.q_vec, c.embedding::DOUBLE[])
+                     / (sqrt(list_dot_product(q.q_vec, q.q_vec))
+                        * sqrt(list_dot_product(c.embedding::DOUBLE[],
+                                                c.embedding::DOUBLE[]))), 6) AS score
+        FROM q, cand c
+    )
+    SELECT q_id, vec_id, label, score, rank
+    FROM (
+        SELECT q_id, vec_id, label, score,
+               CAST(row_number() OVER (PARTITION BY q_id
+                                       ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+        FROM scored
+    )
+    WHERE rank <= 5
+    """,
+)
+def q89_filtered_knn(spark, sf_dir):
+    """Filtered ANN (metadata predicate + similarity): top-5 cosine among
+    ONLY the vectors whose label is in {0,1,2} — the vector-db 'filtered
+    search' capability (Milvus query expr + search combined;
+    vdb.py:218-223's expr applied to the search path).
+
+    Pre-filtering BEFORE the distance pass is the scalable order: the
+    predicate prunes candidates at the scan (pushed filter), the kNN join
+    then scores the survivors; post-filtering top-k instead would return
+    fewer than k rows and re-probe.  On an IVF layout, the filter composes
+    with partition pruning.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cand = emb.filter(F.col("label").isin(0, 1, 2))
+    hits = knn_join(queries, cand.select("vec_id", "embedding"), k=5, metric="COSINE")
+    return (
+        hits.join(F.broadcast(cand.select("vec_id", "label")), "vec_id")
+        .select("q_id", "vec_id", "label", "score", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+@register(
+    "q90_hybrid_search_rrf",
+    survey="J5,W1,J2,A2",
+    sql="""
+    WITH kw AS (
+        SELECT doc_id,
+               len(regexp_split_to_array(concat(' ', lower(text), ' '), 'scan'))  - 1
+             + len(regexp_split_to_array(concat(' ', lower(text), ' '), 'window')) - 1
+             + len(regexp_split_to_array(concat(' ', lower(text), ' '), 'merge'))  - 1
+                   AS kw_hits
+        FROM documents
+    ),
+    kw_ranked AS (
+        SELECT doc_id, CAST(row_number() OVER (
+                   ORDER BY kw_hits DESC, doc_id) AS BIGINT) AS kw_rank
+        FROM kw WHERE kw_hits > 0
+    ),
+    q AS (SELECT embedding::DOUBLE[] AS q_vec FROM embeddings WHERE vec_id = 0),
+    vec_ranked AS (
+        SELECT vec_id AS doc_id, CAST(row_number() OVER (
+                   ORDER BY score DESC, vec_id) AS BIGINT) AS vec_rank
+        FROM (
+            SELECT v.vec_id,
+                   round(list_dot_product(q.q_vec, v.embedding::DOUBLE[])
+                         / (sqrt(list_dot_product(q.q_vec, q.q_vec))
+                            * sqrt(list_dot_product(v.embedding::DOUBLE[],
+                                                    v.embedding::DOUBLE[]))), 6) AS score
+            FROM q, embeddings v
+        )
+    ),
+    fused AS (
+        SELECT coalesce(k.doc_id, v.doc_id) AS doc_id,
+               coalesce(1.0 / (60 + k.kw_rank), 0.0)
+             + coalesce(1.0 / (60 + v.vec_rank), 0.0) AS rrf,
+               k.kw_rank, v.vec_rank
+        FROM (SELECT * FROM kw_ranked WHERE kw_rank <= 20) k
+        FULL JOIN (SELECT * FROM vec_ranked WHERE vec_rank <= 20) v
+          ON k.doc_id = v.doc_id
+    )
+    SELECT doc_id, kw_rank, vec_rank,
+           CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS fused_rank
+    FROM fused
+    QUALIFY fused_rank <= 10
+    """,
+)
+def q90_hybrid_search_rrf(spark, sf_dir):
+    """Hybrid retrieval: keyword hits and vector cosine each produce a
+    top-20 ranking; reciprocal-rank fusion (1/(60+rank), the standard RRF
+    constant) merges them into a final top-10 — lexical+semantic search as
+    one declarative plan.
+
+    Both rankers are global top-k (TakeOrdered-size lists), so the fusion
+    join touches <= 40 rows regardless of corpus size; the expensive halves
+    (keyword scan, vector scan) each remain single-pass map work.  RRF
+    terms are computed in one expression with identical operand order on
+    both engines — bit-identical doubles, no rounding needed.
+    """
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+
+    padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    kw_hits = (
+        (F.size(F.split(padded, "scan")) - 1)
+        + (F.size(F.split(padded, "window")) - 1)
+        + (F.size(F.split(padded, "merge")) - 1)
+    )
+    # top-20 via orderBy().limit() (TakeOrderedAndProject — per-partition
+    # heaps, no global sort/window over the full corpus); the rank window
+    # then runs over 20 rows only
+    kw_top = (
+        docs.select("doc_id", kw_hits.alias("kw_hits"))
+        .filter(F.col("kw_hits") > 0)
+        .orderBy(F.col("kw_hits").desc(), F.col("doc_id"))
+        .limit(20)
+    )
+    kw_ranked = kw_top.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("kw_hits").desc(), F.col("doc_id")))
+        .cast("long")
+        .alias("kw_rank"),
+    )
+
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(0).alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    vec_ranked = (
+        knn_join(queries, emb.select("vec_id", "embedding"), k=20, metric="COSINE")
+        .select(F.col("vec_id").alias("doc_id"), F.col("rank").cast("long").alias("vec_rank"))
+    )
+
+    fused = kw_ranked.join(vec_ranked, "doc_id", "full_outer").select(
+        "doc_id",
+        "kw_rank",
+        "vec_rank",
+        (
+            F.coalesce(1.0 / (60 + F.col("kw_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("vec_rank")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return (
+        fused.select(
+            "doc_id", "kw_rank", "vec_rank",
+            F.row_number()
+            .over(W.orderBy(F.col("rrf").desc(), F.col("doc_id")))
+            .cast("long")
+            .alias("fused_rank"),
+        )
+        .filter(F.col("fused_rank") <= 10)
     )
