@@ -142,3 +142,42 @@ class TestCosine:
         ).collect()[0]
         assert abs(row.ab - row.ba) < 1e-12
         assert -1.0 - 1e-9 <= row.ab <= 1.0 + 1e-9
+
+
+class TestMergeUpsertModel:
+    """merge_upsert vs a dict-semantics reference model: the merged table
+    is exactly {**existing, **updates} keyed by pk (one update row per pk)."""
+
+    @given(
+        st.dictionaries(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=-1000, max_value=1000),
+            max_size=12,
+        ),
+        st.dictionaries(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=-1000, max_value=1000),
+            max_size=12,
+        ),
+    )
+    @settings(max_examples=10, deadline=None)
+    def test_matches_dict_semantics(self, existing_d, updates_d):
+        from coldata_spark.operators.upsert import merge_upsert
+        from coldata_spark.session import get_spark
+
+        spark = get_spark(app_name="coldata_spark_tests", shuffle_partitions=8)
+        if not existing_d and not updates_d:
+            return
+        mk = lambda d: spark.createDataFrame(
+            [(k, v) for k, v in d.items()], "pk bigint, val bigint"
+        )
+        want = {**existing_d, **updates_d}
+        if not existing_d:
+            got_df = mk(updates_d)  # merge needs a non-empty existing side
+            want = dict(updates_d)
+        elif not updates_d:
+            got_df = mk(existing_d)
+        else:
+            got_df = merge_upsert(mk(existing_d), mk(updates_d), pk="pk")
+        got = {r["pk"]: r["val"] for r in got_df.collect()}
+        assert got == want

@@ -105,3 +105,22 @@ def test_merge_schema_read(spark, tmp_path):
     assert set(df.columns) >= {"id", "name", "score"}
     rows = {r["id"]: r for r in df.collect()}
     assert rows[1]["score"] is None and rows[2]["score"] == 9.5
+
+
+def test_ignore_corrupt_files_read(spark, tmp_path):
+    """Operational resilience: one corrupt object in a 100 TB prefix must
+    not fail the whole scan when ignoreCorruptFiles is on (the batch-read
+    analogue of a crawler skipping one bad page)."""
+    p = tmp_path / "with_corruption"
+    p.mkdir()
+    spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, v string").coalesce(
+        1
+    ).write.parquet(str(p / "good"))
+    (p / "good" / "part-corrupt.parquet").write_bytes(b"PAR1 this is not parquet")
+
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try:
+        got = spark.read.parquet(str(p / "good")).count()
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
+    assert got == 2
