@@ -131,3 +131,45 @@ def crawl(
         existing.select("index"), "index", "left_anti"
     ).drop("index")
     return fetch_documents(seeds, fetcher_factory, config)
+
+
+# Per-source configurations mirroring the reference's eight crawlers
+# (registry /root/reference/src/coldata/crawler/__init__.py:1-9; per-site
+# knobs /root/reference/src/config.yml:3-57).  query_interval carries the
+# reference's politeness values verbatim; fetch_parallelism is the Spark-side
+# concurrency cap standing in for single-threaded-ness (1 worker at interval
+# t == n workers at interval n*t of aggregate politeness — we keep aggregate
+# request rate equal to the reference's by scaling the interval).
+REFERENCE_SOURCES: dict[str, CrawlConfig] = {
+    "UCI": CrawlConfig(query_interval=0.1),
+    "Kaggle": CrawlConfig(query_interval=1.0),
+    "AWS": CrawlConfig(query_interval=0.1),
+    "PapersWithCode": CrawlConfig(query_interval=0.1),
+    "OpenDataLab": CrawlConfig(query_interval=2.5, fetch_parallelism=2),
+    "IEEEDataPort": CrawlConfig(query_interval=0.1),
+    "HuggingFace": CrawlConfig(query_interval=1.0),
+    "BrainDataSciencePlatform": CrawlConfig(num_attempts=1, query_interval=1.0),
+}
+
+
+def crawl_all_sources(
+    spark: SparkSession,
+    urls_by_source: dict[str, list[str]],
+    existing: DataFrame,
+    fetcher_factory: FetcherFactory,
+    configs: dict[str, CrawlConfig] | None = None,
+) -> DataFrame:
+    """Multi-source ingest pass with per-source configs — main.py:14-36's
+    sequential eight-crawler loop as a UNION of per-source plans Spark runs
+    concurrently (scheduler pools / one job), each with its own politeness
+    and cap.  Returns the union of new documents across sources, deduped on
+    pk across sources too (two sites can list the same url)."""
+    configs = configs or REFERENCE_SOURCES
+    parts: list[DataFrame] = []
+    for source, urls in urls_by_source.items():
+        cfg = configs.get(source, CrawlConfig())
+        parts.append(crawl(spark, {source: urls}, existing, fetcher_factory, cfg))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.dropDuplicates(["index"])

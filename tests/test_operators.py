@@ -215,3 +215,25 @@ def test_crawl_framework_no_network(spark):
     # capped seeds minus already-crawled = 0 (the same first-15 are chosen)
     assert again.count() == 0
     docs.unpersist()
+
+
+def test_crawl_all_sources_dedups_across_sources(spark):
+    """Multi-source crawl: per-source configs apply, and a url listed by TWO
+    sources lands once (cross-source pk dedup, crawler.py:40-44 semantics)."""
+    from coldata_spark.ingest.crawl import CrawlConfig, crawl_all_sources
+
+    urls = {
+        "UCI": ["http://x/a", "http://x/b", "http://x/shared"],
+        "AWS": ["http://x/c", "http://x/shared"],
+    }
+    existing = spark.createDataFrame([("seen", )], ["index"])
+    cfgs = {s: CrawlConfig(fetch_parallelism=2) for s in urls}
+    docs = crawl_all_sources(
+        spark, urls, existing, lambda: (lambda u: f"content of {u}"), cfgs
+    )
+    rows = docs.collect()
+    got_urls = sorted(r["url"] for r in rows)
+    assert got_urls == sorted(
+        ["http://x/a", "http://x/b", "http://x/c", "http://x/shared"]
+    )
+    assert all(r["info"] == f"content of {r['url']}" for r in rows)
