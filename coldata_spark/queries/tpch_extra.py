@@ -58,34 +58,35 @@ from coldata_spark.tables import load
 )
 def q66_min_cost_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2-shaped min-cost supplier: the correlated scalar subquery
-    (cost = min cost for that part) decorrelated into a window-min over the
-    correlation key — one shuffle on l_partkey instead of a per-row
-    re-aggregation.  Ties broken by min suppkey for determinism.
+    (cost = min cost for that part) decorrelated into ONE argmin
+    aggregation — min(struct(unit_cost, suppkey)) per part orders
+    lexicographically, so a single shuffle on l_partkey yields both the
+    part-min cost AND the min suppkey among its achievers (the oracle's
+    two-level min).  One exchange where the naive decorrelation
+    (pair-agg + window-min + filter) takes two plus a window sort.
 
     unit_cost equality across engines is exact: IEEE division of identical
     doubles, min over the identical set.
     """
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part").filter(F.col("p_size") >= 40)
-    costs = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
-    )
-    best = F.min("unit_cost").over(W.partitionBy("l_partkey"))
-    return (
-        costs.withColumn("_best", best)
-        .filter(F.col("unit_cost") == F.col("_best"))
-        .join(F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
-        .groupBy(F.col("l_partkey").alias("p_partkey"), "unit_cost")
-        .agg(F.min("l_suppkey").alias("best_suppkey"))
-        .select(
-            "p_partkey",
-            # truncate, don't round: Spark rounds the shortest-decimal repr
-            # of a double while DuckDB rounds the binary value, so round()
-            # on an arbitrary ratio can differ in the last place; floor of
-            # the identical IEEE product cannot.
-            (F.floor(F.col("unit_cost") * 10000) / 10000).alias("best_cost"),
-            "best_suppkey",
+    unit_cost = F.col("l_extendedprice") / F.col("l_quantity")
+    best = (
+        li.join(
+            F.broadcast(part.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
         )
+        .groupBy("l_partkey")
+        .agg(F.min(F.struct(unit_cost.alias("c"), F.col("l_suppkey").alias("s"))).alias("b"))
+    )
+    return best.select(
+        F.col("l_partkey").alias("p_partkey"),
+        # truncate, don't round: Spark rounds the shortest-decimal repr
+        # of a double while DuckDB rounds the binary value, so round()
+        # on an arbitrary ratio can differ in the last place; floor of
+        # the identical IEEE product cannot.
+        (F.floor(F.col("b.c") * 10000) / 10000).alias("best_cost"),
+        F.col("b.s").alias("best_suppkey"),
     )
 
 
