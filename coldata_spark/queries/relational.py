@@ -986,3 +986,62 @@ def q15_filtered_page(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("p_partkey")
         .limit(100)
     )
+
+
+@register(
+    "q91_right_outer_nations",
+    survey="J1,A5",
+    sql="""
+    SELECT n_name,
+           count(c_custkey) AS n_customers,
+           round(coalesce(sum(c_acctbal), 0.0), 2) AS total_bal
+    FROM customer
+    RIGHT JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q91_right_outer_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (SURVEY §2.3: 'free from df.join(..., how=...)'):
+    every nation appears even with zero customers; count(col) skips the
+    null-extended rows.  The preserved side is the broadcast-size dim —
+    Spark swaps build sides so the big probe side still streams."""
+    cust = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation")
+    return (
+        cust.join(nat, cust.c_nationkey == nat.n_nationkey, "right")
+        .groupBy("n_name")
+        .agg(
+            F.count("c_custkey").alias("n_customers"),
+            F.round(F.coalesce(F.sum("c_acctbal"), F.lit(0.0)), 2).alias(
+                "total_bal"
+            ),
+        )
+    )
+
+
+@register(
+    "q92_bag_set_ops",
+    survey="U1,U2",
+    sql="""
+    SELECT o_orderpriority, count(*) AS n
+    FROM (
+        SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+        EXCEPT ALL
+        SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def q92_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag (multiset) set operation: EXCEPT ALL keeps multiplicity
+    differences — how many MORE open orders than finished ones exist per
+    priority.  Spark's exceptAll plans this as a counted anti-aggregation
+    (Expand + sum of signed counts), one shuffle, no row-by-row matching."""
+    orders = load(spark, sf_dir, "orders")
+    open_p = orders.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    done_p = orders.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    return (
+        open_p.exceptAll(done_p)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
