@@ -350,3 +350,84 @@ def q83_hypertable_rollup(spark, sf_dir):
             "total_value",
         )
     )
+
+
+@register(
+    "q93_conversion_funnel",
+    survey="A2,A5,R6",
+    sql="""
+    WITH firsts AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+               min(CASE WHEN event_type = 'click' AND EXISTS (
+                     SELECT 1 FROM events e2 WHERE e2.user_id = e.user_id
+                       AND e2.event_type = 'view' AND e2.ts < e.ts
+                   ) THEN epoch_us(ts) END) AS t_click_after_view
+        FROM events e
+        GROUP BY user_id
+    ),
+    stages AS (
+        SELECT f.user_id, t_view, t_click_after_view,
+               (SELECT min(epoch_us(p.ts)) FROM events p
+                WHERE p.user_id = f.user_id AND p.event_type = 'purchase'
+                  AND epoch_us(p.ts) > t_click_after_view) AS t_purchase
+        FROM firsts f
+    )
+    SELECT count(*) AS n_users,
+           count(t_view) AS reached_view,
+           count(t_click_after_view) AS reached_click,
+           count(t_purchase) AS reached_purchase
+    FROM stages
+    """,
+)
+def q93_conversion_funnel(spark, sf_dir):
+    """Ordered conversion funnel: users who viewed -> clicked AFTER a view
+    -> purchased AFTER that click.  The correlated EXISTS/min subqueries of
+    the SQL form decorrelate into ONE pass of partition-local window
+    functions: running min of view-time, first click past it, first
+    purchase past that — one shuffle on user_id, no self-joins at all
+    (three in the naive SQL).
+
+    Epoch-microsecond integers end to end: cross-engine-exact comparisons
+    and no timestamp rendering in the hash.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t")
+    )
+    w = W.partitionBy("user_id").orderBy("t", "event_type").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    # running first-view time; strictly-earlier semantics via 1-row lag
+    w_prev = W.partitionBy("user_id").orderBy("t", "event_type").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    first_view_before = F.min(
+        F.when(F.col("event_type") == "view", F.col("t"))
+    ).over(w_prev)
+    staged = ev.withColumn(
+        "t_click_av",
+        F.when(
+            (F.col("event_type") == "click") & first_view_before.isNotNull(),
+            F.col("t"),
+        ),
+    )
+    first_click_before = F.min("t_click_av").over(w_prev)
+    staged = staged.withColumn(
+        "t_purch_ac",
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("t") > first_click_before),
+            F.col("t"),
+        ),
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("t"))).alias("t_view"),
+        F.min("t_click_av").alias("t_click_after_view"),
+        F.min("t_purch_ac").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.count("t_view").alias("reached_view"),
+        F.count("t_click_after_view").alias("reached_click"),
+        F.count("t_purchase").alias("reached_purchase"),
+    )

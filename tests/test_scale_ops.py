@@ -66,3 +66,29 @@ def test_run_partition_idempotent_retry(spark, sf_dir, tmp_path):
     # run2 retried with existing-check: its partition rewrites to the same rows
     write_run_partition(run2, path, "run2")
     assert spark.read.parquet(path).count() == n1 + run2.count()
+
+
+def test_tune_for_input_thresholds(spark):
+    """Size-based knob tuning: tiny input -> static plan (AQE off, few
+    partitions); big input -> AQE on with bytes-proportional partitions
+    clamped to [cores, 2000]."""
+    from coldata_spark.session import SMALL_INPUT_BYTES, tune_for_input
+
+    cores = spark.sparkContext.defaultParallelism
+    try:
+        tune_for_input(spark, 10 << 20)  # 10 MiB
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+        assert int(spark.conf.get("spark.sql.shuffle.partitions")) == max(
+            8, cores // 2
+        )
+
+        tune_for_input(spark, 1 << 40)  # 1 TiB
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+        assert int(spark.conf.get("spark.sql.shuffle.partitions")) == 2000
+
+        tune_for_input(spark, SMALL_INPUT_BYTES)  # exactly at threshold: big path
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+        assert int(spark.conf.get("spark.sql.shuffle.partitions")) >= cores
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
