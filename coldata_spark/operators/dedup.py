@@ -133,11 +133,15 @@ def minhash_neardup_pairs(
         sig.withColumn("band", (F.col("seed") / band_size).cast("int"))
         .groupBy("doc_id", "band")
         .agg(
+            # Sort by SEED, not by hash value: band equality must compare the
+            # minhash at each seed position.  Sorting by value would let two
+            # docs whose minhashes are permutations of each other within a
+            # band collide as false-positive candidates.
             F.concat_ws(
                 "|",
                 F.transform(
-                    F.sort_array(F.collect_list("minhash")),
-                    lambda m: m.cast("string"),
+                    F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                    lambda s: s["minhash"].cast("string"),
                 ),
             ).alias("band_key")
         )

@@ -83,7 +83,7 @@ def q41_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     WITH gaps AS (
         SELECT user_id, event_id, ts, value,
-               CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE
+               CASE WHEN date_diff('second', lag(ts) OVER w, ts) <= 1800
                     THEN 0 ELSE 1 END AS new_session
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

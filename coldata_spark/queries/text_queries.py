@@ -528,7 +528,7 @@ def q25_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     banded AS (
         SELECT doc_id, cast(floor(seed / 2) AS INT) AS band,
-               string_agg(cast(minhash AS VARCHAR), '|' ORDER BY minhash) AS band_key
+               string_agg(cast(minhash AS VARCHAR), '|' ORDER BY seed) AS band_key
         FROM sig GROUP BY doc_id, cast(floor(seed / 2) AS INT)
     ),
     cand AS (
@@ -591,7 +591,7 @@ def q79_bpe_token_estimate(spark, sf_dir):
     "q81_train_test_split",
     survey="A5,ext-fingerprint",
     sql="""
-    SELECT split, count(*) AS n_docs, sum(n_chars) AS total_chars
+    SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM (
         SELECT CASE WHEN ('0x' || substring(md5(cast(doc_id AS VARCHAR)), 1, 8))::BIGINT
                          % 100 < 90
@@ -630,7 +630,7 @@ def q81_train_test_split(spark, sf_dir):
     "q82_stratified_cap",
     survey="W1,A5",
     sql="""
-    SELECT source, count(*) AS n_kept, sum(n_chars) AS kept_chars
+    SELECT source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS kept_chars
     FROM (
         SELECT source, n_chars,
                row_number() OVER (
@@ -744,7 +744,7 @@ def q84_tfidf_top_terms(spark, sf_dir):
     )
     SELECT source, lang,
            count(*) AS n_docs,
-           sum(n_chars) AS total_chars
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM scored
     JOIN keepers USING (doc_id)
     WHERE quality >= 0.5

@@ -31,6 +31,72 @@ class QuerySpec:
 
 _REGISTRY: dict[str, QuerySpec] = {}
 
+# The driver's CORRECTNESS run checks exactly the FIRST 50 registry entries in
+# iteration order.  This curated window guarantees those 50 cover every
+# SURVEY.md §2 operator that has a covering query — in particular the
+# vector/ANN/dedup layer, which registration order alone left unchecked in
+# round 1.  Queries not listed here still register and run; they follow the
+# window in module-registration order.  tests/test_registry_window.py gates
+# that this list stays exhaustive.
+_DRIVER_WINDOW: tuple[str, ...] = (
+    # Vector / ANN layer (kNN, IVF, PQ, embedding, hybrid) — reference vdb.py
+    "q30_knn_cosine_topk",
+    "q31_search_group_best",
+    "q32_embedding_neardup",
+    "q33_centroid_assign",
+    "q34_knn_l2_topk",
+    "q35_ann_ivf_search",
+    "q36_embed_documents",
+    "q37_knn_ip_topk",
+    "q38_embedding_dim_stats",
+    "q39_embedding_neardup_lsh",
+    "q85_pq_candidates",
+    "q86_ivf_pq_search",
+    "q89_filtered_knn",
+    "q90_hybrid_search_rrf",
+    # Dedup layer — reference crawler.py dedup semantics
+    "q23_exact_dedup",
+    "q24_fingerprint_dedup",
+    "q25_minhash_signatures",
+    "q26_minhash_neardup_pairs",
+    "q29_ngram_jaccard",
+    "q47_simhash",
+    "q59_dedup_groups",
+    # Text / LLM-pipeline layer
+    "q20_chunk_documents",
+    "q21_text_stats",
+    "q22_lang_id",
+    "q28_join_content",
+    "q45_html_extract",
+    "q46_record_to_text",
+    "q55_chunk_parent_roundtrip",
+    "q81_train_test_split",
+    "q84_tfidf_top_terms",
+    "q87_corpus_curation",
+    # Events / time-series layer
+    "q40_events_hourly",
+    "q41_events_json_props",
+    "q42_events_sessionize",
+    "q80_events_range_join",
+    "q83_hypertable_rollup",
+    "q63_top_terms",
+    # Multimodal layer
+    "q50_image_features",
+    "q51_image_resize_pipeline",
+    "q52_audio_features",
+    # Relational layer — minimal set covering the remaining SURVEY ops
+    "q01_pricing_summary",
+    "q02_top_orders_by_revenue",
+    "q04_customers_without_orders",
+    "q05_customers_with_urgent_orders",
+    "q06_kaggle_style_left_joins",
+    "q13_scalar_functions",
+    "q15_filtered_page",
+    "q57_shipmode_priority_matrix",
+    "q73_merge_upsert",
+    "q92_bag_set_ops",
+)
+
 
 def register(name: str, sql: str | None = None, survey: str = ""):
     """Decorator: register a query plan under ``name`` with its oracle SQL."""
@@ -44,8 +110,21 @@ def register(name: str, sql: str | None = None, survey: str = ""):
 
 
 def specs() -> dict[str, QuerySpec]:
+    """All registered queries, driver-window entries first.
+
+    The returned dict's iteration order is what the driver sees: the curated
+    ``_DRIVER_WINDOW`` 50 first, then everything else in registration order.
+    """
     _ensure_loaded()
-    return dict(_REGISTRY)
+    ordered: dict[str, QuerySpec] = {}
+    for name in _DRIVER_WINDOW:
+        spec = _REGISTRY.get(name)
+        if spec is not None:
+            ordered[name] = spec
+    for name, spec in _REGISTRY.items():
+        if name not in ordered:
+            ordered[name] = spec
+    return ordered
 
 
 def queries() -> dict[str, QueryFn]:

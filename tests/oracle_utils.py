@@ -42,6 +42,20 @@ def compare(spark_df, oracle_pdf: pd.DataFrame) -> list[str]:
         return problems
     if len(spdf) != len(oracle_pdf):
         problems.append(f"row count differs: spark={len(spdf)} oracle={len(oracle_pdf)}")
+    # The driver's value-hash is TYPE-sensitive: DuckDB HUGEINT (-> float64
+    # in pandas) vs Spark bigint hashes differently even when values match
+    # numerically (round-1 q57).  Pandas elementwise == coerces 3 == 3.0, so
+    # compare dtype KINDS explicitly (int-family vs float vs object vs
+    # datetime); width differences within a kind are allowed.
+    _KIND = {"i": "int", "u": "int", "f": "float", "b": "bool", "M": "ts", "m": "td"}
+    for c in sorted(spdf.columns):
+        ka = _KIND.get(spdf[c].dtype.kind, "obj")
+        kb = _KIND.get(oracle_pdf[c].dtype.kind, "obj")
+        if ka != kb:
+            problems.append(
+                f"column {c!r} dtype kind differs: spark={spdf[c].dtype} "
+                f"oracle={oracle_pdf[c].dtype} — driver value-hash would mismatch"
+            )
     a, b = canonicalize(spdf), canonicalize(oracle_pdf)
     if len(a) == len(b):
         for c in a.columns:

@@ -1,0 +1,65 @@
+"""Gates on the curated driver-correctness window.
+
+The driver's CORRECTNESS run checks exactly the first 50 registry entries in
+iteration order.  Round-1 verdict: registration order left the whole
+vector/ANN/dedup layer outside that window.  These tests pin the curated
+ordering so every SURVEY §2 operator that has a covering query is covered by
+the first 50 entries.
+"""
+
+from coldata_spark import registry
+
+
+def test_window_names_all_registered():
+    all_specs = registry.specs()
+    missing = [n for n in registry._DRIVER_WINDOW if n not in all_specs]
+    assert not missing, f"window lists unregistered queries: {missing}"
+
+
+def test_window_is_exactly_fifty():
+    assert len(registry._DRIVER_WINDOW) == 50
+    assert len(set(registry._DRIVER_WINDOW)) == 50
+
+
+def test_specs_iteration_order_starts_with_window():
+    first50 = list(registry.specs())[:50]
+    assert first50 == list(registry._DRIVER_WINDOW)
+
+
+def test_window_covers_every_query_covered_survey_op():
+    """Every survey id covered by ANY query must be covered inside the window."""
+    all_specs = registry.specs()
+    window = set(registry._DRIVER_WINDOW)
+    all_ids = set()
+    window_ids = set()
+    for name, spec in all_specs.items():
+        all_ids.update(spec.survey_ids)
+        if name in window:
+            window_ids.update(spec.survey_ids)
+    uncovered = all_ids - window_ids
+    assert not uncovered, f"survey ops with no covering query in window: {sorted(uncovered)}"
+
+
+def test_window_includes_vector_and_dedup_core():
+    """Round-1 verdict's explicit ask: kNN/IVF + minhash dedup driver-verified."""
+    window = set(registry._DRIVER_WINDOW)
+    required = {
+        "q30_knn_cosine_topk",
+        "q31_search_group_best",
+        "q33_centroid_assign",
+        "q34_knn_l2_topk",
+        "q37_knn_ip_topk",
+        "q23_exact_dedup",
+        "q24_fingerprint_dedup",
+        "q25_minhash_signatures",
+        "q26_minhash_neardup_pairs",
+    }
+    assert required <= window
+
+
+def test_window_oracle_density():
+    """The window should be mostly hard oracle checks, not rows-only."""
+    all_specs = registry.specs()
+    rows_only = [n for n in registry._DRIVER_WINDOW if all_specs[n].sql is None]
+    # 7 vector/dedup rows-only + 3 multimodal is the known budget; don't grow it.
+    assert len(rows_only) <= 10, f"too many rows-only in window: {rows_only}"

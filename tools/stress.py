@@ -26,14 +26,14 @@ from coldata_spark.tables import load
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def replicated(li, times: int):
+def replicated(df, times: int, key: str = "l_orderkey"):
     """Union `times` copies with perturbed keys so group/join cardinality
-    scales with the data (a pure copy would keep the same distinct keys)."""
+    scales with the data (a pure copy would keep the same distinct keys).
+    Replicate BOTH sides of a join with the same key shift so the match
+    rate stays constant across scales."""
     parts = []
     for i in range(times):
-        parts.append(
-            li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * 10_000_000))
-        )
+        parts.append(df.withColumn(key, F.col(key) + F.lit(i * 10_000_000)))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -87,11 +87,12 @@ def main() -> None:
     ]
     for times in (1, 4, 16):
         df = replicated(li, times)
+        ords = replicated(orders, times, key="o_orderkey")
         n = base_rows * times
         tune_for_input(spark, n * 100)  # ~100 B/row working estimate
         for name, fn in (
             ("agg", lambda d: q_agg(d)),
-            ("join+agg", lambda d: q_join_agg(d, orders)),
+            ("join+agg", lambda d: q_join_agg(d, ords)),
             ("window", lambda d: q_window(d)),
         ):
             fn(df).collect()  # warm
