@@ -46,11 +46,17 @@ IMAGE_SCHEMA = T.StructType(
 
 def synthetic_images(spark, n: int = 64, width: int = 8, height: int = 8) -> DataFrame:
     """Deterministic fake image table: content = raw RGB bytes derived from
-    the item id (stands in for real JPEG bytes; same column shapes)."""
+    the item id (stands in for real JPEG bytes; same column shapes).
+
+    Pixels follow the closed-form ``(id*31 + p*7 + c*13) % 256`` (p = pixel
+    index, c = channel) rather than a PRNG so a SQL oracle can regenerate
+    them with generate_series and verify the decoded features bit-exactly.
+    """
     rows = []
+    p = np.arange(height * width).reshape(height, width, 1)
+    c = np.arange(3).reshape(1, 1, 3)
     for i in range(n):
-        rng = np.random.default_rng(seed=i)
-        px = rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+        px = ((i * 31 + p * 7 + c * 13) % 256).astype(np.uint8)
         rows.append((i, px.tobytes(), (width, height, 3, "RAW_RGB")))
     # small synthetic tables: a few partitions, not one-Python-worker-per-row
     return spark.createDataFrame(rows, IMAGE_SCHEMA).coalesce(max(1, n // 16))
@@ -94,11 +100,18 @@ def extract_image_features(images: DataFrame) -> DataFrame:
                 pdf["item_id"], pdf["content"], pdf["meta"]
             ):
                 px = decode_image_stub(content, meta)
-                gray = px.astype(np.float64).mean(axis=2)
-                bits = (gray > gray.mean()).flatten()
+                # aHash with the threshold comparison kept in INTEGER space
+                # (s_p * npix > sum(s)  <=>  gray_p > mean(gray)): avoids
+                # float summation-order ties so any engine reproduces the
+                # identical bit string.
+                s = px.astype(np.int64).sum(axis=2).flatten()
+                bits = s * s.size > s.sum()
                 packed = np.packbits(bits).tobytes()
                 out["item_id"].append(item_id)
-                out["mean_rgb"].append(px.reshape(-1, 3).mean(axis=0).tolist())
+                out["mean_rgb"].append(
+                    (px.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                     / (px.shape[0] * px.shape[1])).tolist()
+                )
                 out["phash"].append(packed.hex())
                 out["n_bytes"].append(len(content))
             yield pd.DataFrame(out)
@@ -141,12 +154,18 @@ AUDIO_SCHEMA = T.StructType(
 
 
 def synthetic_audio(spark, n: int = 32, sr: int = 8000, seconds: float = 0.1) -> DataFrame:
-    """Fake PCM16 audio derived from the item id."""
+    """Fake PCM16 audio derived from the item id.
+
+    Integer pseudo-noise ``((id*7919 + i*104729) % 65536) - 32768`` instead
+    of a sine: transcendental-function rounding differs across engines, but
+    integer modular arithmetic lets a SQL oracle regenerate the exact
+    samples.  The decode path (bytes -> int16 -> features) is unchanged.
+    """
     rows = []
     ns = int(sr * seconds)
+    idx = np.arange(ns, dtype=np.int64)
     for i in range(n):
-        t = np.arange(ns) / sr
-        wave = (np.sin(2 * np.pi * (100 + 10 * i) * t) * 32767 * 0.5).astype("<i2")
+        wave = (((i * 7919 + idx * 104729) % 65536) - 32768).astype("<i2")
         rows.append((i, wave.tobytes(), sr, ns))
     return spark.createDataFrame(rows, AUDIO_SCHEMA).coalesce(max(1, n // 16))
 
@@ -171,10 +190,14 @@ def extract_audio_features(audio: DataFrame) -> DataFrame:
             for item_id, content, sr, ns in zip(
                 pdf["item_id"], pdf["content"], pdf["sample_rate"], pdf["n_samples"]
             ):
-                wave = np.frombuffer(content, dtype="<i2").astype(np.float64) / 32768.0
+                wi = np.frombuffer(content, dtype="<i2").astype(np.int64)
+                # rms from the exact integer dot product: sum(w^2) < 2^53 so
+                # the divide + sqrt are single IEEE ops any engine reproduces
+                # bit-exactly (float mean() would vary with summation order).
+                rms = float(np.sqrt(wi.dot(wi) / (32768.0 * 32768.0 * len(wi))))
                 out["item_id"].append(item_id)
-                out["rms"].append(float(np.sqrt(np.mean(wave**2))))
-                out["zero_crossings"].append(int(np.sum(np.abs(np.diff(np.sign(wave))) > 0)))
+                out["rms"].append(rms)
+                out["zero_crossings"].append(int(np.sum(np.sign(wi[1:]) != np.sign(wi[:-1]))))
                 out["duration_sec"].append(ns / sr)
             yield pd.DataFrame(out)
 

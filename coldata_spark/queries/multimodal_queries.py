@@ -1,9 +1,10 @@
-"""Multimodal column queries (north-star extension — rows-only checks:
-binary codec plumbing has no SQL twin; exact values are asserted in
-tests/test_multimodal.py).
+"""Multimodal column queries (north-star extension).
 
-The synthetic tables are generated deterministically from item ids, so the
-driver sees stable row counts and values across runs.
+The binary fixtures are integer-formulaic (see operators/multimodal.py), so
+each query now carries a full DuckDB oracle that REGENERATES the pixel /
+sample values with generate_series and recomputes the decoded features
+bit-exactly — upgrading these from rows-only to hash-checked rows while the
+Spark side still exercises the real Arrow mapInPandas codec plumbing.
 """
 
 from __future__ import annotations
@@ -15,24 +16,87 @@ from coldata_spark.operators import multimodal as MM
 from coldata_spark.registry import register
 
 
-@register("q50_image_features", survey="ext-multimodal-image", sql=None)
+# aHash oracle over formulaic pixels: s = channel-sum per pixel; bit_p =
+# (s_p * npix > sum(s)) — the same integer-space threshold the Spark-side
+# decoder uses, so the packed hex strings agree to the bit.
+_IMAGE_PHASH_SQL = """
+    WITH ids AS (SELECT unnest(generate_series(0, {max_id})) AS item_id),
+    px AS (
+        SELECT item_id, p,
+               (item_id*31 + src_p*7) % 256        AS c0,
+               (item_id*31 + src_p*7 + 13) % 256   AS c1,
+               (item_id*31 + src_p*7 + 26) % 256   AS c2
+        FROM (
+            SELECT item_id, p, {src_p} AS src_p
+            FROM ids, unnest(generate_series(0, {max_p})) AS t(p)
+        )
+    ),
+    s AS (SELECT item_id, p, c0, c1, c2, c0 + c1 + c2 AS s FROM px),
+    tot AS (
+        SELECT item_id, sum(s) AS total,
+               CAST(sum(c0) AS DOUBLE) / {npix} AS mean_r,
+               CAST(sum(c1) AS DOUBLE) / {npix} AS mean_g,
+               CAST(sum(c2) AS DOUBLE) / {npix} AS mean_b
+        FROM s GROUP BY item_id
+    ),
+    bits AS (
+        SELECT s.item_id, s.p,
+               CASE WHEN s.s * {npix} > tot.total THEN 1 ELSE 0 END AS bit
+        FROM s JOIN tot ON s.item_id = tot.item_id
+    ),
+    bytes AS (
+        SELECT item_id, p // 8 AS b,
+               CAST(sum(bit * (1 << (7 - (p % 8)))) AS INT) AS byte
+        FROM bits GROUP BY item_id, p // 8
+    ),
+    ph AS (
+        SELECT item_id, string_agg(printf('%02x', byte), '' ORDER BY b) AS phash
+        FROM bytes GROUP BY item_id
+    )
+"""
+
+
+@register(
+    "q50_image_features",
+    survey="ext-multimodal-image",
+    sql=_IMAGE_PHASH_SQL.format(max_id=63, max_p=63, npix=64, src_p="p")
+    + """
+    SELECT t.item_id, mean_r, mean_g, mean_b, ph.phash,
+           CAST(192 AS BIGINT) AS n_bytes
+    FROM tot t JOIN ph ON t.item_id = ph.item_id
+    """,
+)
 def q50_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary image column -> decode -> per-channel means + perceptual hash
     via Arrow-batched mapInPandas (decode stub; real codec drops into
-    decode_image_stub's seam)."""
+    decode_image_stub's seam).  The oracle regenerates the formulaic pixels
+    in SQL and recomputes mean/aHash — a hard hash check on the whole
+    decode -> feature path."""
     imgs = MM.synthetic_images(spark, n=64)
     feats = MM.extract_image_features(imgs)
     return feats.select(
         "item_id",
-        F.round(F.element_at("mean_rgb", 1), 4).alias("mean_r"),
-        F.round(F.element_at("mean_rgb", 2), 4).alias("mean_g"),
-        F.round(F.element_at("mean_rgb", 3), 4).alias("mean_b"),
+        F.element_at("mean_rgb", 1).alias("mean_r"),
+        F.element_at("mean_rgb", 2).alias("mean_g"),
+        F.element_at("mean_rgb", 3).alias("mean_b"),
         "phash",
         "n_bytes",
     )
 
 
-@register("q51_image_resize_pipeline", survey="ext-multimodal-image", sql=None)
+@register(
+    "q51_image_resize_pipeline",
+    survey="ext-multimodal-image",
+    # nearest-neighbor 8x8 -> 4x4: resized pixel p reads source pixel
+    # (2*(p//4))*8 + 2*(p%4); 16 bits -> 2 bytes -> 4 hex chars.
+    sql=_IMAGE_PHASH_SQL.format(
+        max_id=31, max_p=15, npix=16, src_p="(2*(p // 4))*8 + 2*(p % 4)"
+    )
+    + """
+    SELECT t.item_id, ph.phash, CAST(48 AS BIGINT) AS n_bytes
+    FROM tot t JOIN ph ON t.item_id = ph.item_id
+    """,
+)
 def q51_image_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize (8x8 -> 4x4) then feature-extract — two chained mapInPandas
     stages over binary columns, the standard media-pipeline shape."""
@@ -41,14 +105,35 @@ def q51_image_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.extract_image_features(small).select("item_id", "phash", "n_bytes")
 
 
-@register("q52_audio_features", survey="ext-multimodal-audio", sql=None)
+@register(
+    "q52_audio_features",
+    survey="ext-multimodal-audio",
+    sql="""
+    WITH ids AS (SELECT unnest(generate_series(0, 31)) AS item_id),
+    w AS (
+        SELECT item_id, i,
+               ((item_id*7919 + i*104729) % 65536) - 32768 AS w
+        FROM ids, unnest(generate_series(0, 799)) AS t(i)
+    ),
+    sgn AS (
+        SELECT item_id, w,
+               sign(w) AS s,
+               lag(sign(w)) OVER (PARTITION BY item_id ORDER BY i) AS prev
+        FROM w
+    )
+    SELECT item_id,
+           sqrt(CAST(sum(w*w) AS DOUBLE) / (32768.0*32768.0*800)) AS rms,
+           CAST(sum(CASE WHEN prev IS NOT NULL AND s <> prev
+                         THEN 1 ELSE 0 END) AS INT) AS zero_crossings,
+           CAST(800 AS DOUBLE) / 8000 AS duration_sec
+    FROM sgn
+    GROUP BY item_id
+    """,
+)
 def q52_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PCM16 audio column -> rms / zero-crossings / duration."""
+    """PCM16 audio column -> decode -> rms / zero-crossings / duration.
+    rms comes from the exact integer dot product so the oracle's
+    sqrt(sum(w^2)/K) is the identical IEEE computation."""
     audio = MM.synthetic_audio(spark, n=32)
     feats = MM.extract_audio_features(audio)
-    return feats.select(
-        "item_id",
-        F.round("rms", 4).alias("rms"),
-        "zero_crossings",
-        F.round("duration_sec", 3).alias("duration_sec"),
-    )
+    return feats.select("item_id", "rms", "zero_crossings", "duration_sec")
