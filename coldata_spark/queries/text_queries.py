@@ -265,31 +265,57 @@ def q29_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q45_html_extract",
     survey="T3",
+    # The oracle computes what a CORRECT main-content extractor must return
+    # for the synthesized page: the h1 as a markdown heading plus the two
+    # article paragraphs (the second only when it survives the extractor's
+    # 25-char prose floor) — nav/sidebar/footer/script never appear.  Any
+    # boilerplate leakage or dropped content hash-mismatches.
     sql="""
     SELECT doc_id,
-           trim(regexp_replace(regexp_replace(
-                concat('<html><body><h1>Doc</h1><p>', substring(text, 1, 80),
-                       '</p><br/></body></html>'),
-                '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')) AS extracted
-    FROM documents
+           concat('# Document ', CAST(doc_id AS VARCHAR), chr(10), chr(10), p1,
+                  CASE WHEN length(p2) >= 25
+                       THEN concat(chr(10), chr(10), p2) ELSE '' END)
+               AS extracted
+    FROM (
+        SELECT doc_id,
+               trim(regexp_replace(substring(text, 1, 200), '\\s+', ' ', 'g')) AS p1,
+               trim(regexp_replace(substring(text, 201, 200), '\\s+', ' ', 'g')) AS p2
+        FROM documents
+    )
     """,
 )
 def q45_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T3 (uci.py:56 etc.: trafilatura html->text): tag-strip + whitespace
-    normalize as pure expressions, exercised on synthesized HTML.  The
-    production path swaps in a trafilatura pandas UDF behind the same
-    signature when the library is present (import-try); the expression
-    fallback keeps the operator runnable and oracle-checkable anywhere."""
-    docs = load(spark, sf_dir, "documents")
+    """T3 (reference uci.py:56 etc.: trafilatura html->markdown): builds a
+    realistic page around each document — nav bar, link-heavy sidebar,
+    article with h1 + paragraphs, comments div, footer, script — then runs
+    the readability-style extractor (functions/html_extract.py) through an
+    Arrow-batched pandas UDF.  The oracle knows exactly which blocks a
+    correct extractor keeps, so this is an end-to-end hash check on
+    boilerplate removal, not just tag-stripping."""
+    from coldata_spark.functions.html_extract import escape_html_text, html_to_text
+    from coldata_spark.tables import fan_out
+
+    docs = fan_out(load(spark, sf_dir, "documents"))
     html = F.concat(
-        F.lit("<html><body><h1>Doc</h1><p>"),
-        F.substring("text", 1, 80),
-        F.lit("</p><br/></body></html>"),
+        F.lit(
+            "<html><head><title>Synth</title><script>var nav=1;</script>"
+            "</head><body><nav><a href='/'>Home</a> <a href='/a'>About</a>"
+            "</nav><div class='sidebar'><a href='/l1'>First long link</a>"
+            "<a href='/l2'>Second long link</a></div><article><h1>Document "
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        escape_html_text(F.substring("text", 1, 200)),
+        F.lit("</p><p>"),
+        escape_html_text(F.substring("text", 201, 200)),
+        F.lit(
+            "</p></article><div id='comments'><p>Totally agree with all of "
+            "this, great post friend!</p></div><footer>Copyright 2026 "
+            "Example Corp. All rights reserved.</footer></body></html>"
+        ),
     )
-    stripped = F.regexp_replace(html, r"<[^>]*>", " ")
     return docs.select(
-        "doc_id",
-        F.trim(F.regexp_replace(stripped, r"\s+", " ")).alias("extracted"),
+        "doc_id", html_to_text(html).alias("extracted")
     )
 
 
