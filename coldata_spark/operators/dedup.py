@@ -378,16 +378,30 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    force: bool = False,
 ) -> DataFrame:
     """All (a, b) pairs with cosine >= threshold, a < b — brute-force exact.
 
     O(n^2): correct at verification scale; the 100 TB path blocks by LSH or
     IVF centroid first (see operators.similarity / queries.vector_queries)
-    so only within-bucket pairs are scored.
+    so only within-bucket pairs are scored.  A size gate refuses inputs
+    whose optimizer estimate makes the pair count explode, unless forced.
     """
     from coldata_spark.functions import vector as V
+    from coldata_spark.operators.similarity import (
+        QUADRATIC_GATE_BYTES,
+        refuse_at_scale,
+    )
     from coldata_spark.tables import fan_out
 
+    refuse_at_scale(
+        emb,
+        "embedding_neardup_pairs",
+        "This is the O(n^2) verification baseline — use "
+        "embedding_neardup_lsh for the production near-dup path.",
+        force,
+        QUADRATIC_GATE_BYTES,
+    )
     emb = fan_out(emb)
     a = emb.select(
         F.col(id_col).alias("id_a"), V.as_double(F.col(vec_col)).alias("va")

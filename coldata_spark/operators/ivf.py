@@ -128,11 +128,22 @@ def search_ivf(
     k: int = 4,
     nprobe: int = 4,
     metric: str = "COSINE",
+    probe_strategy: str = "auto",
 ) -> DataFrame:
     """ANN top-k: probe the nprobe best cells per query, exact search inside.
 
     The centroid scoring runs on the tiny centroid table; the resulting
-    centroid_id IN (...) filter prunes index partitions at scan time.
+    cell set prunes index partitions at scan time via one of two paths:
+
+    * ``collect``: materialize the distinct cell ids on the driver and push
+      a static ``centroid_id IN (...)`` filter — fastest for interactive
+      query batches (the list is tiny and the filter prunes at planning).
+    * ``join``: keep the cell set distributed and broadcast-semi-join the
+      index against it; Spark's dynamic partition pruning skips the
+      non-probed partition directories at runtime.  This is the path for
+      large (1e4+) query batches, where collecting probe lists would
+      funnel the batch through the driver.
+    * ``auto``: picks by the optimizer's size estimate of the query side.
     """
     probe = knn_join(
         queries,
@@ -144,8 +155,26 @@ def search_ivf(
         score_decimals=None,
     ).select(F.col("q_id"), F.col("vec_id").alias("centroid_id"))
 
-    cells = [r.centroid_id for r in probe.select("centroid_id").distinct().collect()]
-    index = spark.read.parquet(index_path).filter(F.col("centroid_id").isin(cells))
+    if probe_strategy == "auto":
+        from coldata_spark.operators.similarity import _estimated_bytes
+
+        probe_strategy = (
+            "collect" if _estimated_bytes(queries) <= 1 * 1024 * 1024 else "join"
+        )
+    if probe_strategy == "collect":
+        cells = [
+            r.centroid_id for r in probe.select("centroid_id").distinct().collect()
+        ]
+        index = spark.read.parquet(index_path).filter(
+            F.col("centroid_id").isin(cells)
+        )
+    elif probe_strategy == "join":
+        cell_set = probe.select("centroid_id").distinct()
+        index = spark.read.parquet(index_path).join(
+            F.broadcast(cell_set), "centroid_id", "left_semi"
+        )
+    else:
+        raise ValueError(f"unknown probe_strategy {probe_strategy!r}")
 
     # exact distance within each query's own probed cells only: the
     # (q_id, centroid_id) probe table is tiny -> broadcast equi-join keys
@@ -366,51 +395,62 @@ def search_ivf_pq(
         metric=metric,
         score_decimals=None,
     ).select("q_id", F.col("vec_id").alias("centroid_id"))
-    cells = [r.centroid_id for r in probe.select("centroid_id").distinct().collect()]
 
-    # per-query ADC lookup tables (queries are few — driver-side numpy)
-    luts: dict[int, np.ndarray] = {}
-    qnorms: dict[int, float] = {}
-    for r in queries.collect():
-        qv = np.asarray(r["q_vec"], dtype=np.float64)
-        lut = np.zeros((m, kc))
-        for j in range(m):
-            qs = qv[j * sub : (j + 1) * sub]
-            if metric.upper() == "L2":
-                lut[j] = ((codebook[j] - qs[None, :]) ** 2).sum(axis=1)
-            else:  # dot-product decomposition for IP/COSINE
-                lut[j] = codebook[j] @ qs
-        luts[r["q_id"]] = lut
-        qnorms[r["q_id"]] = float(np.linalg.norm(qv))
+    # Keep the probed cell set DISTRIBUTED: a broadcast semi-join prunes the
+    # index without funneling probe lists through the driver, so a 1e6-query
+    # batch plans exactly like a 10-query batch.
+    pruned = index.join(
+        F.broadcast(probe.select("centroid_id").distinct()), "centroid_id", "left_semi"
+    ).join(F.broadcast(probe), "centroid_id")
+
+    # ADC lookup tables are built INSIDE the Arrow UDF from the broadcast
+    # codebook and each query's own q_vec (carried by the probe join below),
+    # cached per task — nothing about the query batch is ever collect()ed.
+    # Cost per distinct query per task is one (m, kc, D/m) einsum: trivial
+    # next to the candidate scan it feeds.
     # reconstructed-vector norm table for COSINE: ||v̂||^2 = sum_j ||c_j||^2
     norm_lut = (codebook**2).sum(axis=2)  # (m, kc)
-
     spark = index.sparkSession
-    bc = spark.sparkContext.broadcast((luts, qnorms, norm_lut, metric.upper()))
-
-    pruned = index.filter(F.col("centroid_id").isin(cells)).join(
-        F.broadcast(probe), "centroid_id"
+    bc = spark.sparkContext.broadcast((codebook, norm_lut, metric.upper()))
+    with_vec = pruned.join(
+        F.broadcast(queries.select("q_id", "q_vec")), "q_id"
     )
 
     def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        tables, qn, nlut, met = bc.value
-        js = np.arange(m)
+        cb, nlut, met = bc.value
+        mm, kk, ss = cb.shape
+        js = np.arange(mm)
+        luts: dict[int, np.ndarray] = {}
+        qnorms: dict[int, float] = {}
         for pdf in batches:
             codes = np.stack(pdf["pq_codes"].to_numpy())
             out = np.zeros(len(pdf))
             for q_id in pdf["q_id"].unique():
                 mask = (pdf["q_id"] == q_id).to_numpy()
-                t = tables[q_id]
+                if q_id not in luts:
+                    qv = np.asarray(
+                        pdf["q_vec"][mask].iloc[0], dtype=np.float64
+                    )
+                    lut = np.zeros((mm, kk))
+                    for j in range(mm):
+                        qs = qv[j * ss : (j + 1) * ss]
+                        if met == "L2":
+                            lut[j] = ((cb[j] - qs[None, :]) ** 2).sum(axis=1)
+                        else:  # dot-product decomposition for IP/COSINE
+                            lut[j] = cb[j] @ qs
+                    luts[q_id] = lut
+                    qnorms[q_id] = float(np.linalg.norm(qv))
+                t = luts[q_id]
                 s = t[js[None, :], codes[mask]].sum(axis=1)
                 if met == "COSINE":
                     vnorm = np.sqrt(nlut[js[None, :], codes[mask]].sum(axis=1))
-                    s = s / np.maximum(vnorm * qn[q_id], 1e-12)
+                    s = s / np.maximum(vnorm * qnorms[q_id], 1e-12)
                 out[mask] = s
             yield pd.DataFrame(
                 {"q_id": pdf["q_id"], "vec_id": pdf["vec_id"], "approx": out}
             )
 
-    scored = pruned.select("q_id", "vec_id", "pq_codes").mapInPandas(
+    scored = with_vec.select("q_id", "vec_id", "pq_codes", "q_vec").mapInPandas(
         adc, schema="q_id long, vec_id long, approx double"
     )
     order_a = [

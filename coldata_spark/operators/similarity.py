@@ -28,6 +28,11 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from coldata_spark.functions import vector as V
+# Above this optimizer size estimate, operators whose cost is quadratic in
+# (or that must broadcast) a side refuse to run unless forced: nobody should
+# ship an O(n^2) plan to a 100 TB table by accident.
+QUADRATIC_GATE_BYTES = 64 * 1024 * 1024
+
 
 
 def knn_join(
@@ -41,6 +46,8 @@ def knn_join(
     vec_col: str = "embedding",
     score_decimals: int | None = 6,
     exclude_self: bool = False,
+    force: bool = False,
+    gate_bytes: int = QUADRATIC_GATE_BYTES,
 ) -> DataFrame:
     """Exact k-NN theta-join: top-k vectors per query under ``metric``.
 
@@ -48,10 +55,23 @@ def knn_join(
     (queries are few; vectors are huge), so the big side never shuffles —
     the only exchange is the tiny per-query top-k merge.
 
+    A query side too big to broadcast makes this plan quadratic work — the
+    size gate refuses it (use the IVF index, or batch the queries) unless
+    ``force`` is set.
+
     Scores are rounded to ``score_decimals`` BEFORE ranking, with vec_id as
     tie-break, so the ranking is deterministic and engine-independent.
     """
     from coldata_spark.tables import fan_out
+
+    refuse_at_scale(
+        queries,
+        "knn_join",
+        "The query side must stay broadcastable: route large query batches "
+        "through search_ivf/search_ivf_pq, or split them.",
+        force,
+        gate_bytes,
+    )
 
     desc = V.METRIC_DESCENDING[metric.upper()]
     score = V.score_expr(
@@ -104,6 +124,27 @@ def _estimated_bytes(df: DataFrame) -> int:
         )
     except Exception:
         return 0
+
+
+
+_UNKNOWN_STATS_FLOOR = 1 << 60  # Catalyst emits absurd products when stats
+# are unknown (e.g. downstream of mapInPandas); treat those as "no estimate"
+# rather than refusing — the gate fires only on CONFIDENT large inputs.
+
+
+def refuse_at_scale(
+    df: DataFrame, what: str, hint: str, force: bool, gate_bytes: int
+) -> None:
+    """Size gate for scale-hostile paths.  Raises unless ``force``."""
+    est = _estimated_bytes(df)
+    if est >= _UNKNOWN_STATS_FLOOR:
+        return
+    if not force and est > gate_bytes:
+        raise ValueError(
+            f"{what}: optimizer size estimate {est / 1e6:.0f} MB exceeds the "
+            f"{gate_bytes / 1e6:.0f} MB gate for this scale-hostile path. "
+            f"{hint} Pass force=True only for verification runs."
+        )
 
 
 def group_best(
