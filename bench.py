@@ -76,17 +76,86 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    result = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+
+    # Amortized operating point: the same query plans on a 16x-replicated
+    # fixture (fact tables with shifted keys), timed against DuckDB running
+    # each query's own oracle SQL on the SAME files.  The sf0.1 fixtures are
+    # ~15 MB — Spark's fixed per-stage latency dominates there; at 16x the
+    # per-row work dominates and the ratio reflects actual plan efficiency.
+    if os.environ.get("SPARK_GRAFT_BENCH_16X", "1") != "0":
+        result["replicated_16x"] = bench_16x(spark, sf_dir, specs)
+
+    print(json.dumps(result))
+
+
+REPL_QUERIES = [  # one per engine layer, all with DuckDB-runnable oracles
+    "q01_pricing_summary",
+    "q02_top_orders_by_revenue",
+    "q25_minhash_signatures",
+    "q29_ngram_jaccard",
+    "q30_knn_cosine_topk",
+    "q42_events_sessionize",
+]
+
+
+def bench_16x(spark, sf_dir: str, specs) -> dict:
+    import duckdb
+
+    from coldata_spark.tables import TABLES
+    from tools.replicate import replicate_fixture
+
+    times = 16
+    dst = os.environ.get(
+        "SPARK_GRAFT_16X_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache", "16x"),
     )
+    replicate_fixture(spark, sf_dir, dst, times=times)
+    tune_for_input(spark, dir_bytes(dst))
+
+    spark_t: dict[str, float] = {}
+    for name in REPL_QUERIES:
+        specs[name].fn(spark, dst).count()  # warm (codegen + FS cache)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            specs[name].fn(spark, dst).count()
+            best = min(best, time.perf_counter() - t0)
+        spark_t[name] = round(best, 3)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{dst}/{t}.parquet/*.parquet')"
+        )
+    duck_t: dict[str, float] = {}
+    for name in REPL_QUERIES:
+        sql = specs[name].sql
+        con.execute(sql).fetchall()  # warm
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            best = min(best, time.perf_counter() - t0)
+        duck_t[name] = round(best, 3)
+    con.close()
+
+    s_total = round(sum(spark_t.values()), 3)
+    d_total = round(sum(duck_t.values()), 3)
+    return {
+        "times": times,
+        "spark_sec": s_total,
+        "duckdb_sec": d_total,
+        "ratio": round(s_total / d_total, 2) if d_total else None,
+        "spark_queries": spark_t,
+        "duckdb_queries": duck_t,
+    }
 
 
 if __name__ == "__main__":

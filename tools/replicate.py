@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Materialize an N-x replicated copy of a fixture dir as parquet.
+
+Spark's per-stage scheduling floor (~0.2-0.4 s/query) dominates timings on
+the ~15 MB sf0.1 fixtures, which says nothing about 100 TB behavior.  The
+replicated fixture multiplies the FACT tables 16x with shifted keys — join
+match rates and per-key cardinalities stay constant, so plans do 16x the
+useful work — letting the bench report the AMORTIZED Spark/DuckDB ratio at
+an operating point where per-row work, not stage latency, dominates.
+
+Key shifts keep referential pairs aligned (orders and lineitem shift
+l_orderkey/o_orderkey together); documents get a per-replica text suffix so
+dedup/minhash queries don't see 16 exact copies of every doc; dimension
+tables copy through unchanged (they stay broadcast-safe at any SF, like
+TPC-H dims).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SHIFT = 10_000_000
+
+_COPY = ("region", "nation", "customer", "supplier", "part")
+_MARKER = "_REPLICATED_OK"
+
+
+def _replicate(df: DataFrame, times: int, mutate) -> DataFrame:
+    parts = [mutate(df, i) for i in range(times)]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def replicate_fixture(
+    spark: SparkSession, src_dir: str, dst_dir: str, times: int = 16
+) -> str:
+    """Write the replicated fixture; returns dst_dir.  Idempotent per
+    (src, times): a marker file skips the rebuild on later bench runs."""
+    from coldata_spark.tables import load
+
+    marker = os.path.join(dst_dir, _MARKER)
+    stamp = f"{src_dir}|{times}"
+    if os.path.exists(marker) and open(marker).read() == stamp:
+        return dst_dir
+    os.makedirs(dst_dir, exist_ok=True)
+
+    def shift(col: str, step: int = SHIFT):
+        return lambda df, i: df.withColumn(col, F.col(col) + F.lit(i * step))
+
+    def docs_mutate(df, i):
+        df = df.withColumn("doc_id", F.col("doc_id") + F.lit(i * SHIFT))
+        if i:
+            # vary the tail so replicas aren't byte-identical documents
+            df = df.withColumn(
+                "text", F.concat(F.col("text"), F.lit(f" replica {i}"))
+            )
+        return df
+
+    def events_mutate(df, i):
+        return (
+            df.withColumn("event_id", F.col("event_id") + F.lit(i * 1_000_000_000))
+            .withColumn("user_id", F.col("user_id") + F.lit(i * SHIFT))
+        )
+
+    plans: dict[str, DataFrame] = {}
+    for t in _COPY:
+        plans[t] = load(spark, src_dir, t)
+    lineitem = load(spark, src_dir, "lineitem")
+    orders = load(spark, src_dir, "orders")
+    plans["lineitem"] = _replicate(lineitem, times, shift("l_orderkey"))
+    plans["orders"] = _replicate(orders, times, shift("o_orderkey"))
+    plans["documents"] = _replicate(load(spark, src_dir, "documents"), times, docs_mutate)
+    plans["events"] = _replicate(load(spark, src_dir, "events"), times, events_mutate)
+    plans["embeddings"] = _replicate(
+        load(spark, src_dir, "embeddings"), times, shift("vec_id")
+    )
+
+    for name, df in plans.items():
+        n_files = min(32, max(1, times // 2)) if name not in _COPY else 1
+        df.repartition(n_files).write.mode("overwrite").parquet(
+            os.path.join(dst_dir, f"{name}.parquet")
+        )
+    with open(marker, "w") as f:
+        f.write(stamp)
+    return dst_dir
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from coldata_spark.session import get_spark
+
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    dst = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.bench_cache/16x"
+    replicate_fixture(get_spark(app_name="replicate"), src, dst, times=16)
+    print(dst)
