@@ -1,0 +1,245 @@
+"""Training-data curation queries beyond the reference's surface: PII
+redaction, benchmark decontamination, repetition-based quality (the Gopher/
+C4-style filter family).  All pure column expressions / joins — no UDFs —
+with exact DuckDB oracles.
+
+Scale shapes: q94 is a per-row expression map (no shuffle); q95 is a
+broadcast-able join on n-gram keys (benchmark side is tiny by construction,
+like real decontamination where the benchmark suite is fixed); q96 is one
+groupBy(doc, bigram) with map-side combine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from coldata_spark.registry import register
+from coldata_spark.tables import load
+
+_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+_PHONE = "555-[0-9]{4}"
+_IP = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+
+
+@register(
+    "q94_pii_redact",
+    survey="T1,T8,ext-quality",
+    sql=f"""
+    WITH messy AS (
+        SELECT doc_id,
+               concat(substring(text, 1, 80),
+                      ' Contact user', CAST(doc_id AS VARCHAR),
+                      '@mail.example.com or 555-',
+                      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                      ' from 10.', CAST(doc_id % 256 AS VARCHAR), '.0.',
+                      CAST(doc_id % 100 AS VARCHAR)) AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_split_to_array(t, '{_EMAIL}')) - 1 AS n_emails,
+           len(regexp_split_to_array(t, '{_PHONE}')) - 1 AS n_phones,
+           len(regexp_split_to_array(
+               regexp_replace(t, '{_EMAIL}', '[EMAIL]', 'g'), '{_IP}')) - 1 AS n_ips,
+           regexp_replace(regexp_replace(regexp_replace(
+               t, '{_EMAIL}', '[EMAIL]', 'g'),
+                  '{_IP}', '[IP]', 'g'),
+                  '{_PHONE}', '[PHONE]', 'g') AS redacted
+    FROM messy
+    """,
+)
+def q94_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (emails / phone / IPv4) as pure JVM regex
+    expressions.  The fixture text is PII-free, so deterministic PII is
+    injected per doc, then counted and masked — counts via split-cardinality
+    so both engines agree exactly.  IPs are counted AFTER email masking so
+    an address's host octets can't double-count."""
+    docs = load(spark, sf_dir, "documents")
+    t = F.concat(
+        F.substring("text", 1, 80),
+        F.lit(" Contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."), (F.col("doc_id") % 100).cast("string"),
+    )
+
+    def n_matches(col, pat):
+        return (F.size(F.split(col, pat)) - 1).cast("long")
+
+    no_email = F.regexp_replace(t, _EMAIL, "[EMAIL]")
+    redacted = F.regexp_replace(
+        F.regexp_replace(no_email, _IP, "[IP]"), _PHONE, "[PHONE]"
+    )
+    return docs.select(
+        "doc_id",
+        n_matches(t, _EMAIL).alias("n_emails"),
+        n_matches(t, _PHONE).alias("n_phones"),
+        n_matches(no_email, _IP).alias("n_ips"),
+        redacted.alias("redacted"),
+    )
+
+
+@register(
+    "q95_decontaminate",
+    survey="V6,ext-ngram-jaccard,ext-quality",
+    sql="""
+    WITH bench AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents WHERE doc_id < 20
+    ),
+    cand AS (
+        SELECT c.doc_id,
+               CASE WHEN c.doc_id % 7 = 3
+                    THEN concat(c.text, ' ', array_to_string(b.w[1:8], ' '))
+                    ELSE c.text END AS t
+        FROM documents c JOIN bench b ON b.doc_id = c.doc_id % 20
+        WHERE c.doc_id >= 20
+    ),
+    bench_grams AS (
+        SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS gram
+        FROM bench, unnest(generate_series(1, greatest(0, len(w) - 7))) AS s(i)
+    ),
+    cand_grams AS (
+        SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS gram
+        FROM (SELECT doc_id, regexp_split_to_array(trim(t), '\\s+') AS w FROM cand),
+             unnest(generate_series(1, greatest(0, len(w) - 7))) AS s(i)
+    )
+    SELECT c.doc_id, count(*) AS n_shared_ngrams
+    FROM cand_grams c JOIN bench_grams b ON c.gram = b.gram
+    GROUP BY c.doc_id
+    """,
+)
+def q95_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any word 8-gram
+    with a (fixed, small) benchmark set — the standard eval-leak filter for
+    LLM corpora.  Contamination is injected by construction (docs ≡3 mod 7
+    get the first 8 benchmark words appended) so the filter provably fires.
+
+    Plan: benchmark gram set is tiny and broadcast; candidates explode to
+    grams map-side and hash-join — at 100 TB this is one scan + broadcast
+    join, no big-side shuffle before the per-doc count."""
+    from coldata_spark.tables import fan_out
+
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    bench = docs.filter(F.col("doc_id") < 20).select("doc_id", words.alias("w"))
+
+    # Spark's sequence(1, 0) yields [1, 0] (descending), unlike DuckDB's
+    # empty series — filter sub-8-word docs out before the transform (they
+    # produce no grams in either engine).
+    gram_expr = (
+        "transform(sequence(1, size(w) - 7),"
+        " i -> array_join(slice(w, i, 8), ' '))"
+    )
+    bench_grams = (
+        bench.filter(F.size("w") >= 8)
+        .select(F.explode(F.expr(gram_expr)).alias("gram"))
+        .distinct()
+    )
+
+    cand = (
+        fan_out(docs.filter(F.col("doc_id") >= 20))
+        .join(
+            F.broadcast(bench.select((F.col("doc_id")).alias("b_id"), "w")),
+            F.col("doc_id") % 20 == F.col("b_id"),
+        )
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 3,
+                F.concat(
+                    F.col("text"), F.lit(" "),
+                    F.array_join(F.slice(F.col("w"), 1, 8), " "),
+                ),
+            ).otherwise(F.col("text")).alias("t"),
+        )
+    )
+    cand_grams = (
+        cand.select("doc_id", F.split(F.trim(F.col("t")), r"\s+").alias("w"))
+        .filter(F.size("w") >= 8)
+        .select("doc_id", F.explode(F.expr(gram_expr)).alias("gram"))
+        .distinct()
+    )
+    return (
+        cand_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_ngrams"))
+    )
+
+
+@register(
+    "q96_repetition_quality",
+    survey="ext-quality,ext-tokens,A5",
+    sql="""
+    WITH w AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+        FROM documents
+    ),
+    bi AS (
+        SELECT doc_id,
+               concat(words[i], ' ', words[i+1]) AS bigram
+        FROM w, unnest(generate_series(1, greatest(0, len(words) - 1))) AS s(i)
+    ),
+    counts AS (
+        SELECT doc_id, bigram, count(*) AS n FROM bi GROUP BY doc_id, bigram
+    ),
+    top AS (
+        SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+               CAST(max(n) AS BIGINT) AS top_bigram_n
+        FROM counts GROUP BY doc_id
+    ),
+    ttr AS (
+        SELECT doc_id,
+               CAST(len(words) AS BIGINT) AS n_words,
+               CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct_words
+        FROM w
+    )
+    SELECT t.doc_id, ttr.n_words, ttr.n_distinct_words, t.n_bigrams, t.top_bigram_n,
+           floor(t.top_bigram_n * 1e6 / t.n_bigrams) / 1e6 AS top_bigram_frac,
+           floor(ttr.n_distinct_words * 1e6 / ttr.n_words) / 1e6 AS type_token_ratio
+    FROM top t JOIN ttr ON t.doc_id = ttr.doc_id
+    """,
+)
+def q96_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (the Gopher filter family): most
+    frequent word-bigram share and type-token ratio per document.  Fractions
+    use floor-truncation (IEEE-identical across engines) per the repo's
+    oracle-parity rules.  One groupBy(doc, bigram) shuffle with map-side
+    combine; the TTR side is pure in-expression (array_distinct)."""
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    w = docs.select("doc_id", words.alias("words"))
+    bi = w.filter(F.size("words") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(words) - 1),"
+                " i -> concat(words[i-1], ' ', words[i]))"
+            )
+        ).alias("bigram"),
+    )
+    top = (
+        bi.groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("n"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_bigrams"),
+            F.max("n").cast("long").alias("top_bigram_n"),
+        )
+    )
+    ttr = w.select(
+        "doc_id",
+        F.size("words").cast("long").alias("n_words"),
+        F.size(F.array_distinct("words")).cast("long").alias("n_distinct_words"),
+    )
+    frac = F.floor(F.col("top_bigram_n") * 1e6 / F.col("n_bigrams")) / 1e6
+    tt = F.floor(F.col("n_distinct_words") * 1e6 / F.col("n_words")) / 1e6
+    return (
+        top.join(ttr, "doc_id")
+        .select(
+            "doc_id", "n_words", "n_distinct_words", "n_bigrams", "top_bigram_n",
+            frac.alias("top_bigram_frac"),
+            tt.alias("type_token_ratio"),
+        )
+    )

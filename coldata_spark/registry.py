@@ -143,6 +143,7 @@ def _ensure_loaded() -> None:
     global _loaded
     if _loaded:
         return
+    from coldata_spark.queries import curation_queries  # noqa: F401
     from coldata_spark.queries import events_queries  # noqa: F401
     from coldata_spark.queries import multimodal_queries  # noqa: F401
     from coldata_spark.queries import relational  # noqa: F401
