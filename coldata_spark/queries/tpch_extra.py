@@ -695,3 +695,209 @@ def q78_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lines"),
         )
     )
+
+
+@register(
+    "q97_profit_by_nation_year",
+    survey="J1,A5,P3",
+    sql="""
+    SELECT nation, o_year, round(sum(amount), 2) AS profit
+    FROM (
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               l_extendedprice * (1 - l_discount)
+                 - p_retailprice * l_quantity * 0.1 AS amount
+        FROM lineitem
+        JOIN part     ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%red%'
+    )
+    GROUP BY nation, o_year
+    """,
+)
+def q97_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped product-type profit by (supplier nation, order year).
+    The fixture has no partsupp, so supply cost is proxied by
+    p_retailprice * qty * 0.1 — same 4-way join + two-key rollup shape.
+
+    part/supplier/nation broadcast; the only shuffle is lineitem-orders on
+    orderkey and the final small group-by."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    supp = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * 0.1
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 2).alias("profit"))
+    )
+
+
+@register(
+    "q98_important_suppliers",
+    survey="J1,A5,P5",
+    sql="""
+    WITH vals AS (
+        SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS value
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_1'
+        GROUP BY l_suppkey
+    )
+    SELECT l_suppkey AS s_suppkey, round(value, 2) AS value
+    FROM vals
+    WHERE value > (SELECT sum(value) * 0.01 FROM vals)
+    """,
+)
+def q98_important_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped important-stock scan: per-supplier value within one
+    nation, kept only when above a fraction of that nation's TOTAL value
+    (scalar subquery over the same aggregation).
+
+    The per-supplier aggregate is computed once and reused for the global
+    scalar (broadcast 1-row cross join — the repo's gated scalar pattern),
+    so the fact table is scanned a single time."""
+    li = load(spark, sf_dir, "lineitem")
+    nat = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    supp = load(spark, sf_dir, "supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    vals = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "value"
+            )
+        )
+    )
+    threshold = vals.agg((F.sum("value") * 0.01).alias("_thr"))
+    return (
+        vals.crossJoin(F.broadcast(threshold))
+        .filter(F.col("value") > F.col("_thr"))
+        .select(
+            F.col("l_suppkey").alias("s_suppkey"),
+            F.round("value", 2).alias("value"),
+        )
+    )
+
+
+@register(
+    "q99_brand_supplier_counts",
+    survey="J3,A1,A5",
+    sql="""
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_size IN (1, 2, 3, 4, 5)
+      AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q99_brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped supplier diversity count: distinct suppliers per
+    (brand, type, size) excluding blacklisted suppliers (negative account
+    balance proxies Q16's complaint filter; fixture has no partsupp, so
+    lineitem supplies the part-supplier relation).
+
+    Blacklist is an anti-join against a tiny broadcast side; the distinct
+    count shuffles (brand, type, size, suppkey) once."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_size").isin(1, 2, 3, 4, 5))
+    bad = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q100_late_suppliers",
+    survey="J3,J4,A5,W1",
+    sql="""
+    WITH late AS (
+        SELECT l_orderkey, l_suppkey
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+    )
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM late l1
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+            SELECT 1 FROM late l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q100_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped suppliers-who-kept-orders-waiting: the hardest
+    classic shape (EXISTS + NOT EXISTS self-joins on the fact table).
+    'Late' adapts to the fixture as shipping >90 days after the order date.
+
+    Spark-first: both correlated subqueries become semi/anti self-joins on
+    orderkey with a supplier-inequality residual; the late set is computed
+    once.  Final is a tiny group-by + deterministic top-20."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    supp = load(spark, sf_dir, "supplier")
+    late = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    waiting = (
+        late.join(
+            l2,
+            (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("o3")) & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )
