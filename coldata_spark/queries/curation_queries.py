@@ -29,11 +29,11 @@ _IP = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
     WITH messy AS (
         SELECT doc_id,
                concat(substring(text, 1, 80),
-                      ' Contact user', CAST(doc_id AS VARCHAR),
+                      ' Contact user', CAST(doc_id AS VARCHAR(20)),
                       '@mail.example.com or 555-',
-                      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
-                      ' from 10.', CAST(doc_id % 256 AS VARCHAR), '.0.',
-                      CAST(doc_id % 100 AS VARCHAR)) AS t
+                      lpad(CAST(doc_id % 10000 AS VARCHAR(20)), 4, '0'),
+                      ' from 10.', CAST(doc_id % 256 AS VARCHAR(20)), '.0.',
+                      CAST(doc_id % 100 AS VARCHAR(20))) AS t
         FROM documents
     )
     SELECT doc_id,
@@ -242,4 +242,172 @@ def q96_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             frac.alias("top_bigram_frac"),
             tt.alias("type_token_ratio"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + crawl-frontier dedup
+# ---------------------------------------------------------------------------
+
+# Deterministic messy-URL synthesis: the fixture has no URL column, so each
+# doc derives one from (doc_id, source) with case-variant scheme/host, a
+# default port, tracking params in varying order, an optional trailing slash
+# and an optional fragment — every variant class canonicalize_url() must
+# collapse.  Docs sharing (source, doc_id % 40) collapse to one canonical URL.
+_MESSY_URL_SQL = """
+    concat(
+        CASE WHEN doc_id % 5 = 0 THEN 'HTTPS' ELSE 'https' END, '://',
+        CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END,
+        '.Example.com',
+        CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END,
+        '/Docs/', CAST(doc_id % 40 AS VARCHAR(20)),
+        CASE WHEN doc_id % 4 = 1 THEN '/' ELSE '' END,
+        CASE doc_id % 3
+             WHEN 0 THEN concat('?utm_source=feed&id=', CAST(doc_id % 40 AS VARCHAR(20)))
+             WHEN 1 THEN concat('?id=', CAST(doc_id % 40 AS VARCHAR(20)), '&utm_campaign=x')
+             ELSE concat('?id=', CAST(doc_id % 40 AS VARCHAR(20))) END,
+        CASE WHEN doc_id % 4 = 1 THEN '#section-2' ELSE '' END
+    )
+"""
+
+
+def _q101_sql() -> str:
+    from coldata_spark.functions.url import canonicalize_url_sql
+
+    return f"""
+    WITH urls AS (
+        SELECT doc_id, source, {_MESSY_URL_SQL} AS url FROM documents
+    )
+    SELECT {canonicalize_url_sql("url")} AS canonical_url,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_variants,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc
+    FROM urls
+    GROUP BY 1
+    """
+
+
+@register("q101_url_canonical_dedup", survey="S1,A1,ext-url-dedup", sql=_q101_sql())
+def q101_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier URL dedup: canonicalize (case, default port, fragment,
+    tracking params, param order, trailing slash) then group — the equality
+    dedup the reference crawler does on raw link strings
+    (reference crawler.py:39-50), made safe for web-scale variant URLs.
+
+    Plan: canonicalization is pure map-side codegen; the groupBy(canonical)
+    is the only shuffle, with map-side combine.  At 100 TB the frontier
+    dedup becomes exactly this shape plus a bloom/state store."""
+    from coldata_spark.functions.url import canonicalize_url
+
+    docs = load(spark, sf_dir, "documents")
+    urls = docs.select(
+        "doc_id", "source", F.expr(_MESSY_URL_SQL).alias("url")
+    )
+    return (
+        urls.select("doc_id", "url", canonicalize_url(F.col("url")).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").cast("long").alias("n_urls"),
+            F.count_distinct("url").cast("long").alias("n_variants"),
+            F.min("doc_id").cast("long").alias("keep_doc"),
+        )
+    )
+
+
+_BLOCKED_SOURCES = ("src3", "src7", "src11", "src15")
+
+
+@register(
+    "q102_domain_blocklist",
+    survey="J3,A5,ext-quality",
+    sql=f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE source NOT IN {_BLOCKED_SOURCES!r}
+    GROUP BY lang
+    """,
+)
+def q102_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain blocklist filter: drop documents whose source domain is on a
+    curated blocklist (spam/adult/boilerplate domains in a real pipeline),
+    then summarize the surviving corpus per language.
+
+    Plan: the blocklist is a tiny dimension — broadcast LEFT ANTI join, so
+    the 100 TB fact side never shuffles; the per-lang rollup has map-side
+    combine.  A real deployment swaps the inline list for a table scan of
+    the same shape."""
+    docs = load(spark, sf_dir, "documents")
+    blocklist = spark.createDataFrame(
+        [(s,) for s in _BLOCKED_SOURCES], "source string"
+    )
+    return (
+        docs.join(F.broadcast(blocklist), "source", "left_anti")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+_STOPWORDS = "('the','a','of','and','to','in','is','it')"
+
+
+@register(
+    "q103_quality_classifier",
+    survey="ext-quality,A5",
+    sql=f"""
+    WITH feat AS (
+        SELECT doc_id,
+               greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1) AS n_words,
+               len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                               w -> w IN {_STOPWORDS})) AS n_stop,
+               length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
+               greatest(length(text), 1) AS n_chars_txt
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_stop * 1000000 // n_words AS BIGINT) AS stop_micro,
+           CAST(n_digits * 1000000 // n_chars_txt AS BIGINT) AS digit_micro,
+           CAST(-800000 + 3 * (n_stop * 1000000 // n_words)
+                - 2 * (n_digits * 1000000 // n_chars_txt)
+                + least(n_words, 1000) * 500 AS BIGINT) AS logit_micro,
+           (-800000 + 3 * (n_stop * 1000000 // n_words)
+                - 2 * (n_digits * 1000000 // n_chars_txt)
+                + least(n_words, 1000) * 500) > 0 AS kept
+    FROM feat
+    """,
+)
+def q103_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality classifier (fastText-style score, integer-quantized):
+    stopword fraction, digit fraction and length feed fixed micro-unit
+    weights; docs with positive logit are kept.  All-integer arithmetic so
+    both engines agree bit-exactly (no libm, no fp association drift).
+
+    Plan: pure per-row expressions, zero shuffle — at 100 TB this is a
+    map-only scan whose predicate (kept) pushes into downstream filters.
+    Real model weights would arrive as a broadcast array with the same
+    shape."""
+    docs = load(spark, sf_dir, "documents")
+    feat = docs.selectExpr(
+        "doc_id",
+        "greatest(size(split(trim(text), '\\\\s+')), 1) AS n_words",
+        f"size(filter(split(trim(text), '\\\\s+'), w -> w IN {_STOPWORDS})) AS n_stop",
+        "length(text) - length(regexp_replace(text, '[0-9]', '')) AS n_digits",
+        "greatest(length(text), 1) AS n_chars_txt",
+    )
+    return feat.selectExpr(
+        "doc_id",
+        "CAST(n_words AS BIGINT) AS n_words",
+        "CAST(n_stop * 1000000 div n_words AS BIGINT) AS stop_micro",
+        "CAST(n_digits * 1000000 div n_chars_txt AS BIGINT) AS digit_micro",
+        "CAST(-800000 + 3 * (n_stop * 1000000 div n_words)"
+        " - 2 * (n_digits * 1000000 div n_chars_txt)"
+        " + least(n_words, 1000) * 500 AS BIGINT) AS logit_micro",
+        "(-800000 + 3 * (n_stop * 1000000 div n_words)"
+        " - 2 * (n_digits * 1000000 div n_chars_txt)"
+        " + least(n_words, 1000) * 500) > 0 AS kept",
     )

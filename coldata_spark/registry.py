@@ -42,7 +42,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # Vector / ANN layer (kNN, IVF, PQ, embedding, hybrid) — reference vdb.py
     "q30_knn_cosine_topk",
     "q31_search_group_best",
-    "q32_embedding_neardup",
     "q33_centroid_assign",
     "q34_knn_l2_topk",
     "q35_ann_ivf_search",
@@ -73,6 +72,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q81_train_test_split",
     "q84_tfidf_top_terms",
     "q87_corpus_curation",
+    "q101_url_canonical_dedup",
+    "q103_quality_classifier",
     # Events / time-series layer
     "q40_events_hourly",
     "q41_events_json_props",
@@ -91,7 +92,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q05_customers_with_urgent_orders",
     "q06_kaggle_style_left_joins",
     "q13_scalar_functions",
-    "q15_filtered_page",
     "q57_shipmode_priority_matrix",
     "q73_merge_upsert",
     "q92_bag_set_ops",
