@@ -411,3 +411,146 @@ def q103_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         " - 2 * (n_digits * 1000000 div n_chars_txt)"
         " + least(n_words, 1000) * 500) > 0 AS kept",
     )
+
+
+_PACK_CAP = 4096  # tokens per training sequence
+_PACK_GROUPS = 32  # parallel packing streams
+
+
+@register(
+    "q104_sequence_packing",
+    survey="W2,ext-tokens",
+    sql=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               doc_id % {_PACK_GROUPS} AS pack_group,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(pack_group AS BIGINT) AS pack_group,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(coalesce(sum(n_tokens) OVER (
+               PARTITION BY pack_group ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS start_tok,
+           CAST(coalesce(sum(n_tokens) OVER (
+               PARTITION BY pack_group ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               // {_PACK_CAP} AS BIGINT) AS pack_id
+    FROM toks
+    """,
+)
+def q104_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: concatenate documents in deterministic
+    order and split the token stream into fixed-capacity training sequences
+    (docs may span a boundary, as in standard concat-and-chunk pretraining).
+    Each doc gets its global start offset and the pack (sequence) its first
+    token lands in.
+
+    Plan: packing runs in {_PACK_GROUPS} independent hash-bucketed streams —
+    the running-sum window partitions by pack_group, so no global ordering
+    bottleneck; at 100 TB pack_group scales with the cluster and each stream
+    stays a single-pass window."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_GROUPS).alias("pack_group"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return toks.select(
+        "doc_id",
+        F.col("pack_group").cast("long").alias("pack_group"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        start.cast("long").alias("start_tok"),
+        F.expr(
+            f"CAST(coalesce(sum(n_tokens) OVER ("
+            f"  PARTITION BY pack_group ORDER BY doc_id"
+            f"  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+            f"  div {_PACK_CAP} AS BIGINT)"
+        ).alias("pack_id"),
+    )
+
+
+_RESAMPLE_C = 0.2  # base acceptance rate; scaled by p_lang^-0.5
+
+
+@register(
+    "q105_temperature_resample",
+    survey="A5,ext-quality",
+    sql=f"""
+    WITH stats AS (
+        SELECT lang, count(*) AS n_lang,
+               (SELECT count(*) FROM documents) AS n_total
+        FROM documents GROUP BY lang
+    ),
+    rates AS (
+        SELECT lang, n_lang,
+               CAST(floor(least(
+                   1.0, {_RESAMPLE_C} * sqrt(CAST(n_total AS DOUBLE) / n_lang)
+               ) * 1000000) AS BIGINT) AS keep_micro
+        FROM stats
+    )
+    SELECT d.lang,
+           CAST(r.keep_micro AS BIGINT) AS keep_micro,
+           CAST(count(*) AS BIGINT) AS n_orig,
+           CAST(count(*) FILTER (
+               WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR(20))), 1, 8))::BIGINT
+                     % 1000000 < r.keep_micro) AS BIGINT) AS n_kept
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    GROUP BY d.lang, r.keep_micro
+    """,
+)
+def q105_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multilingual temperature resampling (alpha = 0.5): accept each doc
+    with rate C * p_lang^-0.5, flattening the language distribution the way
+    multilingual pretraining corpora are rebalanced.  Acceptance is a
+    deterministic md5-bucket threshold (stable across runs/engines/
+    partitionings); sqrt is IEEE-correctly-rounded in both engines, and the
+    rate is floor-quantized to integer micro-units before comparison.
+
+    Plan: per-lang rates are a tiny aggregate — broadcast-joined back, so
+    the 100 TB side computes hash + compare map-side; the only wide op is
+    the per-lang rollup with map-side combine."""
+    docs = load(spark, sf_dir, "documents")
+    total = docs.agg(F.count("*").alias("n_total"))  # 1-row scalar, broadcast
+    rates = (
+        docs.groupBy("lang")
+        .agg(F.count("*").alias("n_lang"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            F.floor(
+                F.least(
+                    F.lit(1.0),
+                    _RESAMPLE_C
+                    * F.sqrt(F.col("n_total").cast("double") / F.col("n_lang")),
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("keep_micro"),
+        )
+    )
+    h = F.expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)"
+        " % 1000000"
+    )
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .select("lang", "keep_micro", (h < F.col("keep_micro")).alias("keep"))
+        .groupBy("lang", "keep_micro")
+        .agg(
+            F.count("*").cast("long").alias("n_orig"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        )
+        .select("lang", "keep_micro", "n_orig", "n_kept")
+    )
