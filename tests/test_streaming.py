@@ -261,3 +261,58 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir, events_dir, tmp
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_vector_ingest_exactly_once(spark, sf_dir, tmp_path):
+    """streaming/vectors.py: periodic availableNow runs grow the IVF index
+    incrementally; a restart with an unchanged source appends NOTHING
+    (checkpoint exactly-once), and files arriving between runs are picked
+    up by the next run."""
+    from pyspark.sql import functions as F
+
+    from coldata_spark.operators import ivf
+    from coldata_spark.streaming import vectors as SV
+    from coldata_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    late = emb.filter(F.col("vec_id") % 3 == 0)
+    n_base, n_late = base.count(), late.count()
+
+    assigned, centroids = ivf.build_ivf(base, nlist=4)
+    index = str(tmp_path / "vec_index")
+    ivf.write_ivf(assigned, index)
+
+    in_dir = tmp_path / "vec_incoming"
+    in_dir.mkdir()
+    ckpt = str(tmp_path / "vec_ckpt")
+    first = late.filter(F.col("vec_id") % 2 == 0)
+    second = late.filter(F.col("vec_id") % 2 == 1)
+    first.write.parquet(str(in_dir / "drop0"))
+
+    src = str(in_dir) + "/*"
+    SV.stream_vector_ingest(
+        SV.read_vectors_stream(spark, src), centroids, index, ckpt
+    )
+    assert spark.read.parquet(index).count() == n_base + first.count()
+
+    # restart with no new files: exactly-once means zero re-appends
+    SV.stream_vector_ingest(
+        SV.read_vectors_stream(spark, src), centroids, index, ckpt
+    )
+    assert spark.read.parquet(index).count() == n_base + first.count()
+
+    # a new drop between runs is absorbed by the next run
+    second.write.parquet(str(in_dir / "drop1"))
+    SV.stream_vector_ingest(
+        SV.read_vectors_stream(spark, src), centroids, index, ckpt
+    )
+    assert spark.read.parquet(index).count() == n_base + n_late
+
+    # an appended vector is immediately searchable as its own 1-NN
+    target = late.orderBy("vec_id").first()
+    qdf = spark.createDataFrame(
+        [(0, [float(x) for x in target.embedding])], "q_id long, q_vec array<double>"
+    )
+    hits = ivf.search_ivf(spark, index, qdf, centroids, k=1, nprobe=4).collect()
+    assert hits and hits[0].vec_id == target.vec_id
