@@ -181,3 +181,82 @@ class TestMergeUpsertModel:
             got_df = merge_upsert(mk(existing_d), mk(updates_d), pk="pk")
         got = {r["pk"]: r["val"] for r in got_df.collect()}
         assert got == want
+
+
+class TestUrlCanonicalize:
+    """canonicalize_url vs an independent Python re-implementation, plus the
+    canonicalization laws: idempotence and variant-insensitivity."""
+
+    TRACKING = re.compile(r"^(utm_|fbclid=|gclid=|ref=)")
+
+    @classmethod
+    def ref(cls, url: str) -> str:
+        m_scheme = re.match(r"^([A-Za-z]+)://", url)
+        scheme = (m_scheme.group(1) if m_scheme else "").lower()
+        m_host = re.match(r"^[A-Za-z]+://([^/?#]+)", url)
+        host = (m_host.group(1) if m_host else "").lower()
+        host = re.sub(r":443$|:80$", "", host)
+        m_path = re.match(r"^[A-Za-z]+://[^/?#]+([^?#]*)", url)
+        path = re.sub(r"/+$", "", m_path.group(1) if m_path else "") or "/"
+        m_qs = re.search(r"\?([^#]*)", url)
+        qs = m_qs.group(1) if m_qs else ""
+        params = sorted(
+            p for p in qs.split("&") if p != "" and not cls.TRACKING.match(p)
+        )
+        query = "?" + "&".join(params) if params else ""
+        return f"{scheme}://{host}{path}{query}"
+
+    @st.composite
+    @staticmethod
+    def messy_urls(draw):
+        scheme = draw(st.sampled_from(["http", "https", "HTTP", "HTTPS", "hTtPs"]))
+        word = st.text(
+            alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+            min_size=1,
+            max_size=8,
+        )
+        host = ".".join(draw(st.lists(word, min_size=1, max_size=3)))
+        port = draw(st.sampled_from(["", ":80", ":443", ":8080"]))
+        path = "".join("/" + draw(word) for _ in range(draw(st.integers(0, 3))))
+        slash = draw(st.sampled_from(["", "/"]))
+        keys = st.sampled_from(["id", "page", "q", "utm_source", "utm_campaign", "ref"])
+        params = [
+            f"{draw(keys)}={draw(word)}" for _ in range(draw(st.integers(0, 4)))
+        ]
+        qs = "?" + "&".join(params) if params else ""
+        frag = draw(st.sampled_from(["", "#top", "#sec-2"]))
+        return f"{scheme}://{host}{port}{path}{slash}{qs}{frag}"
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.lists(messy_urls(), min_size=1, max_size=20))
+    def test_matches_python_reference(self, spark, batch):
+        from coldata_spark.functions.url import canonicalize_url
+
+        got = spark_batch_eval(spark, canonicalize_url, batch)
+        assert got == [self.ref(u) for u in batch]
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.lists(messy_urls(), min_size=1, max_size=20))
+    def test_idempotent(self, spark, batch):
+        from coldata_spark.functions.url import canonicalize_url
+
+        once = spark_batch_eval(spark, canonicalize_url, batch)
+        twice = spark_batch_eval(spark, canonicalize_url, once)
+        assert twice == once
+
+    @settings(max_examples=15, deadline=None)
+    @given(messy_urls())
+    def test_variants_collapse(self, spark, url):
+        """Adding a fragment, default port, or tracking param never changes
+        the canonical form."""
+        from coldata_spark.functions.url import canonicalize_url
+
+        base = re.sub(r"#.*$", "", url)
+        has_qs = "?" in base
+        variants = [
+            base + "#anywhere",
+            base + ("&" if has_qs else "?") + "utm_source=news",
+            base + ("&" if has_qs else "?") + "fbclid=abc123",
+        ]
+        got = spark_batch_eval(spark, canonicalize_url, [base] + variants)
+        assert all(g == got[0] for g in got[1:])
