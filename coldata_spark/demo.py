@@ -1,7 +1,13 @@
-"""Search demo CLI — the reference's demo surface (demo.py Gradio textbox +
-main.py:44-58 ranked printout) as a command line:
+"""Search demo — the reference's demo surface (demo.py Gradio textbox +
+main.py:44-58 ranked printout) as a command line and an optional web UI:
 
     python -m coldata_spark.demo "time series sensor data" "image dataset"
+    python -m coldata_spark.demo --serve --port 7860   # interactive UI
+
+``--serve`` uses Gradio when installed (the reference's exact surface,
+demo.py:1-20); in environments without it, a dependency-free stdlib
+http.server fallback serves the same search form, so the interactive
+surface always exists.
 
 Builds (or reuses) an IVF index over the documents fixture, embeds the
 queries, searches, and prints ranked results with previews.  Pass
@@ -12,13 +18,98 @@ queries, searches, and prints ranked results with previews.  Pass
 from __future__ import annotations
 
 import argparse
+import html as _html
 import os
 import tempfile
 
 
+def _search_rows(spark, idx, docs, query: str, k: int, nprobe):
+    """One query -> list of (rank, doc_id, score, preview) tuples."""
+    from coldata_spark import search as S
+
+    rows = S.search(spark, idx, docs, [query], k=k, nprobe=nprobe).collect()
+    return [
+        (r.rank, r.doc_id, float(r.score), r.preview)
+        for r in sorted(rows, key=lambda r: r.rank)
+    ]
+
+
+def serve(spark, idx, docs, k: int, nprobe, port: int, block: bool = True):
+    """Interactive search UI: Gradio when available, stdlib HTTP otherwise.
+
+    Returns the running server object (Gradio app or http.server instance);
+    with ``block=False`` the stdlib server runs on a daemon thread (used by
+    tests to drive the UI end-to-end).
+    """
+    try:
+        import gradio  # type: ignore
+
+        def gr_fn(query: str):
+            return [
+                {"rank": rk, "doc_id": d, "score": s, "preview": p[:160]}
+                for rk, d, s, p in _search_rows(spark, idx, docs, query, k, nprobe)
+            ]
+
+        app = gradio.Interface(
+            fn=gr_fn,
+            inputs=gradio.Textbox(label="search the corpus"),
+            outputs=gradio.JSON(label="ranked results"),
+            title="coldata_spark dataset search",
+        )
+        app.launch(server_port=port, prevent_thread_lock=not block)
+        return app
+    except ImportError:
+        pass
+
+    import http.server
+    import threading
+    import urllib.parse
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet test runs
+            pass
+
+        def do_GET(self):
+            q = urllib.parse.parse_qs(
+                urllib.parse.urlparse(self.path).query
+            ).get("q", [""])[0]
+            rows = (
+                _search_rows(spark, idx, docs, q, k, nprobe) if q.strip() else []
+            )
+            body = [
+                "<html><body><h1>coldata_spark dataset search</h1>",
+                '<form method="get"><input name="q" value="{}" size="60"/>'
+                "<button>search</button></form>".format(_html.escape(q, quote=True)),
+            ]
+            if rows:
+                body.append("<ol>")
+                body.extend(
+                    f"<li>doc {d} (score {s:.4f}): {_html.escape(p[:160])}</li>"
+                    for _rk, d, s, p in rows
+                )
+                body.append("</ol>")
+            body.append("</body></html>")
+            payload = "".join(body).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", port), Handler)
+    if block:
+        print(f"serving on http://127.0.0.1:{srv.server_address[1]}/")
+        srv.serve_forever()
+    else:
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description="coldata_spark dataset search demo")
-    ap.add_argument("queries", nargs="+", help="free-text search queries")
+    ap.add_argument("queries", nargs="*", help="free-text search queries")
+    ap.add_argument("--serve", action="store_true", help="run the web UI")
+    ap.add_argument("--port", type=int, default=7860, help="web UI port")
     ap.add_argument(
         "--sf-dir", default="/root/testdata/sf0.001", help="fixture directory"
     )
@@ -47,6 +138,12 @@ def main() -> None:
         stored = spark.read.parquet(index_dir)
         _, centroids = _ivf.build_ivf(stored.drop("centroid_id"), nlist=8)
         idx = S.SearchIndex(path=index_dir, centroids=centroids, nlist=8)
+
+    if args.serve:
+        serve(spark, idx, docs, args.k, args.nprobe, args.port)
+        return
+    if not args.queries:
+        ap.error("provide queries, or --serve for the web UI")
 
     results = S.search(
         spark, idx, docs, args.queries, k=args.k, nprobe=args.nprobe
