@@ -355,13 +355,33 @@ def q46_record_to_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q47_simhash", survey="V6,ext-simhash", sql=None)
+@register(
+    "q47_simhash",
+    survey="V6,ext-simhash",
+    sql="""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents
+    ),
+    bits AS (
+        SELECT doc_id, j,
+               sum(CASE WHEN ((('0x' || substring(md5(tok), 1, 8))::BIGINT >> j) & 1) = 1
+                        THEN 1 ELSE -1 END) AS s
+        FROM toks, unnest(generate_series(0, 31)) AS g(j)
+        GROUP BY doc_id, j
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT)
+               AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
 def q47_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash document signatures (rows-only: 64-bit bit-twiddling has no
-    clean ANSI-SQL twin; determinism + hamming-locality are asserted in
-    unit tests).  Per token: md5 -> 32-bit value; bit j contributes +1/-1;
-    signature bit j = sign of the sum.  All JVM expressions: explode ->
-    conditional sums -> bit pack; one shuffle with map-side partials."""
+    """SimHash document signatures.  Per token: md5 -> 32-bit value; bit j
+    contributes +1/-1; signature bit j = sign of the sum.  All JVM
+    expressions: explode -> conditional sums -> bit pack; one shuffle with
+    map-side partials.  The oracle rebuilds the same bit math with DuckDB
+    integer shifts over an unnested (token x bit) grid."""
     from coldata_spark.operators.dedup import simhash_signatures
 
     return simhash_signatures(load(spark, sf_dir, "documents"), "text", "doc_id")
@@ -410,12 +430,71 @@ def q55_chunk_parent_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q59_dedup_groups", survey="V6,ext-minhash-lsh", sql=None)
+@register(
+    "q59_dedup_groups",
+    survey="V6,ext-minhash-lsh",
+    sql="""
+    WITH RECURSIVE sig AS (
+        SELECT doc_id, seed,
+               min((h1 + seed * h2) % 4294967296) AS minhash
+        FROM (
+            SELECT doc_id,
+                   ('0x' || substring(md5(shingle), 1, 8))::BIGINT AS h1,
+                   ('0x' || substring(md5(shingle), 9, 8))::BIGINT AS h2
+            FROM (
+                SELECT DISTINCT doc_id, substring(text, i, 5) AS shingle
+                FROM documents, unnest(generate_series(1,
+                     greatest(1, length(text) - 4))) AS t(i)
+            )
+        ), unnest(generate_series(0, 7)) AS s(seed)
+        GROUP BY doc_id, seed
+    ),
+    banded AS (
+        SELECT doc_id, cast(floor(seed / 2) AS INT) AS band,
+               string_agg(cast(minhash AS VARCHAR), '|' ORDER BY seed) AS band_key
+        FROM sig GROUP BY doc_id, cast(floor(seed / 2) AS INT)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    est AS (
+        SELECT c.doc_a, c.doc_b,
+               round(avg(CASE WHEN sa.minhash = sb.minhash THEN 1.0 ELSE 0.0 END), 6)
+                   AS est_jaccard
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.doc_a
+        JOIN sig sb ON sb.doc_id = c.doc_b AND sb.seed = sa.seed
+        GROUP BY c.doc_a, c.doc_b
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM est WHERE est_jaccard >= 0.75
+        UNION
+        SELECT doc_b, doc_a FROM est WHERE est_jaccard >= 0.75
+    ),
+    reach(src, dst) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    labels AS (
+        SELECT src AS id, least(src, min(dst)) AS component
+        FROM reach GROUP BY src
+    )
+    SELECT doc_id, source, n_chars
+    FROM documents
+    WHERE doc_id NOT IN (SELECT id FROM labels WHERE id > component)
+    """,
+)
 def q59_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full near-dup dedup pipeline (rows-only: iterative connected
-    components are not single-statement SQL): minhash-LSH candidate pairs
+    """Full near-dup dedup pipeline: minhash-LSH candidate pairs
     -> min-label-propagation components -> corpus with dup groups collapsed
-    to their keeper.  Returns survivor count + ids for stable checking."""
+    to their keeper.  The Spark side iterates label propagation to a
+    fixpoint (one shuffle per round, O(diameter) rounds); the oracle
+    reaches the same fixpoint declaratively with a recursive CTE computing
+    min reachable id per member."""
     from coldata_spark.operators.dedup import dedup_keepers
 
     docs = load(spark, sf_dir, "documents")
