@@ -554,3 +554,46 @@ def q105_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("lang", "keep_micro", "n_orig", "n_kept")
     )
+
+
+_N_SHARDS = 16
+
+
+@register(
+    "q106_shard_assignment",
+    survey="A5",
+    sql=f"""
+    SELECT ('0x' || substring(md5(CAST(doc_id AS VARCHAR(20))), 1, 8))::BIGINT
+               % {_N_SHARDS} AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q106_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delivery-shard audit: the md5-bucket shard assignment used by
+    export_jsonl_shards (sources/io.py), summarized per shard.  Because the
+    assignment is a deterministic key hash, any engine can recompute shard
+    membership — this query IS that audit, and its oracle proves the
+    cross-engine agreement.
+
+    Plan: map-side hash + one combine-aggregated groupBy over n_shards
+    groups; at 100 TB the shuffle carries n_shards rows per task."""
+    docs = load(spark, sf_dir, "documents")
+    shard = F.expr(
+        f"cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)"
+        f" as bigint) % {_N_SHARDS}"
+    )
+    return (
+        docs.select(shard.alias("shard"), "doc_id", "n_chars")
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+        )
+    )

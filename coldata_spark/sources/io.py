@@ -134,3 +134,36 @@ def read_parquet_merged_schema(spark: SparkSession, path: str) -> DataFrame:
     nulls — the reference's schemaless document store (mongodb.py:29-41
     infers per-key type sets) mapped onto parquet's additive evolution."""
     return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def export_jsonl_shards(
+    df: DataFrame, path: str, n_shards: int = 16, key_col: str = "doc_id"
+) -> int:
+    """Training-data delivery: write the corpus as ``n_shards`` JSONL shard
+    directories (``shard=K/``), the layout dataloaders stream round-robin.
+
+    Shard assignment is an md5 bucket of the key — deterministic across
+    runs/engines/partitionings (unlike rand()/monotonically_increasing_id),
+    so re-exports are reproducible and shard membership is auditable
+    (q106's oracle recomputes it).  One repartition by shard co-locates
+    each shard's rows into its own output task; at 100 TB bump n_shards so
+    each shard lands near the dataloader's preferred file size.
+
+    Returns the number of shard directories written.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    shard = F.expr(
+        f"cast(conv(substring(md5(cast({key_col} as string)), 1, 8), 16, 10)"
+        f" as bigint) % {n_shards}"
+    ).alias("shard")
+    (
+        df.withColumn("shard", shard)
+        .repartition(n_shards, "shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .json(path)
+    )
+    return len([d for d in os.listdir(path) if d.startswith("shard=")])

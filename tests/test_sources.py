@@ -124,3 +124,31 @@ def test_ignore_corrupt_files_read(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
     assert got == 2
+
+
+def test_export_jsonl_shards_roundtrip(spark, sf_dir, tmp_path):
+    """Shard export: n_shards JSONL dirs, lossless round-trip, and shard
+    membership matching the q106 audit query's deterministic assignment."""
+    from pyspark.sql import functions as F
+
+    from coldata_spark.queries.curation_queries import q106_shard_assignment
+    from coldata_spark.sources.io import export_jsonl_shards
+    from coldata_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    out = str(tmp_path / "shards")
+    n = export_jsonl_shards(docs, out, n_shards=16)
+    assert n == 16
+
+    back = spark.read.json(out)
+    assert back.count() == docs.count()
+
+    got = {
+        (r.shard, r.n_docs)
+        for r in back.groupBy("shard").agg(F.count("*").alias("n_docs")).collect()
+    }
+    want = {
+        (r.shard, r.n_docs)
+        for r in q106_shard_assignment(spark, sf_dir).collect()
+    }
+    assert got == want
