@@ -1,0 +1,94 @@
+"""Z-order file clustering — multi-dimensional data skipping.
+
+A table sorted on one column prunes row groups only for filters on that
+column; filters on any other column touch every file.  Interleaving the
+bits of several columns' bucket ranks (a Morton / Z-order curve) clusters
+rows so that a range filter on ANY of the z-ordered columns overlaps only
+a fraction of the files — the layout Delta's OPTIMIZE ZORDER BY and
+Iceberg's sort orders produce, built here from plain column expressions.
+
+Everything is codegen expression work except one 1-row min/max aggregate
+(layout-time only, like compaction itself).  At 100 TB this runs as a
+maintenance job: scan → z-key map-side → range repartition on the key →
+sorted parquet write; readers need no changes — parquet row-group min/max
+stats do the pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 8) -> Column:
+    """Morton-interleaved key over ``cols`` (numeric), ``bits`` per column.
+
+    Each column is min/max-scaled to a 2^bits bucket rank (one tiny 1-row
+    aggregate supplies the ranges), then rank bits are interleaved
+    round-robin so locality is preserved in every dimension equally.
+    """
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(F.col(c).cast("long")).alias(f"mn_{c}"))
+        aggs.append(F.max(F.col(c).cast("long")).alias(f"mx_{c}"))
+    rng = df.agg(*aggs).first()
+
+    n = len(cols)
+    key: Column | None = None
+    for idx, c in enumerate(cols):
+        mn = int(rng[f"mn_{c}"])
+        span = max(1, int(rng[f"mx_{c}"]) - mn + 1)
+        bucket = F.floor(
+            ((F.col(c).cast("long") - F.lit(mn)) * F.lit(1 << bits)) / F.lit(span)
+        ).cast("long")
+        bucket = F.least(bucket, F.lit((1 << bits) - 1))
+        for j in range(bits):
+            bit = F.shiftright(bucket, j).bitwiseAND(F.lit(1))
+            term = F.shiftleft(bit, j * n + idx)
+            key = term if key is None else key + term
+    assert key is not None, "zorder_key needs at least one column"
+    return key.cast("long")
+
+
+def write_zordered(
+    df: DataFrame, path: str, cols: list[str], n_files: int = 8, bits: int = 8
+) -> None:
+    """Rewrite ``df`` as ``n_files`` parquet files clustered on the Z-order
+    curve of ``cols``: range-partition by the z-key (each file owns a curve
+    segment), sort within files so row-group stats are tight, drop the key
+    before writing (readers see the original schema)."""
+    keyed = df.withColumn("_zorder", zorder_key(df, cols, bits))
+    (
+        keyed.repartitionByRange(n_files, "_zorder")
+        .sortWithinPartitions("_zorder")
+        .drop("_zorder")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def files_overlapping(path: str, col: str, lo: int, hi: int) -> tuple[int, int]:
+    """Data-skipping audit: (#files whose [min,max] for ``col`` overlaps
+    [lo, hi], total #files), read from parquet footer stats — exactly the
+    decision a scan's row-group pruning makes."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    hit = total = 0
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        total += 1
+        md = pq.ParquetFile(os.path.join(path, name)).metadata
+        fmin = fmax = None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                column = md.row_group(rg).column(ci)
+                if column.path_in_schema == col and column.statistics is not None:
+                    s = column.statistics
+                    fmin = s.min if fmin is None else min(fmin, s.min)
+                    fmax = s.max if fmax is None else max(fmax, s.max)
+        if fmin is not None and not (hi < fmin or lo > fmax):
+            hit += 1
+    return hit, total
