@@ -431,3 +431,74 @@ def q93_conversion_funnel(spark, sf_dir):
         F.count("t_click_after_view").alias("reached_click"),
         F.count("t_purchase").alias("reached_purchase"),
     )
+
+
+@register(
+    "q107_asof_join_tolerance",
+    survey="ext-asof,W3",
+    sql="""
+    WITH clicks AS (
+        SELECT user_id, ts, max(event_id) AS click_id
+        FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ),
+    purch AS (
+        SELECT user_id, ts, event_id AS purchase_id
+        FROM events WHERE event_type = 'purchase'
+    ),
+    u AS (
+        SELECT user_id, ts, 1 AS tag, purchase_id,
+               NULL::BIGINT AS click_id, NULL::TIMESTAMP AS click_ts
+        FROM purch
+        UNION ALL
+        SELECT user_id, ts, 0, NULL, click_id, ts FROM clicks
+    ),
+    m AS (
+        SELECT user_id, ts, tag, purchase_id,
+               last_value(click_id IGNORE NULLS) OVER w AS m_click,
+               last_value(click_ts IGNORE NULLS) OVER w AS m_ts
+        FROM u
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, tag
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT purchase_id, user_id,
+           epoch_us(ts) AS purchase_us,
+           CASE WHEN epoch_us(ts) - epoch_us(m_ts) <= 600000000
+                THEN m_click END AS click_id,
+           CASE WHEN epoch_us(ts) - epoch_us(m_ts) <= 600000000
+                THEN epoch_us(ts) - epoch_us(m_ts) END AS gap_us
+    FROM m WHERE tag = 1
+    """,
+)
+def q107_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generic asof_join operator (operators/asof.py) under a hard
+    oracle: each purchase matched to the same user's latest click within a
+    10-minute tolerance; clicks deduped deterministically to one per
+    (user, ts).  The oracle reproduces the union-stream window by hand.
+
+    Plan: one shuffle on user_id for the union-stream window — no range
+    join, no candidate-pair explosion; tolerance is a post-match filter."""
+    from coldata_spark.operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="ts",
+        by="user_id",
+        tolerance=F.expr("INTERVAL '10' MINUTE"),
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        F.unix_micros("ts").alias("purchase_us"),
+        "click_id",
+        (F.unix_micros("ts") - F.unix_micros("ts_right")).alias("gap_us"),
+    )
