@@ -937,3 +937,62 @@ def q88_token_freq_histogram(spark, sf_dir):
             F.max("doc_freq").alias("max_df"),
         )
     )
+
+
+@register(
+    "q108_fuzzy_match",
+    survey="V6,A2",
+    sql="""
+    WITH titles AS (
+        SELECT doc_id AS title_doc, lang,
+               replace(substring(text, 1, 30), 'a', '@') AS title
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    scored AS (
+        SELECT t.title_doc, d.doc_id,
+               levenshtein(t.title, substring(d.text, 1, 30)) AS dist
+        FROM titles t JOIN documents d ON t.lang = d.lang
+    )
+    SELECT title_doc,
+           CAST(doc_id AS BIGINT) AS matched_doc,
+           CAST(dist AS BIGINT) AS best_dist
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY title_doc
+                                     ORDER BY dist, doc_id) AS rn
+        FROM scored
+    )
+    WHERE rn = 1
+    """,
+)
+def q108_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching (typo-tolerant lookup): corrupted titles
+    (every 'a' replaced) matched back to their documents by minimum
+    Levenshtein distance within a language block.  The standard
+    dedup/entity-resolution flavor the exact/minhash/simhash ladder lacks
+    — edit distance catches char-level noise n-gram sets miss.
+
+    Plan: language blocking bounds candidate pairs (block join, never the
+    full n^2); argmin via one min(struct) aggregation — single shuffle on
+    title_doc, no window sort.  At 100 TB the block key sharpens (lang +
+    length bucket + first-char class) and the same plan holds."""
+    docs = load(spark, sf_dir, "documents")
+    titles = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("title_doc"),
+        "lang",
+        F.replace(F.substring("text", 1, 30), F.lit("a"), F.lit("@")).alias("title"),
+    )
+    scored = titles.join(docs, "lang").select(
+        "title_doc",
+        "doc_id",
+        F.levenshtein("title", F.substring("text", 1, 30)).alias("dist"),
+    )
+    best = (
+        scored.groupBy("title_doc")
+        .agg(F.min(F.struct("dist", "doc_id")).alias("b"))
+        .select(
+            "title_doc",
+            F.col("b.doc_id").cast("long").alias("matched_doc"),
+            F.col("b.dist").cast("long").alias("best_dist"),
+        )
+    )
+    return best

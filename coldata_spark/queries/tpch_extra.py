@@ -901,3 +901,53 @@ def q100_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
         .limit(20)
     )
+
+
+@register(
+    "q109_unpivot_nation_metrics",
+    survey="A5,P1",
+    sql="""
+    WITH wide AS (
+        SELECT n.n_name,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS total_cents,
+               CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_customers
+        FROM nation n
+        JOIN customer c ON c.c_nationkey = n.n_nationkey
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY n.n_name
+    )
+    SELECT n_name, 'n_orders' AS metric, n_orders AS value FROM wide
+    UNION ALL
+    SELECT n_name, 'total_cents', total_cents FROM wide
+    UNION ALL
+    SELECT n_name, 'n_customers', n_customers FROM wide
+    """,
+)
+def q109_unpivot_nation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshape (UNPIVOT/melt — the inverse of q17's pivot):
+    per-nation order metrics unpivoted to (nation, metric, value) rows, the
+    layout dashboards and metric stores ingest.
+
+    Plan: the wide aggregate is one shuffle (broadcast dimension joins);
+    unpivot itself is Spark's Expand node — a map-side 1->N projection, no
+    extra shuffle at any scale."""
+    nation = load(spark, sf_dir, "nation")
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    wide = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("total_cents"),
+            F.count_distinct("c_custkey").cast("long").alias("n_customers"),
+        )
+    )
+    return wide.unpivot(
+        ["n_name"], ["n_orders", "total_cents", "n_customers"], "metric", "value"
+    )
