@@ -597,3 +597,76 @@ def q106_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").cast("long").alias("max_doc"),
         )
     )
+
+
+_PR_ITER_SQL = """
+    SELECT d.doc_id,
+           CAST(150000 + (850000 * coalesce(sum(p.r // (1 + p.doc_id % 4)), 0))
+                // 1000000 AS BIGINT) AS r
+    FROM documents d
+    LEFT JOIN edges e ON e.dst = d.doc_id
+    LEFT JOIN {prev} p ON p.doc_id = e.src
+    GROUP BY d.doc_id
+"""
+
+
+@register(
+    "q110_pagerank",
+    survey="A5,ext-quality",
+    sql=f"""
+    WITH n AS (SELECT count(*) AS n_docs FROM documents),
+    edges AS (
+        SELECT d.doc_id AS src, (d.doc_id * 31 + k) % n.n_docs AS dst
+        FROM documents d, n, unnest([1, 2, 3, 4]) AS t(k)
+        WHERE k <= 1 + d.doc_id % 4
+    ),
+    r0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS r FROM documents),
+    r1 AS ({_PR_ITER_SQL.format(prev="r0")}),
+    r2 AS ({_PR_ITER_SQL.format(prev="r1")}),
+    r3 AS ({_PR_ITER_SQL.format(prev="r2")})
+    SELECT doc_id, r AS rank_micro FROM r3
+    """,
+)
+def q110_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph PageRank as a crawl-quality signal (the centrality score
+    web-corpus pipelines attach to every page), integer-quantized so three
+    power iterations are bit-exact across engines: rank in micro-units,
+    damping 0.85, contribution = rank div out_degree.  The link graph is
+    synthesized deterministically from doc ids (out-degree 1-4).
+
+    Plan: each iteration is edges ⋈ ranks (shuffle on src) then a dst
+    aggregation with map-side combine — the canonical iterative-join shape;
+    at 100 TB ranks and edges co-partition on the join key so per-iteration
+    cost is one co-located shuffle, and iterations stop at convergence
+    (fixed 3 here for the oracle)."""
+    docs = load(spark, sf_dir, "documents")
+    total = docs.agg(F.count("*").alias("n_docs"))
+    edges = (
+        docs.crossJoin(F.broadcast(total))
+        .select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.expr("sequence(1, 1 + doc_id % 4)")).alias("k"),
+            "n_docs",
+        )
+        .select("src", ((F.col("src") * 31 + F.col("k")) % F.col("n_docs")).alias("dst"))
+    )
+    ranks = docs.select("doc_id", F.lit(1000000).cast("long").alias("r"))
+    for _ in range(3):
+        contribs = (
+            edges.join(ranks.withColumnRenamed("doc_id", "src"), "src")
+            .select("dst", F.expr("r div (1 + src % 4)").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            docs.select("doc_id")
+            .join(contribs, docs.doc_id == contribs.dst, "left")
+            .select(
+                "doc_id",
+                F.expr(
+                    "CAST(150000 + (850000 * coalesce(in_sum, 0)) div 1000000"
+                    " AS BIGINT)"
+                ).alias("r"),
+            )
+        )
+    return ranks.select("doc_id", F.col("r").alias("rank_micro"))
