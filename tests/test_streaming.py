@@ -316,3 +316,58 @@ def test_stream_vector_ingest_exactly_once(spark, sf_dir, tmp_path):
     )
     hits = ivf.search_ivf(spark, index, qdf, centroids, k=1, nprobe=4).collect()
     assert hits and hits[0].vec_id == target.vec_id
+
+
+def test_stream_rollup_continuous_aggregate(spark, sf_dir, tmp_path):
+    """streaming/rollup.py: periodic runs fold new event files into the
+    hourly rollup; result equals the batch aggregate over everything
+    ingested; replayed batches are no-ops (additive merge stays exact)."""
+    from pyspark.sql import functions as F
+
+    from coldata_spark.streaming import rollup as SR
+    from coldata_spark.tables import load
+
+    ev = load(spark, sf_dir, "events")
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+
+    in_dir = tmp_path / "roll_in"
+    in_dir.mkdir()
+    table = str(tmp_path / "hourly_rollup")
+    ckpt = str(tmp_path / "roll_ckpt")
+
+    def batch_expected(df):
+        return {
+            (r.hour_start, r.event_type, r.n_events, round(r.total_value, 2))
+            for r in SR.hourly_partial(df).withColumn(
+                "total_value", F.round("total_value", 2)
+            ).collect()
+        }
+
+    def src():
+        return spark.readStream.schema(first.schema).parquet(str(in_dir) + "/*")
+
+    first.write.parquet(str(in_dir / "drop0"))
+    SR.stream_rollup_maintain(src(), table, ckpt)
+    got = {
+        (r.hour_start, r.event_type, r.n_events, round(r.total_value, 2))
+        for r in spark.read.parquet(table).collect()
+    }
+    assert got == batch_expected(first)
+
+    # replayed batch id is a no-op (idempotent fold)
+    SR.fold_into_rollup(SR.hourly_partial(first), table, batch_id=0)
+    got2 = {
+        (r.hour_start, r.event_type, r.n_events, round(r.total_value, 2))
+        for r in spark.read.parquet(table).collect()
+    }
+    assert got2 == got
+
+    # a later drop accumulates additively into the same buckets
+    second.write.parquet(str(in_dir / "drop1"))
+    SR.stream_rollup_maintain(src(), table, ckpt)
+    got3 = {
+        (r.hour_start, r.event_type, r.n_events, round(r.total_value, 2))
+        for r in spark.read.parquet(table).collect()
+    }
+    assert got3 == batch_expected(ev)
