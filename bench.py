@@ -102,6 +102,8 @@ REPL_QUERIES = [  # one per engine layer, all with DuckDB-runnable oracles
     "q29_ngram_jaccard",
     "q30_knn_cosine_topk",
     "q42_events_sessionize",
+    "q44_asof_last_click_before_purchase",
+    "q83_hypertable_rollup",
 ]
 
 
