@@ -204,12 +204,34 @@ def extract_audio_features(audio: DataFrame) -> DataFrame:
     return audio.mapInPandas(run, schema=AUDIO_FEATURES)
 
 
+VIDEO_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("fps", T.IntegerType()),
+    ]
+)
+
+
+def synthetic_videos(spark, n: int = 48) -> DataFrame:
+    """Deterministic fake video-metadata table (the container bytes stay
+    behind the codec seam, like images/audio): closed-form
+    ``n_frames = 30 + (id*17) % 241`` and ``fps in {24, 30, 36}`` so a SQL
+    oracle can regenerate the exact sampled frame set with generate_series.
+    """
+    rows = [(i, 30 + (i * 17) % 241, 24 + (i % 3) * 6) for i in range(n)]
+    return spark.createDataFrame(rows, VIDEO_SCHEMA).coalesce(max(1, n // 16))
+
+
 def frame_sample(video_meta: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame sampling as plumbing: given (item_id, n_frames), emit the
-    sampled frame indices 1->N via a lateral sequence explode — the plan a
-    real decoder feeds.  Decode itself is the NotImplementedError seam."""
+    """Video frame sampling as plumbing: given (item_id, n_frames, ...),
+    emit the sampled frame indices 0..n_frames-1 via a lateral sequence
+    explode — the plan a real decoder feeds.  All columns except n_frames
+    pass through (fps, uri, ... ride along to the decode stage).  Decode
+    itself is the NotImplementedError seam."""
+    passthrough = [c for c in video_meta.columns if c != "n_frames"]
     return video_meta.select(
-        "item_id",
+        *passthrough,
         F.explode(
             F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
         ).alias("frame_idx"),

@@ -137,3 +137,42 @@ def q52_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     audio = MM.synthetic_audio(spark, n=32)
     feats = MM.extract_audio_features(audio)
     return feats.select("item_id", "rms", "zero_crossings", "duration_sec")
+
+
+@register(
+    "q111_video_frame_sample",
+    survey="ext-multimodal-video",
+    sql="""
+    WITH ids AS (SELECT unnest(generate_series(0, 47)) AS item_id),
+    v AS (
+        SELECT item_id,
+               30 + (item_id*17) % 241 AS n_frames,
+               24 + (item_id % 3)*6    AS fps
+        FROM ids
+    ),
+    s AS (
+        SELECT item_id, fps,
+               unnest(generate_series(0, n_frames - 1, 10)) AS frame_idx
+        FROM v
+    )
+    SELECT item_id,
+           CAST(frame_idx AS BIGINT)                   AS frame_idx,
+           CAST(frame_idx * 1000000 // fps AS BIGINT)  AS ts_micros
+    FROM s
+    """,
+)
+def q111_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video metadata -> every-Nth frame index -> integer microsecond
+    timestamp (frame_idx * 1e6 DIV fps: integer division is bit-identical
+    cross-engine, float division is not).  Decoding the sampled frames is
+    the codec seam; the lateral explode (zero shuffles, scales linearly in
+    frames) is the real plan a frame-extraction pipeline feeds.
+    Reference treats media as opaque payloads the same way
+    (/root/reference/src/coldata/crawler/crawler.py stores raw bytes)."""
+    vids = MM.synthetic_videos(spark, n=48)
+    sampled = MM.frame_sample(vids, every_n=10)
+    return sampled.select(
+        "item_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.expr("CAST(frame_idx AS BIGINT) * 1000000 DIV fps").alias("ts_micros"),
+    )

@@ -49,7 +49,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q37_knn_ip_topk",
     "q38_embedding_dim_stats",
     "q39_embedding_neardup_lsh",
-    "q85_pq_candidates",
     "q86_ivf_pq_search",
     "q89_filtered_knn",
     "q90_hybrid_search_rrf",
@@ -85,6 +84,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q50_image_features",
     "q51_image_resize_pipeline",
     "q52_audio_features",
+    "q111_video_frame_sample",
     # Relational layer — minimal set covering the remaining SURVEY ops
     "q01_pricing_summary",
     "q02_top_orders_by_revenue",

@@ -100,3 +100,17 @@ def test_binary_file_source_feeds_image_pipeline(spark, tmp_path):
     px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
     got = {r["item_id"]: r for r in feats}
     assert abs(float(np.mean(got[0]["mean_rgb"])) - float(px.mean())) < 1e-6
+
+
+def test_video_frame_sample_with_fps_passthrough(spark):
+    vids = MM.synthetic_videos(spark, n=6)
+    sampled = MM.frame_sample(vids, every_n=10)
+    assert set(sampled.columns) == {"item_id", "fps", "frame_idx"}
+    rows = sampled.collect()
+    by_item = {}
+    for r in rows:
+        by_item.setdefault(r.item_id, []).append(r.frame_idx)
+    meta = {r.item_id: (r.n_frames, r.fps) for r in vids.collect()}
+    for i, (n_frames, fps) in meta.items():
+        assert by_item[i] == list(range(0, n_frames, 10))
+        assert fps in (24, 30, 36)
