@@ -502,3 +502,77 @@ def q107_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_id",
         (F.unix_micros("ts") - F.unix_micros("ts_right")).alias("gap_us"),
     )
+
+
+@register(
+    "q112_gapfill_locf",
+    survey="R6,ext-gapfill",
+    sql="""
+    WITH b AS (
+        SELECT event_type, date_trunc('hour', ts) AS bucket,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    rng AS (
+        SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+        FROM b GROUP BY event_type
+    ),
+    grid AS (
+        SELECT event_type,
+               unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+        FROM rng
+    ),
+    f AS (
+        SELECT g.event_type, g.bucket, b.n
+        FROM grid g LEFT JOIN b
+          ON b.event_type = g.event_type AND b.bucket = g.bucket
+    )
+    SELECT event_type, bucket,
+           CAST(coalesce(n, 0) AS BIGINT) AS n_actual,
+           CAST(last_value(n IGNORE NULLS) OVER (
+                PARTITION BY event_type ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_locf,
+           CAST(CASE WHEN n IS NULL THEN 1 ELSE 0 END AS INT) AS gap_filled
+    FROM f
+    """,
+)
+def q112_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series with last-observation-carried-forward —
+    TimescaleDB ``time_bucket_gapfill`` + ``locf`` re-expressed Spark-first:
+    densify each event_type's hourly range with sequence+explode (map-side
+    1->N, no shuffle beyond the agg), left-join the real buckets, then
+    ``last(ignorenulls)`` over an unbounded-preceding window.  The carried
+    metric is an integer count so both engines agree bit-exactly; the first
+    bucket per key is the series min, so n_locf is never null.
+
+    Scale: the grid is rows_per_key = hours-of-range, generated where the
+    key lives — at 100 TB the explode stays proportional to key-count x
+    range, and the single window scan is partition-local after the one
+    groupBy shuffle."""
+    ev = load(spark, sf_dir, "events")
+    b = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(F.count("*").alias("n"))
+    rng = b.groupBy("event_type").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    grid = rng.select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL '1' HOUR"))
+        ).alias("bucket"),
+    )
+    filled = grid.join(b, ["event_type", "bucket"], "left")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return filled.select(
+        "event_type",
+        "bucket",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_actual"),
+        F.last("n", ignorenulls=True).over(w).cast("long").alias("n_locf"),
+        F.col("n").isNull().cast("int").alias("gap_filled"),
+    )

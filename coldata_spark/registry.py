@@ -74,8 +74,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q101_url_canonical_dedup",
     "q103_quality_classifier",
     # Events / time-series layer
-    "q40_events_hourly",
     "q41_events_json_props",
+    "q112_gapfill_locf",
     "q42_events_sessionize",
     "q80_events_range_join",
     "q83_hypertable_rollup",
