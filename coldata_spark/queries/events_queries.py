@@ -576,3 +576,48 @@ def q112_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("n", ignorenulls=True).over(w).cast("long").alias("n_locf"),
         F.col("n").isNull().cast("int").alias("gap_filled"),
     )
+
+
+@register(
+    "q113_cohort_retention",
+    survey="R6,A1",
+    sql="""
+    WITH uw AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+    ),
+    cohort AS (
+        SELECT user_id, min(wk) AS cohort_wk FROM uw GROUP BY user_id
+    )
+    SELECT c.cohort_wk,
+           CAST(date_diff('day', c.cohort_wk, u.wk) // 7 AS BIGINT) AS week_offset,
+           CAST(count(DISTINCT u.user_id) AS BIGINT) AS n_users
+    FROM uw u JOIN cohort c USING (user_id)
+    GROUP BY c.cohort_wk, week_offset
+    """,
+)
+def q113_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-active week, counted
+    in each subsequent week they return.  Week offsets use integer day
+    arithmetic DIV 7 (both engines truncate weeks to Monday, so day diffs
+    are exact multiples — no float, no interval parity risk).
+
+    Plan: one distinct shuffle on (user, week), a groupBy(user) for the
+    cohort min, a key-colocated join back (same user_id partitioning is
+    reusable), then the final small agg.  At 100 TB the distinct is the
+    dominant shuffle and is map-side combinable; the cohort table is
+    users-sized, joined on the already-shuffled key."""
+    ev = load(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    cohort = uw.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    joined = uw.join(cohort, "user_id")
+    return (
+        joined.groupBy(
+            "cohort_wk",
+            F.expr("CAST(datediff(wk, cohort_wk) DIV 7 AS BIGINT)").alias(
+                "week_offset"
+            ),
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    )
