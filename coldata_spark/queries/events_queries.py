@@ -546,35 +546,38 @@ def q112_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     metric is an integer count so both engines agree bit-exactly; the first
     bucket per key is the series min, so n_locf is never null.
 
-    Scale: the grid is rows_per_key = hours-of-range, generated where the
-    key lives — at 100 TB the explode stays proportional to key-count x
-    range, and the single window scan is partition-local after the one
-    groupBy shuffle."""
+    Plan: ONE scan, ONE shuffle.  Instead of densify-grid + left join
+    (which scans the fact table twice — exchange reuse is defeated by the
+    join's pushed null filters), each real bucket explodes forward to the
+    hour before the NEXT real bucket (lead + sequence): the generated rows
+    ARE the gap rows and inherit the preceding observation, so LOCF needs
+    no ignorenulls window.  At 100 TB: map-side-combined agg shuffle on
+    (key, hour), partition-local lead, then a 1->gap_width Generate."""
     ev = load(spark, sf_dir, "events")
     b = ev.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
     ).agg(F.count("*").alias("n"))
-    rng = b.groupBy("event_type").agg(
-        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
-    )
-    grid = rng.select(
+    w = W.partitionBy("event_type").orderBy("bucket")
+    hour = F.expr("INTERVAL '1' HOUR")
+    stretched = b.withColumn("nxt", F.lead("bucket").over(w)).select(
         "event_type",
+        "n",
+        F.col("bucket").alias("src_bucket"),
         F.explode(
-            F.sequence("lo", "hi", F.expr("INTERVAL '1' HOUR"))
+            F.sequence(
+                "bucket",
+                F.coalesce(F.col("nxt") - hour, F.col("bucket")),
+                hour,
+            )
         ).alias("bucket"),
     )
-    filled = grid.join(b, ["event_type", "bucket"], "left")
-    w = (
-        W.partitionBy("event_type")
-        .orderBy("bucket")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    return filled.select(
+    is_real = F.col("bucket") == F.col("src_bucket")
+    return stretched.select(
         "event_type",
         "bucket",
-        F.coalesce("n", F.lit(0)).cast("long").alias("n_actual"),
-        F.last("n", ignorenulls=True).over(w).cast("long").alias("n_locf"),
-        F.col("n").isNull().cast("int").alias("gap_filled"),
+        F.when(is_real, F.col("n")).otherwise(F.lit(0)).cast("long").alias("n_actual"),
+        F.col("n").cast("long").alias("n_locf"),
+        (~is_real).cast("int").alias("gap_filled"),
     )
 
 
