@@ -55,16 +55,27 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects outright.  Read nanos as long (legacy conf) and convert
-    to a microsecond timestamp column — semantics-preserving, since the
-    fixture's actual precision is microseconds."""
+    """events.parquet fixtures have shipped ts as TIMESTAMP(NANOS) (which
+    Spark's parquet reader rejects outright) and as un-adjusted
+    timestamp[us] (which Spark 4 infers as TIMESTAMP_NTZ).  The engine's
+    event-time semantics treat stored values as UTC instants — the session
+    runs in UTC and the DuckDB oracle reads the same naive values as UTC —
+    so normalize every variant to a TIMESTAMP_LTZ microsecond column:
+    nanos via the legacy long read, NTZ by disabling NTZ inference (the
+    stored micros ARE the UTC epoch micros, exactly like the nanos path)."""
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(df.dtypes).get("ts") == "bigint":
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dtype == "timestamp_ntz":
+        # fallback if NTZ inference couldn't be disabled on this session:
+        # reinterpret the naive value in the session zone (UTC everywhere
+        # in this engine), yielding the same instant as the primary path
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
