@@ -624,3 +624,182 @@ def q113_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
     )
+
+
+@register(
+    "q116_time_weighted_avg",
+    survey="R6,A5,ext-gapfill",
+    sql="""
+    WITH seg AS (
+        SELECT user_id,
+               CAST(floor(value * 100) AS BIGINT) AS v_c,
+               date_diff('second', ts,
+                         lead(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)) AS dur_s
+        FROM events
+    )
+    SELECT user_id,
+           CAST(count(dur_s) AS BIGINT) AS n_segments,
+           CAST(sum(dur_s) AS BIGINT) AS total_s,
+           CAST((1000000 * sum(v_c * dur_s)) // sum(dur_s) AS BIGINT)
+               AS twa_centi_micro
+    FROM seg
+    WHERE dur_s IS NOT NULL
+    GROUP BY user_id
+    HAVING sum(dur_s) > 0
+    """,
+)
+def q116_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TimescaleDB ``time_weight('LOCF', ...)``):
+    each observation's value is held until the next observation, so the
+    average weights values by how long they were current, not by sample
+    count — the correct semantics for irregularly-sampled gauges.  Values
+    are fixed-pointed to integer centi-units and durations to whole
+    seconds (the engine's truncated-second rule), so the weighted mean in
+    integer micro-units is bit-exact across engines.
+
+    Plan: one partition-local lead window per user (single shuffle on
+    user_id), then a map-side-combinable sum/count aggregation that reuses
+    the same partitioning — no second shuffle.  Scales with #users; no
+    global sort anywhere."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = ev.select(
+        "user_id",
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("v_c"),
+        (F.lead(F.col("ts").cast("long")).over(w) - F.col("ts").cast("long")).alias(
+            "dur_s"
+        ),
+    ).filter(F.col("dur_s").isNotNull())
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count("dur_s").cast("long").alias("n_segments"),
+            F.sum("dur_s").cast("long").alias("total_s"),
+            F.expr("CAST((1000000 * sum(v_c * dur_s)) div sum(dur_s) AS BIGINT)").alias(
+                "twa_centi_micro"
+            ),
+        )
+        .filter(F.col("total_s") > 0)
+    )
+
+
+@register(
+    "q117_scd2_history",
+    survey="R6,W2,ext-asof",
+    sql="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    changes AS (
+        SELECT user_id, event_type, ts
+        FROM ordered
+        WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id, event_type,
+           ts AS valid_from,
+           coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                    TIMESTAMP '2100-01-01 00:00:00') AS valid_to,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT)
+               AS version,
+           CASE WHEN lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                THEN 1 ELSE 0 END AS is_current
+    FROM changes
+    """,
+)
+def q117_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build: collapse each user's
+    event-type sequence into contiguous validity intervals [valid_from,
+    valid_to) with a version number and an is_current flag — the standard
+    warehouse dimension-versioning op (Kimball SCD2), with the open
+    interval closed by a far-future sentinel (2100-01-01, chosen inside
+    nanosecond-timestamp range so Arrow/pandas interchange stays lossless) so the output
+    is null-free.
+
+    Plan: two partition-local window passes over the SAME user_id
+    partitioning (lag to detect changes, lead/row_number to close
+    intervals) — Catalyst reuses one shuffle for both.  Scales with
+    #users, the run-collapse filter drops most rows before the second
+    window."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select(
+            "user_id",
+            "event_type",
+            "ts",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+    )
+    w2 = W.partitionBy("user_id").orderBy("ts")
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.coalesce(
+            F.lead("ts").over(w2), F.lit("2100-01-01 00:00:00").cast("timestamp")
+        ).alias("valid_to"),
+        F.row_number().over(w2).cast("long").alias("version"),
+        F.when(F.lead("ts").over(w2).isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_current"),
+    )
+
+
+@register(
+    "q118_ohlc_bars",
+    survey="R6,A2,W3",
+    sql="""
+    WITH ranked AS (
+        SELECT event_type, date_trunc('hour', ts) AS bar_ts, value,
+               row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                  ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events
+    )
+    SELECT event_type, bar_ts,
+           round(max(CASE WHEN rn_a = 1 THEN value END), 2) AS open,
+           round(max(value), 2) AS high,
+           round(min(value), 2) AS low,
+           round(max(CASE WHEN rn_d = 1 THEN value END), 2) AS close,
+           CAST(count(*) AS BIGINT) AS n_ticks
+    FROM ranked
+    GROUP BY event_type, bar_ts
+    """,
+)
+def q118_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick bars per event type and hour — the canonical
+    financial time-series downsample (open/close = first/last tick by
+    event time with id tie-break, high/low = extremes).  First/last are
+    expressed as rank-1 picks under the two orderings so the choice is
+    fully deterministic on both engines.
+
+    Plan: both row_numbers ride ONE window partitioning (event_type,
+    hour); the groupBy then reuses the identical keys, so the whole bar
+    build is a single shuffle.  Window partitions are hour-sized — no
+    per-user or global ordering bottleneck at 100 TB."""
+    ev = load(spark, sf_dir, "events")
+    bar = F.date_trunc("hour", F.col("ts")).alias("bar_ts")
+    wa = W.partitionBy("event_type", "bar_ts").orderBy("ts", "event_id")
+    wd = W.partitionBy("event_type", "bar_ts").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = ev.select("event_type", bar, "value", "ts", "event_id").select(
+        "event_type",
+        "bar_ts",
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return ranked.groupBy("event_type", "bar_ts").agg(
+        F.round(F.max(F.when(F.col("rn_a") == 1, F.col("value"))), 2).alias("open"),
+        F.round(F.max("value"), 2).alias("high"),
+        F.round(F.min("value"), 2).alias("low"),
+        F.round(F.max(F.when(F.col("rn_d") == 1, F.col("value"))), 2).alias("close"),
+        F.count("*").cast("long").alias("n_ticks"),
+    )

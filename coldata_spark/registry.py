@@ -68,9 +68,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q45_html_extract",
     "q46_record_to_text",
     "q55_chunk_parent_roundtrip",
-    "q81_train_test_split",
-    "q84_tfidf_top_terms",
     "q87_corpus_curation",
+    # Sketch layer — engine-independent probabilistic summaries
+    "q114_hll_distinct",
+    "q115_cms_heavy_hitters",
     "q101_url_canonical_dedup",
     "q103_quality_classifier",
     # Events / time-series layer
@@ -147,6 +148,7 @@ def _ensure_loaded() -> None:
     from coldata_spark.queries import events_queries  # noqa: F401
     from coldata_spark.queries import multimodal_queries  # noqa: F401
     from coldata_spark.queries import relational  # noqa: F401
+    from coldata_spark.queries import sketch_queries  # noqa: F401
     from coldata_spark.queries import text_queries  # noqa: F401
     from coldata_spark.queries import tpch_extra  # noqa: F401
     from coldata_spark.queries import vector_queries  # noqa: F401

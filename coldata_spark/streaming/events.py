@@ -24,16 +24,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) parquet -> long ns
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, dir_path: str) -> DataFrame:
@@ -41,14 +42,27 @@ def read_events_stream(spark: SparkSession, dir_path: str) -> DataFrame:
 
     maxFilesPerTrigger bounds per-batch work (the reference's politeness /
     rate-limit knob R3 re-expressed as source throttling).
+
+    Like the batch path (tables._load_events), this normalizes the ts
+    column's on-disk variants — TIMESTAMP(NANOS) (readable only as long
+    ns via the legacy conf) and un-adjusted timestamp[us] (NTZ) — to one
+    TIMESTAMP_LTZ event-time column whose stored micros are UTC epoch
+    micros.  The variant is detected once, driver-side, from the parquet
+    footers; the streaming schema must be declared up front anyway.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    nanos = dict(spark.read.parquet(dir_path).dtypes).get("ts") == "bigint"
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(
+            _events_schema(T.LongType() if nanos else T.TimestampType())
+        )
         .option("maxFilesPerTrigger", 4)
         .parquet(dir_path)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def hourly_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
