@@ -114,6 +114,8 @@ REPL_QUERIES = [  # one per engine layer, all with DuckDB-runnable oracles
     "q42_events_sessionize",
     "q44_asof_last_click_before_purchase",
     "q83_hypertable_rollup",
+    "q114_hll_distinct",
+    "q116_time_weighted_avg",
 ]
 
 

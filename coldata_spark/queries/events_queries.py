@@ -803,3 +803,64 @@ def q118_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max(F.when(F.col("rn_d") == 1, F.col("value"))), 2).alias("close"),
         F.count("*").cast("long").alias("n_ticks"),
     )
+
+
+@register(
+    "q119_rolling_7d_sum",
+    survey="R6,A5,W3",
+    sql="""
+    WITH daily AS (
+        SELECT user_id,
+               date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_no,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS v_c
+        FROM events
+        GROUP BY user_id, day_no
+    )
+    SELECT user_id, day_no, v_c,
+           CAST(sum(v_c) OVER (PARTITION BY user_id ORDER BY day_no
+                RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS sum_7d,
+           CAST(count(*) OVER (PARTITION BY user_id ORDER BY day_no
+                RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS days_present_7d
+    FROM daily
+    """,
+)
+def q119_rolling_7d_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day window aggregate with a RANGE frame over event-time —
+    the frame is value-based (6 days preceding by day NUMBER), so gaps in
+    a user's activity shrink the window's row count instead of silently
+    stretching it back in time, which is what a ROWS frame would get
+    wrong.  Day numbers are integer day-diffs from a fixed epoch and
+    values fixed-pointed to centi-units, so the frame boundaries and sums
+    are bit-exact across engines.
+
+    Plan: the daily pre-aggregation shuffles once on (user, day) with
+    map-side combine, and the RANGE window then reuses a user_id-only
+    repartitioning of the already-reduced daily rows — the window input
+    is #active-user-days, not #events, which is the key to this op at
+    100 TB (the raw-event window would be quadratic-ish in hot users)."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "user_id",
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+            .cast("long")
+            .alias("day_no"),
+            F.expr("CAST(floor(value * 100) AS BIGINT)").alias("vc"),
+        )
+        .groupBy("user_id", "day_no")
+        .agg(F.sum("vc").cast("long").alias("v_c"))
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("day_no")
+        .rangeBetween(-6, W.currentRow)
+    )
+    return daily.select(
+        "user_id",
+        "day_no",
+        "v_c",
+        F.sum("v_c").over(w).cast("long").alias("sum_7d"),
+        F.count("*").over(w).cast("long").alias("days_present_7d"),
+    )
