@@ -996,3 +996,106 @@ def q108_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return best
+
+
+@register(
+    "q120_bm25_search",
+    survey="W1,A5,T1,J1",
+    sql="""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    scalars AS (
+        SELECT (SELECT count(*) FROM documents) AS n_docs,
+               (SELECT (sum(dl) * 1000000) //
+                       (SELECT count(*) FROM documents) FROM dl) AS avgdl_micro
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks
+        WHERE term IN ('scan', 'window', 'merge')
+        GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+        SELECT tf.doc_id,
+               sum(((1000 * (2 * s.n_docs - 2 * df.df + 1)) // (2 * df.df + 1)
+                    * (tf.tf * 2200000))
+                   // (tf.tf * 1000000 + 300000 +
+                       (900000 * ((dl.dl * 1000000) // s.avgdl_micro)) // 1000000)
+                  ) AS score_milli
+        FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN scalars s
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, CAST(score_milli AS BIGINT) AS score_milli,
+           CAST(row_number() OVER (ORDER BY score_milli DESC, doc_id) AS BIGINT)
+               AS rank
+    FROM scored
+    QUALIFY rank <= 10
+    """,
+)
+def q120_bm25_search(spark, sf_dir):
+    """BM25-scored keyword search over an inverted index built in-plan —
+    the lexical ranking the reference's search surface implies, next to
+    the vector side (q30/q90).  BM25's constants are kept as integer
+    ratios (k1 = 12/10, b = 3/4) and the idf uses the exact rational form
+    (2N - 2df + 1)/(2df + 1) — the argument of BM25's log, which is
+    strictly monotone in it, so the ranking is the BM25 ranking while
+    every term score stays a bit-exact integer in milli-units (libm log
+    last-ulp differences can't flip cross-engine ties).  Fixed-point
+    scale notes: idf in milli keeps idf*tf*2.2e6 under int64 through
+    N ~ 1e6 docs per partition-corpus; rescale before a trillion-doc
+    global idf.
+
+    Plan: tokenize -> per-doc length agg; the tf aggregation filters to
+    QUERY terms BEFORE the shuffle, so the posting list materialized is
+    queries x matched docs, not the full vocabulary.  df and the two
+    corpus scalars broadcast (1-row / #terms-row sides); the only big
+    shuffles are the two token aggs, both map-side combinable.  Top-10 is
+    TakeOrdered, no global sort."""
+    from coldata_spark.tables import fan_out
+
+    docs = load(spark, sf_dir, "documents")
+    toks = fan_out(docs).select(
+        "doc_id",
+        F.explode(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).alias(
+            "term"
+        ),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    nd = docs.agg(F.count("*").alias("n_docs"))
+    scalars = (
+        dl.agg(F.sum("dl").alias("sum_dl"))
+        .crossJoin(F.broadcast(nd))
+        .select("n_docs", F.expr("(sum_dl * 1000000) div n_docs").alias("avgdl_micro"))
+    )
+    tf = (
+        toks.filter(F.col("term").isin("scan", "window", "merge"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    term_score = (
+        "((1000 * (2 * n_docs - 2 * df + 1)) div (2 * df + 1)"
+        " * (tf * 2200000))"
+        " div (tf * 1000000 + 300000 +"
+        " (900000 * ((dl * 1000000) div avgdl_micro)) div 1000000)"
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(scalars))
+        .select("doc_id", F.expr(term_score).alias("sterm"))
+        .groupBy("doc_id")
+        .agg(F.sum("sterm").alias("score_milli"))
+    )
+    top = scored.orderBy(F.col("score_milli").desc(), "doc_id").limit(10)
+    return top.select(
+        "doc_id",
+        F.col("score_milli").cast("long").alias("score_milli"),
+        F.row_number()
+        .over(W.orderBy(F.col("score_milli").desc(), "doc_id"))
+        .cast("long")
+        .alias("rank"),
+    )
