@@ -92,3 +92,45 @@ def files_overlapping(path: str, col: str, lo: int, hi: int) -> tuple[int, int]:
         if fmin is not None and not (hi < fmin or lo > fmax):
             hit += 1
     return hit, total
+
+
+def compact_parquet_dir(
+    spark,
+    src: str,
+    dst: str,
+    target_bytes: int = 128 << 20,
+) -> dict:
+    """Small-file compaction (Delta OPTIMIZE / Iceberg rewrite_data_files
+    equivalent): rewrite a fragmented parquet directory into
+    ceil(total_bytes / target_bytes) files of ~target size.
+
+    Small files are the classic slow death of a 100 TB table — every one
+    costs a scan task, a footer read and a namenode entry, and streaming
+    sinks (streaming/vectors.py, upsert batches) produce them constantly.
+    Compaction here is a pure coalesce write: ``coalesce`` merges input
+    splits WITHOUT a shuffle (unlike repartition, which would move every
+    row over the network just to change file counts), so the maintenance
+    job's cost is one read + one write.  Returns a before/after audit.
+    """
+    import math
+    import os
+
+    from coldata_spark.session import dir_bytes
+
+    def _file_count(path: str) -> int:
+        n = 0
+        for _root, _dirs, files in os.walk(path):
+            n += sum(1 for f in files if f.endswith(".parquet"))
+        return n
+
+    total = dir_bytes(src)
+    n_out = max(1, math.ceil(total / target_bytes))
+    df = spark.read.parquet(src)
+    df.coalesce(n_out).write.mode("overwrite").parquet(dst)
+    return {
+        "files_before": _file_count(src),
+        "files_after": _file_count(dst),
+        "bytes_before": total,
+        "bytes_after": dir_bytes(dst),
+        "target_files": n_out,
+    }

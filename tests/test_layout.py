@@ -58,3 +58,25 @@ def test_zorder_key_is_deterministic_and_bounded(spark, sf_dir):
     assert all(0 <= v < (1 << 16) for v in vals)
     vals2 = [r.k for r in li.select(key.alias("k")).collect()]
     assert vals == vals2
+
+
+def test_compact_small_files_preserves_rows_and_hits_target(spark, sf_dir, tmp_path):
+    from coldata_spark.operators.layout import compact_parquet_dir
+
+    li = load(spark, sf_dir, "lineitem")
+    frag = str(tmp_path / "fragmented")
+    li.repartition(64).write.parquet(frag)
+
+    dst = str(tmp_path / "compacted")
+    audit = compact_parquet_dir(spark, frag, dst, target_bytes=4 << 20)
+
+    assert audit["files_before"] == 64
+    assert audit["files_after"] == audit["target_files"] < 64
+    # lossless: same rows, same content hash on a stable projection
+    a = spark.read.parquet(frag)
+    b = spark.read.parquet(dst)
+    assert a.count() == b.count()
+    cols = sorted(a.columns)
+    ha = a.select(*cols).orderBy("l_orderkey", "l_linenumber").toPandas()
+    hb = b.select(*cols).orderBy("l_orderkey", "l_linenumber").toPandas()
+    assert ha.equals(hb)
