@@ -864,3 +864,64 @@ def q119_rolling_7d_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("v_c").over(w).cast("long").alias("sum_7d"),
         F.count("*").over(w).cast("long").alias("days_present_7d"),
     )
+
+
+@register(
+    "q121_session_transitions",
+    survey="R6,W2,A5",
+    sql="""
+    WITH gaps AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN date_diff('second', lag(ts) OVER w, ts) <= 1800
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts, event_id, event_type,
+               CAST(sum(new_session) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM gaps
+    ),
+    steps AS (
+        SELECT event_type AS src,
+               lead(event_type) OVER (PARTITION BY user_id, session_id
+                                      ORDER BY ts, event_id) AS dst
+        FROM sess
+    )
+    SELECT src, dst,
+           CAST(count(*) AS BIGINT) AS n_transitions
+    FROM steps
+    WHERE dst IS NOT NULL
+    GROUP BY src, dst
+    """,
+)
+def q121_session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-session event-type transition counts (the first-order Markov
+    matrix behind clickstream path analysis) — sessionize exactly as q42,
+    then pair each event with its successor inside the same session and
+    count (src, dst) bigrams.
+
+    Plan: the sessionizing window, the successor lead and the final agg's
+    map-side combine all run off ONE user_id shuffle (lead repartitions by
+    (user, session) prefix-compatible keys); output is #type² rows.  At
+    100 TB the transition matrix stays tiny while all heavy work is
+    partition-local."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    sess = ev.withColumn(
+        "new_session", F.when(gap <= 1800, F.lit(0)).otherwise(F.lit(1))
+    ).withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    ws = W.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    steps = sess.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(ws).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    return steps.groupBy("src", "dst").agg(
+        F.count("*").cast("long").alias("n_transitions")
+    )

@@ -951,3 +951,121 @@ def q109_unpivot_nation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(
         ["n_name"], ["n_orders", "total_cents", "n_customers"], "metric", "value"
     )
+
+
+@register(
+    "q122_price_histogram",
+    survey="A5,ext-quality",
+    sql="""
+    WITH rng AS (
+        SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+        FROM lineitem
+    )
+    SELECT least(CAST(floor((l_extendedprice - rng.mn) * 16
+                            / (rng.mx - rng.mn + 1)) AS BIGINT), 15) AS bin,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(l_quantity) AS BIGINT) AS total_qty
+    FROM lineitem, rng
+    GROUP BY bin
+    """,
+)
+def q122_price_histogram(spark, sf_dir):
+    """Equi-width 16-bin histogram over extended price — the profiling
+    primitive behind CBO statistics and data-quality dashboards.  Bin
+    edges come from a broadcast 1-row min/max aggregate; bin assignment is
+    floor((x-mn)*16/(mx-mn+1)) with an integer +1 span guard, identical
+    on both engines (prices are exact decimals scaled by the parquet
+    schema, so the arithmetic has no float-parity risk).
+
+    Plan: one tiny min/max agg broadcast into a map-side bin expression,
+    then a 16-group combine agg — two scans of one column, no wide
+    shuffle at any scale."""
+    li = load(spark, sf_dir, "lineitem").select("l_extendedprice", "l_quantity")
+    rng = li.agg(
+        F.min("l_extendedprice").alias("mn"), F.max("l_extendedprice").alias("mx")
+    )
+    binned = li.crossJoin(F.broadcast(rng)).select(
+        F.least(
+            F.expr(
+                "CAST(floor((l_extendedprice - mn) * 16 / (mx - mn + 1)) AS BIGINT)"
+            ),
+            F.lit(15),
+        ).alias("bin"),
+        "l_quantity",
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("l_quantity").cast("long").alias("total_qty"),
+    )
+
+
+@register(
+    "q123_profile_orders",
+    survey="A5,A3,ext-quality",
+    sql="""
+    SELECT 'o_custkey' AS col_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(o_custkey) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+           CAST(min(o_custkey) AS VARCHAR) AS min_val,
+           CAST(max(o_custkey) AS VARCHAR) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority',
+           CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(o_orderpriority) AS BIGINT),
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+           min(o_orderpriority), max(o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus',
+           CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(o_orderstatus) AS BIGINT),
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+           min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    """,
+)
+def q123_profile_orders(spark, sf_dir):
+    """Column-profile summary (ANALYZE TABLE / data-quality dashboard
+    shape): per-column row count, null count, distinct count and
+    stringified min/max, computed in ONE scan via a multi-distinct
+    aggregate and unpivoted to a row per column with stack().
+
+    Plan: Spark expands the multi-distinct agg internally (one Expand +
+    one shuffle), so the table is read once however many columns are
+    profiled — at 100 TB profiling cost is scan-bound, not per-column.
+    Numeric min/max stringify AFTER aggregation, so ordering stays
+    numeric."""
+    o = load(spark, sf_dir, "orders")
+    prof = o.agg(
+        F.count("*").alias("n_rows"),
+        (F.count("*") - F.count("o_custkey")).alias("nn_ck"),
+        F.countDistinct("o_custkey").alias("nd_ck"),
+        F.min("o_custkey").cast("string").alias("mn_ck"),
+        F.max("o_custkey").cast("string").alias("mx_ck"),
+        (F.count("*") - F.count("o_orderpriority")).alias("nn_op"),
+        F.countDistinct("o_orderpriority").alias("nd_op"),
+        F.min("o_orderpriority").alias("mn_op"),
+        F.max("o_orderpriority").alias("mx_op"),
+        (F.count("*") - F.count("o_orderstatus")).alias("nn_os"),
+        F.countDistinct("o_orderstatus").alias("nd_os"),
+        F.min("o_orderstatus").alias("mn_os"),
+        F.max("o_orderstatus").alias("mx_os"),
+    )
+    return prof.select(
+        F.expr(
+            "stack(3,"
+            " 'o_custkey', n_rows, nn_ck, nd_ck, mn_ck, mx_ck,"
+            " 'o_orderpriority', n_rows, nn_op, nd_op, mn_op, mx_op,"
+            " 'o_orderstatus', n_rows, nn_os, nd_os, mn_os, mx_os)"
+            " AS (col_name, n_rows, n_nulls, n_distinct, min_val, max_val)"
+        )
+    ).select(
+        "col_name",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_nulls").cast("long").alias("n_nulls"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_val",
+        "max_val",
+    )
