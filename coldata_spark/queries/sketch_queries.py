@@ -18,15 +18,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from coldata_spark.operators import sketches as SK
 from coldata_spark.registry import register
 from coldata_spark.tables import load
 
-# HyperLogLog with p=8 (m=256 registers) over a 32-bit md5-derived hash:
-# top 8 bits pick the register, the rank is leading-zeros+1 of the low 24
-# bits.  The estimate alpha_m * m^2 / sum(2^-M_j) is computed entirely in
-# integers by scaling 2^-M_j up by 2^25 (max rank is 25, so every scaled
-# term 2^(25-M_j) is integral): EST = C div S with C = floor(alpha * m^2 * 2^25).
-_HLL_C = 1_579_498_136_381  # floor(0.7213/(1+1.079/256) * 256^2 * 2^25)
+# Sketch mechanics (hash split, register math, CM row-hashes) live in
+# operators/sketches.py; the oracle SQL below mirrors those expressions
+# literally.  Kept for doc parity with the SQL constants:
+_HLL_C = SK.HLL_C
 
 
 @register(
@@ -74,44 +73,18 @@ def q114_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     max is algebraic (partial max merges), so map-side combine leaves
     ~256 rows per task."""
     li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_orderkey")
-    h = li.select(
-        F.col("l_returnflag").alias("flag"),
-        F.expr(
-            "cast(conv(substring(md5(cast(l_orderkey as string)), 1, 8), 16, 10)"
-            " as bigint)"
-        ).alias("h32"),
-    )
-    b = h.select(
-        "flag",
-        F.expr("h32 div 16777216").alias("idx"),
-        F.expr("h32 % 16777216").alias("w24"),
-    )
-    regs = (
-        b.select(
-            "flag",
-            "idx",
-            F.expr(
-                "case when w24 = 0 then 25 else 25 - length(bin(w24)) end"
-            ).alias("rank"),
-        )
-        .groupBy("flag", "idx")
-        .agg(F.max("rank").alias("mx"))
-    )
-    per_flag = regs.groupBy("flag").agg(
-        F.count("*").alias("n_used"),
-        F.sum(F.expr("shiftleft(cast(1 as bigint), 25 - mx)")).alias("s_present"),
-    )
+    flagged = li.select(F.col("l_returnflag").alias("flag"), "l_orderkey")
+    regs = SK.hll_registers(flagged, ["flag"], "l_orderkey")
+    est = SK.hll_estimate(regs, ["flag"])
     exact = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_orderkey").alias("exact_distinct")
     )
     return (
-        per_flag.join(exact, per_flag.flag == exact.l_returnflag)
+        est.join(exact, est.flag == exact.l_returnflag)
         .select(
             "l_returnflag",
-            F.col("n_used").cast("long").alias("n_registers"),
-            F.expr(
-                f"{_HLL_C} div (s_present + (256 - n_used) * 33554432)"
-            ).cast("long").alias("hll_estimate"),
+            "n_registers",
+            "hll_estimate",
             F.col("exact_distinct").cast("long").alias("exact_distinct"),
         )
     )
@@ -165,33 +138,14 @@ def q115_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows against the 4096-row sketch; exact counts scan only the
     candidate-filtered fact rows (broadcast semi-join before the agg)."""
 
-    def bucket_of(key_col: str) -> F.Column:
-        return F.expr(
-            f"cast(conv(substring(md5(concat(cast(j as string), ':',"
-            f" cast({key_col} as string))), 1, 8), 16, 10) as bigint) % 1024"
-        )
-
     li = load(spark, sf_dir, "lineitem").select("l_partkey")
-    four = F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("j")
-    sketch = (
-        li.select("l_partkey", four)
-        .select("j", bucket_of("l_partkey").alias("bucket"))
-        .groupBy("j", "bucket")
-        .agg(F.count("*").alias("cnt"))
-    )
+    sketch = SK.cms_build(li, "l_partkey")
     cand = (
         load(spark, sf_dir, "part")
         .filter(F.expr("p_partkey % 97 = 1"))
         .select("p_partkey")
     )
-    probes = cand.select("p_partkey", four).select(
-        "p_partkey", "j", bucket_of("p_partkey").alias("bucket")
-    )
-    est = (
-        probes.join(F.broadcast(sketch), ["j", "bucket"], "left")
-        .groupBy("p_partkey")
-        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_est"))
-    )
+    est = SK.cms_lookup(sketch, cand, "p_partkey")
     exact = (
         li.join(F.broadcast(cand), li.l_partkey == cand.p_partkey)
         .groupBy("l_partkey")
