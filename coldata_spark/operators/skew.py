@@ -44,3 +44,41 @@ def salted_agg(
     return phase1.groupBy(*keys).agg(
         *[a2.alias(name) for name, (_, a2) in aggs.items()]
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Hot-key replication join: spread each skewed big-side key over
+    ``n_salts`` reducers by salting the big side and exploding the small
+    side once per salt, then join on (key, salt).
+
+    When to reach for it: AQE's skew-join split (on in session.py) handles
+    most cases at runtime, but it only splits the STREAM side of a sort-
+    merge join after a shuffle materializes — it can't help when the
+    downstream operator re-partitions on the same hot key again, or when
+    stats mislead the planner.  This operator bakes the spread into the
+    plan: the big side never has more than rows(key)/n_salts in one task.
+    Cost: the small side is replicated n_salts x — use only when the small
+    side is modest (but too big / unwanted to broadcast) and key skew is
+    known, e.g. the crawl-source or language dimension joined to a
+    power-law document table.
+
+    The salt must depend only on the big row (here: a crc32 spread, as in
+    salted_agg), never on the key alone — salting the key deterministically
+    would re-create the same hot partition.
+    """
+    salted_big = big.withColumn(
+        "_salt",
+        (F.crc32(F.monotonically_increasing_id().cast("string")) % n_salts).cast(
+            "int"
+        ),
+    )
+    salts = F.explode(F.array(*[F.lit(i) for i in range(n_salts)])).alias("_salt")
+    replicated_small = small.select("*", salts)
+    out = salted_big.join(replicated_small, [on, "_salt"], how)
+    return out.drop("_salt")

@@ -96,3 +96,25 @@ def test_tune_for_input_thresholds(spark):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+
+def test_salted_join_equals_plain_join(spark):
+    """salted_join must be a drop-in for an equi-join on a skewed key."""
+    from coldata_spark.operators.skew import salted_join
+
+    # skewed fact: one hot key owning ~90% of rows
+    big = spark.range(0, 20000).selectExpr(
+        "CASE WHEN id % 10 < 9 THEN 0 ELSE id % 7 END AS k", "id AS v"
+    )
+    small = spark.range(0, 7).selectExpr("id AS k", "id * 100 AS w")
+
+    plain = big.join(small, "k").selectExpr("k", "v", "w")
+    salted = salted_join(big, small, "k").selectExpr("k", "v", "w")
+    assert plain.count() == salted.count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+    left_plain = big.join(small.filter("k < 3"), "k", "left")
+    left_salted = salted_join(big, small.filter("k < 3"), "k", how="left")
+    assert sorted(map(tuple, left_plain.select("k", "v", "w").collect())) == sorted(
+        map(tuple, left_salted.select("k", "v", "w").collect())
+    )
