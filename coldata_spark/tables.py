@@ -97,7 +97,17 @@ def fan_out(df: DataFrame, parts: int | None = None) -> DataFrame:
     return df
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every fixture table as a temp view for spark.sql plans."""
-    for name in TABLES:
-        load(spark, sf_dir, name).createOrReplaceTempView(name)
+def register_views(spark: SparkSession, sf_dir: str, prefix: str = "") -> list[str]:
+    """Register every fixture table as a temp view so the full surface is
+    reachable from ``spark.sql`` — the engine is DataFrame-first, but a
+    user of the reference switching over gets the ANSI SQL entry point for
+    free (the same statements the DuckDB oracles run work here, modulo
+    dialect).  Views resolve through load(), so events ts normalization
+    and the catalog cache apply identically in both APIs.
+    """
+    names = []
+    for t in TABLES:
+        name = f"{prefix}{t}"
+        load(spark, sf_dir, t).createOrReplaceTempView(name)
+        names.append(name)
+    return names

@@ -152,3 +152,25 @@ def test_export_jsonl_shards_roundtrip(spark, sf_dir, tmp_path):
         for r in q106_shard_assignment(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_register_views_sql_surface(spark, sf_dir):
+    from coldata_spark.tables import load, register_views
+
+    names = register_views(spark, sf_dir)
+    assert len(names) == 10
+    got = spark.sql("SELECT count(*) AS n FROM lineitem").first()["n"]
+    assert got == load(spark, sf_dir, "lineitem").count()
+    # a cross-table SQL join resolves through the same loaders (events ts
+    # normalization included: date_trunc over the LTZ column must work)
+    top = spark.sql(
+        """
+        SELECT r.r_name, count(*) AS n
+        FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name ORDER BY n DESC, r.r_name LIMIT 1
+        """
+    ).first()
+    assert top["n"] == 5
+    assert spark.sql(
+        "SELECT count(DISTINCT date_trunc('hour', ts)) AS h FROM events"
+    ).first()["h"] > 0
