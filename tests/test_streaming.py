@@ -371,3 +371,55 @@ def test_stream_rollup_continuous_aggregate(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(table).collect()
     }
     assert got3 == batch_expected(ev)
+
+
+def test_stream_cardinality_hll_rollup(spark, sf_dir, tmp_path):
+    """streaming/cardinality.py: periodic runs max-merge per-hour HLL
+    registers; the estimate equals the batch sketch over everything
+    ingested, and replaying a partial is a no-op (max is idempotent)."""
+    from pyspark.sql import functions as F
+
+    from coldata_spark.operators import sketches as SK
+    from coldata_spark.streaming import cardinality as SC
+    from coldata_spark.tables import load
+
+    ev = load(spark, sf_dir, "events")
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+
+    in_dir = tmp_path / "card_in"
+    in_dir.mkdir()
+    table = str(tmp_path / "user_hll")
+    ckpt = str(tmp_path / "card_ckpt")
+
+    def src():
+        return spark.readStream.schema(first.schema).parquet(str(in_dir) + "/*")
+
+    def estimates():
+        return {
+            (r.hour_start, r.n_registers, r.hll_estimate)
+            for r in SC.distinct_users_estimate(spark, table).collect()
+        }
+
+    def batch_expected(df):
+        return {
+            (r.hour_start, r.n_registers, r.hll_estimate)
+            for r in SK.hll_estimate(
+                SC.hourly_user_registers(df), SC.BUCKET_KEYS
+            ).collect()
+        }
+
+    first.write.parquet(str(in_dir / "drop0"))
+    SC.stream_cardinality_maintain(src(), table, ckpt)
+    assert estimates() == batch_expected(first)
+
+    # replaying the same partial changes nothing (max-merge idempotence)
+    SC.merge_into_registers(SC.hourly_user_registers(first), table)
+    assert estimates() == batch_expected(first)
+
+    # second drop: estimates now equal the batch sketch over the union —
+    # the per-hour distinct estimate is NOT the sum of per-batch
+    # estimates, which is exactly why registers (not counts) are stored
+    second.write.parquet(str(in_dir / "drop1"))
+    SC.stream_cardinality_maintain(src(), table, ckpt)
+    assert estimates() == batch_expected(ev)
