@@ -585,3 +585,60 @@ def q90_hybrid_search_rrf(spark, sf_dir):
         )
         .filter(F.col("fused_rank") <= 10)
     )
+
+
+@register(
+    "q124_embed_fingerprint",
+    survey="V1,V2,A5",
+    sql="""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+               ('0x' || substring(md5(tok), 1, 8))::BIGINT % 64 AS bucket,
+               CASE WHEN ('0x' || substring(md5(tok), 9, 2))::BIGINT % 2 = 1
+                    THEN 1 ELSE -1 END AS sign
+        FROM toks
+    )
+    SELECT doc_id, bucket,
+           CAST(sum(sign) AS BIGINT) AS signed_count,
+           CAST(count(*) AS BIGINT) AS n_tokens
+    FROM h GROUP BY doc_id, bucket
+    """,
+)
+def q124_embed_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative twin of the default hashing encoder (embed.py
+    hash_embed_texts): whitespace token -> md5 -> (bucket = first 4 bytes
+    % 64, sign = 5th byte LSB), accumulated per (doc, bucket).  This is the
+    encoder's pre-normalization embedding as exact integers — so the
+    mapInPandas V1 path's arithmetic is itself oracle-checked cross-engine
+    (q36 stays rows-only only because L2-normalized floats don't hash
+    stably; the math underneath them now does).  tests/test_embed_encoder.py
+    asserts this query reproduces hash_embed_texts bucket-for-bucket.
+
+    Plan: flatMap explode + one combine-aggregated groupBy — the same
+    zero-shuffle-then-combine shape as the encoder itself; output is
+    bounded by docs x 64 buckets."""
+    from coldata_spark.tables import fan_out
+
+    docs = load(spark, sf_dir, "documents")
+    toks = fan_out(docs).select(
+        "doc_id",
+        F.explode(F.expr("regexp_extract_all(text, '\\\\S+', 0)")).alias("tok"),
+    )
+    h = toks.select(
+        "doc_id",
+        F.expr(
+            "cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint) % 64"
+        ).alias("bucket"),
+        F.expr(
+            "case when cast(conv(substring(md5(tok), 9, 2), 16, 10) as bigint) % 2 = 1"
+            " then 1 else -1 end"
+        ).alias("sign"),
+    )
+    return h.groupBy("doc_id", "bucket").agg(
+        F.sum("sign").cast("long").alias("signed_count"),
+        F.count("*").cast("long").alias("n_tokens"),
+    )

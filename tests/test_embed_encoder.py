@@ -96,3 +96,29 @@ def test_query_and_doc_paths_share_encoder(spark):
     by_id = {r["q_id"]: np.array(r["q_vec"], dtype=np.float32) for r in out}
     np.testing.assert_allclose(by_id[0], direct[0], rtol=1e-6)
     np.testing.assert_allclose(by_id[1], direct[1], rtol=1e-6)
+
+
+def test_q124_matches_hash_encoder_buckets(spark):
+    """The declarative fingerprint (q124) must reproduce the mapInPandas
+    hashing encoder's pre-normalization accumulation bucket-for-bucket —
+    the SQL twin verifies the V1 arithmetic itself."""
+    import numpy as np
+
+    from coldata_spark.embed import DEFAULT_DIM, hash_embed_texts
+    from coldata_spark.queries.vector_queries import q124_embed_fingerprint
+    from coldata_spark.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    docs = {r["doc_id"]: r["text"] for r in load(spark, sf, "documents").collect()}
+    got: dict[int, np.ndarray] = {d: np.zeros(DEFAULT_DIM) for d in docs}
+    for r in q124_embed_fingerprint(spark, sf).collect():
+        got[r["doc_id"]][r["bucket"]] = r["signed_count"]
+
+    ids = sorted(docs)
+    raw = np.stack([got[d] for d in ids])
+    # re-derive the encoder's pre-norm vectors: undo the L2 normalization
+    # by scaling each normalized row back up by its norm
+    normed = hash_embed_texts([docs[d] for d in ids])
+    norms = np.linalg.norm(raw, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    np.testing.assert_allclose(normed, (raw / norms).astype(np.float32), atol=1e-6)
