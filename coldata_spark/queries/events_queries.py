@@ -925,3 +925,64 @@ def q121_session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return steps.groupBy("src", "dst").agg(
         F.count("*").cast("long").alias("n_transitions")
     )
+
+
+@register(
+    "q125_hourly_anomalies",
+    survey="R6,A5,ext-quality",
+    sql="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type, hr
+    ),
+    stats AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(n) AS BIGINT) AS s,
+               CAST(sum(n * n) AS BIGINT) AS sq
+        FROM hourly GROUP BY event_type
+    )
+    SELECT h.event_type, h.hr, h.n,
+           CAST((1000000 * h.n * st.k) // st.s AS BIGINT) AS vs_mean_micro
+    FROM hourly h JOIN stats st USING (event_type)
+    WHERE st.k * h.n - st.s > 0
+      AND (st.k * h.n - st.s) * (st.k * h.n - st.s)
+          > 4 * (st.k * st.sq - st.s * st.s)
+    """,
+)
+def q125_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical anomaly flags on the hourly event counts: an hour is
+    anomalous when its count exceeds its type's mean by more than two
+    standard deviations.  The test is evaluated entirely in integers:
+    x > mean + 2*sigma  <=>  k*x - S > 0  AND  (k*x - S)^2 > 4*(k*SQ - S^2)
+    (k hours, S = sum of counts, SQ = sum of squares; both sides scaled by
+    k^2) — no sqrt, no float variance, so the flagged set is bit-exact
+    across engines.  vs_mean_micro reports the count as a ratio to the
+    mean in integer micro-units.
+
+    Plan: hourly counts (one combine-agg shuffle), per-type moment
+    aggregation over #hours rows, broadcast-join back — the anomaly scan
+    is over the ROLLUP, never the raw events; at 100 TB the moments ride
+    the same tiny table a monitoring job would keep anyway."""
+    ev = load(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hr"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n").cast("long").alias("s"),
+        F.sum(F.expr("n * n")).cast("long").alias("sq"),
+    )
+    j = hourly.join(F.broadcast(stats), "event_type")
+    dev = F.expr("k * n - s")
+    return (
+        j.filter((dev > 0) & (dev * dev > F.expr("4 * (k * sq - s * s)")))
+        .select(
+            "event_type",
+            "hr",
+            "n",
+            F.expr("CAST((1000000 * n * k) div s AS BIGINT)").alias("vs_mean_micro"),
+        )
+    )
