@@ -986,3 +986,88 @@ def q125_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST((1000000 * n * k) div s AS BIGINT)").alias("vs_mean_micro"),
         )
     )
+
+
+@register(
+    "q126_interval_coverage",
+    survey="R6,W3,A5",
+    sql="""
+    WITH iv AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS s,
+               CAST(floor(epoch(ts)) AS BIGINT) + 300 AS e,
+               event_id
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, s, e,
+               CASE WHEN s > coalesce(max(e) OVER (PARTITION BY user_id
+                        ORDER BY s, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -9223372036854775808)
+                    THEN 1 ELSE 0 END AS new_island
+        FROM iv
+    ),
+    islands AS (
+        SELECT user_id, s, e,
+               CAST(sum(new_island) OVER (PARTITION BY user_id
+                    ORDER BY s, e
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island_id
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(count(DISTINCT island_id) AS BIGINT) AS n_islands,
+           CAST(sum(len) AS BIGINT) AS covered_s
+    FROM (
+        SELECT user_id, island_id, max(e) - min(s) AS len
+        FROM islands GROUP BY user_id, island_id
+    )
+    GROUP BY user_id
+    """,
+)
+def q126_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union coverage (islands & gaps): each event opens a 5-minute
+    activity interval; overlapping intervals merge, and the result is each
+    user's number of activity islands and total covered seconds — the
+    uptime/SLA-coverage primitive that naive sum-of-durations double-counts.
+    A new island starts when an interval's start exceeds the running max of
+    all previous ends (integer epoch seconds, so the flag is exact).
+
+    Plan: one user_id shuffle powers the running-max window, the island-id
+    cumulative sum AND the island aggregation (same-prefix keys); per-user
+    data never leaves its partition.  The epoch arithmetic is integral, so
+    no float parity risk anywhere."""
+    ev = load(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.col("ts").cast("long").alias("s"),
+        (F.col("ts").cast("long") + 300).alias("e"),
+        "event_id",
+    )
+    w = W.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max_e = F.max("e").over(w.rowsBetween(W.unboundedPreceding, -1))
+    flagged = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(F.col("s") > F.coalesce(prev_max_e, F.lit(-(1 << 63))), 1)
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    w2 = W.partitionBy("user_id").orderBy("s", "e")
+    islands = flagged.select(
+        "user_id",
+        "s",
+        "e",
+        F.sum("new_island")
+        .over(w2.rowsBetween(W.unboundedPreceding, 0))
+        .cast("long")
+        .alias("island_id"),
+    )
+    per_island = islands.groupBy("user_id", "island_id").agg(
+        (F.max("e") - F.min("s")).alias("len")
+    )
+    return per_island.groupBy("user_id").agg(
+        F.countDistinct("island_id").cast("long").alias("n_islands"),
+        F.sum("len").cast("long").alias("covered_s"),
+    )

@@ -1069,3 +1069,70 @@ def q123_profile_orders(spark, sf_dir):
         "min_val",
         "max_val",
     )
+
+
+@register(
+    "q127_snapshot_diff",
+    survey="R2,J3,A5,U2",
+    sql="""
+    WITH v1 AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 10 <> 0
+    ),
+    v2 AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END
+                   AS o_orderstatus,
+               o_totalprice
+        FROM orders WHERE o_orderkey % 10 <> 1
+    ),
+    classified AS (
+        SELECT CASE
+                 WHEN v1.o_orderkey IS NULL THEN 'added'
+                 WHEN v2.o_orderkey IS NULL THEN 'removed'
+                 WHEN v1.o_orderstatus <> v2.o_orderstatus THEN 'changed'
+                 ELSE 'unchanged'
+               END AS change_type
+        FROM v1 FULL JOIN v2 USING (o_orderkey)
+    )
+    SELECT change_type, CAST(count(*) AS BIGINT) AS n_rows
+    FROM classified GROUP BY change_type
+    """,
+)
+def q127_snapshot_diff(spark, sf_dir):
+    """Snapshot diff / CDC classification: two table versions (synthesized
+    deterministically from orders — 10% of keys dropped from each side,
+    every 7th status mutated) full-outer-joined on the primary key and
+    classified added / removed / changed / unchanged — the audit every
+    versioned-table pipeline (Delta CDF, Iceberg changelog) runs between
+    snapshots.
+
+    Plan: ONE full-outer shuffle join on the pk and a 4-group combine agg;
+    at 100 TB both snapshots co-partition on the pk (bucketed layout,
+    tests/test_bucketing.py) so the diff becomes a zero-exchange
+    sort-merge — the same shape as the MERGE upsert (q73) read side."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    v1 = o.filter("o_orderkey % 10 <> 0")
+    v2 = o.filter("o_orderkey % 10 <> 1").select(
+        "o_orderkey",
+        F.expr(
+            "CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END"
+        ).alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    j = v1.alias("a").join(
+        v2.alias("b"), F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full"
+    )
+    change = (
+        F.when(F.col("a.o_orderkey").isNull(), "added")
+        .when(F.col("b.o_orderkey").isNull(), "removed")
+        .when(F.col("a.o_orderstatus") != F.col("b.o_orderstatus"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(change.alias("change_type"))
+        .groupBy("change_type")
+        .agg(F.count("*").cast("long").alias("n_rows"))
+    )
