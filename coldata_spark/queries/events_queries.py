@@ -1071,3 +1071,47 @@ def q126_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("island_id").cast("long").alias("n_islands"),
         F.sum("len").cast("long").alias("covered_s"),
     )
+
+
+@register(
+    "q128_cumulative_distinct_users",
+    survey="R6,A1,A5,W3",
+    sql="""
+    WITH firsts AS (
+        SELECT user_id, min(date_trunc('day', ts)) AS first_day
+        FROM events GROUP BY user_id
+    ),
+    daily_new AS (
+        SELECT first_day AS day, CAST(count(*) AS BIGINT) AS new_users
+        FROM firsts GROUP BY first_day
+    )
+    SELECT day, new_users,
+           CAST(sum(new_users) OVER (ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_users
+    FROM daily_new
+    """,
+)
+def q128_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day — the growth-curve metric that is
+    NOT a windowed count(DISTINCT) (unsupported as a running window in
+    either engine, and quadratic if emulated).  The first-seen trick makes
+    it linear: distinct is resolved ONCE (min first-active day per user),
+    then the running total is a plain cumulative sum over days.
+
+    Plan: one user groupBy (map-side combinable), a #days-sized daily agg,
+    and a window over #days rows — the unbounded-ordered window runs over
+    the TINY rollup, never the event stream, so the 'global order'
+    bottleneck is bounded by calendar days at any data size."""
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", F.col("ts"))).alias("first_day")
+    )
+    daily = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").cast("long").alias("new_users")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
+    )
