@@ -1136,3 +1136,52 @@ def q127_snapshot_diff(spark, sf_dir):
         .groupBy("change_type")
         .agg(F.count("*").cast("long").alias("n_rows"))
     )
+
+
+@register(
+    "q130_mom_revenue_growth",
+    survey="A5,W3,ext-gapfill",
+    sql="""
+    WITH monthly AS (
+        SELECT date_trunc('month', o_orderdate) AS month,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS revenue_c
+        FROM orders GROUP BY month
+    )
+    SELECT month, revenue_c,
+           lag(revenue_c) OVER (ORDER BY month) AS prev_revenue_c,
+           CAST((10000 * (revenue_c - lag(revenue_c) OVER (ORDER BY month)))
+                // lag(revenue_c) OVER (ORDER BY month) AS BIGINT)
+               AS growth_bp
+    FROM monthly
+    """,
+)
+def q130_mom_revenue_growth(spark, sf_dir):
+    """Month-over-month revenue growth in basis points — the KPI time
+    series every warehouse dashboard leads with.  Revenue is fixed-pointed
+    to integer cents (floor, rule 16) and growth expressed as integer
+    basis points via floor division, so the series is bit-exact; the lag
+    window runs over the #months rollup, never the fact table.
+
+    Plan: one combine-agg shuffle to months, then an ordered window over
+    a few dozen rows — at 100 TB the window input stays calendar-sized."""
+    o = load(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
+        .agg(
+            F.sum(F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+            .cast("long")
+            .alias("revenue_c")
+        )
+    )
+    w = W.orderBy("month")
+    prev = F.lag("revenue_c").over(w)
+    return monthly.select(
+        "month",
+        "revenue_c",
+        prev.alias("prev_revenue_c"),
+        F.expr(
+            "CAST((10000 * (revenue_c - lag(revenue_c) OVER (ORDER BY month)))"
+            " div lag(revenue_c) OVER (ORDER BY month) AS BIGINT)"
+        ).alias("growth_bp"),
+    )

@@ -657,3 +657,36 @@ def q124_embed_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sign").cast("long").alias("signed_count"),
         F.count("*").cast("long").alias("n_tokens"),
     )
+
+
+@register(
+    "q129_embedding_component_stats",
+    survey="V5,A5",
+    sql="""
+    SELECT CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_positive,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(min(vec_id) AS BIGINT) AS min_vec_id
+    FROM embeddings
+    GROUP BY n_positive
+    """,
+)
+def q129_embedding_component_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of positive-component counts across embedding vectors —
+    vector-column analytics done entirely with JVM higher-order array
+    functions (filter/size), no UDF and no explode: the per-vector work
+    stays inside whole-stage codegen and the only shuffle is the final
+    64-ish-group combine agg.  Sign tests on floats are exact (no
+    arithmetic on the values), so the result is bit-stable cross-engine.
+
+    Plan shape note for 100 TB: explode-then-count would shuffle
+    rows x dim; the higher-order function keeps it rows x 1."""
+    emb = load(spark, sf_dir, "embeddings")
+    n_pos = F.size(F.filter("embedding", lambda x: x > 0)).cast("long")
+    return (
+        emb.select(n_pos.alias("n_positive"), "vec_id")
+        .groupBy("n_positive")
+        .agg(
+            F.count("*").cast("long").alias("n_vectors"),
+            F.min("vec_id").cast("long").alias("min_vec_id"),
+        )
+    )
