@@ -1115,3 +1115,89 @@ def q128_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFram
         "new_users",
         F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
     )
+
+
+@register(
+    "q131_conversion_delay_median",
+    survey="ext-asof,A5,W1",
+    sql="""
+    WITH purchases AS (
+        SELECT event_id AS purchase_id, user_id, ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+        SELECT user_id, ts, max(event_id) AS click_id
+        FROM events WHERE event_type = 'click'
+        GROUP BY user_id, ts
+    ),
+    delays AS (
+        SELECT p.purchase_id,
+               date_diff('second', max(c.ts), any_value(p.ts)) AS delay_s
+        FROM purchases p
+        JOIN clicks c ON c.user_id = p.user_id AND c.ts < p.ts
+        GROUP BY p.purchase_id
+    ),
+    ranked AS (
+        SELECT delay_s,
+               row_number() OVER (ORDER BY delay_s, purchase_id) AS rn,
+               count(*) OVER () AS n
+        FROM delays
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_conversions,
+           CAST(min(delay_s) AS BIGINT) AS min_delay_s,
+           CAST(max(CASE WHEN rn = (n + 1) // 2 THEN delay_s END) AS BIGINT)
+               AS median_delay_s,
+           CAST(max(delay_s) AS BIGINT) AS max_delay_s
+    FROM ranked
+    """,
+)
+def q131_conversion_delay_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median click-to-purchase delay — the funnel-latency KPI, with
+    the median as a DISCRETE middle-element pick (row_number = (n+1) div 2
+    under a fully tie-broken order), not an interpolated percentile: the
+    result is an actual observed integer delay, identical on both engines
+    with zero float involvement.
+
+    Plan: per-purchase last-click delay via a user-keyed join + max (the
+    q44 as-of shape), then the ranking runs over #conversions rows.  The
+    global order is bounded by conversions, not events — and if even that
+    is too large, the same middle-pick works per group after a salt-free
+    two-pass count."""
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    delays = (
+        purchases.alias("p")
+        .join(
+            clicks.alias("c"),
+            (F.col("c.user_id") == F.col("p.user_id"))
+            & (F.col("c.ts") < F.col("p.ts")),
+        )
+        .groupBy("p.purchase_id")
+        .agg(
+            (
+                F.first(F.col("p.ts").cast("long"))
+                - F.max(F.col("c.ts").cast("long"))
+            ).alias("delay_s")
+        )
+    )
+    w = W.orderBy("delay_s", "purchase_id")
+    ranked = delays.select(
+        "delay_s",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(W.partitionBy()).alias("n"),
+    )
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_conversions"),
+        F.min("delay_s").cast("long").alias("min_delay_s"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("delay_s"))
+        ).cast("long").alias("median_delay_s"),
+        F.max("delay_s").cast("long").alias("max_delay_s"),
+    )
