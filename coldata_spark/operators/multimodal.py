@@ -63,19 +63,25 @@ def synthetic_images(spark, n: int = 64, width: int = 8, height: int = 8) -> Dat
 
 
 def decode_image_stub(content: bytes, meta) -> np.ndarray:
-    """STUB decode: interprets content as raw HxWxC uint8.
+    """Codec seam: RAW_RGB decodes as raw HxWxC uint8 (the deterministic
+    fixture path); any other format tries PIL behind an import-try and
+    raises NotImplementedError only when the library is genuinely absent.
+    The Spark-side plumbing (schema, Arrow batching, partitioning) is the
+    same either way — swapping in the real codec changes nothing upstream."""
+    if meta["format"] == "RAW_RGB":
+        return np.frombuffer(content, dtype=np.uint8).reshape(
+            meta["height"], meta["width"], meta["channels"]
+        )
+    try:
+        import io
 
-    Real implementation: PIL.Image.open(io.BytesIO(content)) -> np.asarray.
-    Raises NotImplementedError for formats the stub can't fake-decode, the
-    clearly-marked seam for the real codec."""
-    if meta["format"] != "RAW_RGB":
+        from PIL import Image  # not installed in this container; real path
+    except ImportError as ex:
         raise NotImplementedError(
             f"decode for format {meta['format']!r} requires PIL/ffmpeg "
             "(not available in this container)"
-        )
-    return np.frombuffer(content, dtype=np.uint8).reshape(
-        meta["height"], meta["width"], meta["channels"]
-    )
+        ) from ex
+    return np.asarray(Image.open(io.BytesIO(content)).convert("RGB"))
 
 
 FEATURE_SCHEMA = T.StructType(

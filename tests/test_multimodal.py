@@ -114,3 +114,30 @@ def test_video_frame_sample_with_fps_passthrough(spark):
     for i, (n_frames, fps) in meta.items():
         assert by_item[i] == list(range(0, n_frames, 10))
         assert fps in (24, 30, 36)
+
+
+def test_decode_seam_tries_pil_for_encoded_formats():
+    """Non-RAW formats route through the PIL import-try: with PIL absent
+    the seam raises the documented NotImplementedError; with PIL present
+    it decodes.  Either way the error happens AT the seam, not upstream."""
+    import numpy as np
+
+    from coldata_spark.operators.multimodal import decode_image_stub
+
+    meta = {"format": "PNG", "width": 2, "height": 2, "channels": 3}
+    try:
+        import PIL  # noqa: F401
+
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray(np.zeros((2, 2, 3), dtype=np.uint8)).save(buf, "PNG")
+        out = decode_image_stub(buf.getvalue(), meta)
+        assert out.shape == (2, 2, 3)
+    except ImportError:
+        import pytest
+
+        with pytest.raises(NotImplementedError, match="PNG"):
+            decode_image_stub(b"\x89PNG-not-really", meta)
