@@ -1,0 +1,121 @@
+"""Versioned parquet table — snapshot manifests with time travel
+(an Iceberg/Delta-lite commit protocol from plain files).
+
+The reference's store relies on MongoDB for in-place upsert; a 100 TB
+Spark pipeline instead wants IMMUTABLE data files plus a tiny manifest
+per committed version, so that:
+
+  * readers pin a snapshot (no torn reads while a writer lands),
+  * any historical version stays queryable (time travel — the input to
+    the q127-style snapshot diff),
+  * commits are atomic: data lands in a new directory, then one
+    manifest file appears via os.rename (atomic on POSIX); a version is
+    visible iff its manifest exists,
+  * concurrent writers conflict safely: the manifest create uses
+    O_EXCL, so the loser of a race gets an error instead of corrupting
+    history (optimistic concurrency, Delta-style).
+
+Layout:
+    <path>/data/v<N>-<mode>/...parquet   immutable data directories
+    <path>/manifest/v<N>.json            {"dirs": [...]} per version
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class VersionConflict(RuntimeError):
+    """Another writer committed this version first — retry on latest."""
+
+
+class VersionedTable:
+    def __init__(self, path: str):
+        self.path = path.rstrip("/")
+        os.makedirs(os.path.join(self.path, "data"), exist_ok=True)
+        os.makedirs(os.path.join(self.path, "manifest"), exist_ok=True)
+
+    # -- manifest bookkeeping -------------------------------------------
+    def versions(self) -> list[int]:
+        mdir = os.path.join(self.path, "manifest")
+        out = []
+        for f in os.listdir(mdir):
+            if f.startswith("v") and f.endswith(".json"):
+                out.append(int(f[1:-5]))
+        return sorted(out)
+
+    def latest_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def _manifest(self, version: int) -> dict:
+        with open(os.path.join(self.path, "manifest", f"v{version}.json")) as f:
+            return json.load(f)
+
+    # -- write path ------------------------------------------------------
+    def commit(
+        self, df: DataFrame, mode: str = "overwrite", expected_version: int | None = None
+    ) -> int:
+        """Write ``df`` as a new immutable version; returns its number.
+
+        ``overwrite``: the new version consists of just this data dir.
+        ``append``: the new version references the previous version's
+        dirs PLUS the new dir — no data is rewritten, the manifest grows
+        by one path (constant-cost append at any table size).
+
+        ``expected_version`` is the optimistic-concurrency handle: a
+        writer that planned its change against version N-1 passes N; if
+        another writer landed N first, the O_EXCL manifest claim fails
+        and VersionConflict tells the caller to re-plan against latest.
+        """
+        if mode not in ("overwrite", "append"):
+            raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+        prev = self.latest_version()
+        version = (0 if prev is None else prev + 1) if expected_version is None \
+            else expected_version
+        # per-attempt unique data dir: racing writers never collide on
+        # files, only on the manifest claim below; a loser's orphan dir is
+        # unreferenced by any manifest and can be vacuumed later
+        nonce = os.urandom(4).hex()
+        data_dir = os.path.join(self.path, "data", f"v{version}-{mode}-{nonce}")
+        df.write.mode("errorifexists").parquet(data_dir)
+        dirs = [data_dir]
+        if mode == "append" and prev is not None:
+            dirs = self._manifest(prev)["dirs"] + dirs
+        tmp = os.path.join(self.path, "manifest", f".v{version}.json.tmp")
+        final = os.path.join(self.path, "manifest", f"v{version}.json")
+        with open(tmp, "w") as f:
+            json.dump({"version": version, "mode": mode, "dirs": dirs}, f)
+        try:
+            # O_EXCL claim of the version number, then atomic publish
+            fd = os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+        except FileExistsError as ex:
+            os.unlink(tmp)
+            raise VersionConflict(
+                f"version {version} already committed by another writer"
+            ) from ex
+        os.replace(tmp, final)
+        return version
+
+    # -- read path -------------------------------------------------------
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Snapshot read; ``version=None`` pins the latest at call time."""
+        if version is None:
+            version = self.latest_version()
+        if version is None:
+            raise FileNotFoundError(f"no committed versions under {self.path}")
+        return spark.read.parquet(*self._manifest(version)["dirs"])
+
+    def history(self) -> list[dict]:
+        return [
+            {
+                "version": v,
+                "mode": self._manifest(v)["mode"],
+                "n_dirs": len(self._manifest(v)["dirs"]),
+            }
+            for v in self.versions()
+        ]
