@@ -57,7 +57,11 @@ class VersionedTable:
 
     # -- write path ------------------------------------------------------
     def commit(
-        self, df: DataFrame, mode: str = "overwrite", expected_version: int | None = None
+        self,
+        df: DataFrame,
+        mode: str = "overwrite",
+        expected_version: int | None = None,
+        extra: dict | None = None,
     ) -> int:
         """Write ``df`` as a new immutable version; returns its number.
 
@@ -87,8 +91,10 @@ class VersionedTable:
             dirs = self._manifest(prev)["dirs"] + dirs
         tmp = os.path.join(self.path, "manifest", f".v{version}.json.tmp")
         final = os.path.join(self.path, "manifest", f"v{version}.json")
+        manifest = {"version": version, "mode": mode, "dirs": dirs}
+        manifest.update(extra or {})
         with open(tmp, "w") as f:
-            json.dump({"version": version, "mode": mode, "dirs": dirs}, f)
+            json.dump(manifest, f)
         try:
             # O_EXCL claim of the version number, then atomic publish
             fd = os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -102,6 +108,23 @@ class VersionedTable:
         return version
 
     # -- read path -------------------------------------------------------
+    def commit_batch(self, df: DataFrame, batch_id: int) -> int | None:
+        """Exactly-once streaming append: foreachBatch is at-least-once, so
+        a replayed micro-batch must not append twice.  The manifest records
+        which stream batch produced each version; a replay finds its
+        batch_id already in history and returns None (no-op).  Combine with
+        the atomic publish and the sink is exactly-once end to end:
+
+            stream.writeStream.foreachBatch(
+                lambda b, i: table.commit_batch(b, i)).start()
+        """
+        for v in self.versions():
+            if self._manifest(v).get("batch_id") == batch_id:
+                return None
+        # batch_id rides the manifest itself (one atomic publish) — there
+        # is no window where the data is visible but the marker is not
+        return self.commit(df, mode="append", extra={"batch_id": batch_id})
+
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Snapshot read; ``version=None`` pins the latest at call time."""
         if version is None:

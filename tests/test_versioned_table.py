@@ -67,3 +67,27 @@ def test_snapshot_diff_between_versions(spark, tmp_path):
         .collect()
     }
     assert got == {"added": 10, "removed": 10, "changed": 10}
+
+
+def test_streaming_append_exactly_once(spark, tmp_path):
+    """foreachBatch sink: replayed micro-batches are no-ops (batch_id is
+    recorded atomically in the manifest), fresh batches append."""
+    t = VersionedTable(str(tmp_path / "tbl"))
+    assert t.commit_batch(spark.range(0, 10), batch_id=0) == 0
+    assert t.commit_batch(spark.range(0, 10), batch_id=0) is None  # replay
+    assert t.read(spark).count() == 10
+    assert t.commit_batch(spark.range(10, 15), batch_id=1) == 1
+    assert t.read(spark).count() == 15
+
+    src_dir = tmp_path / "stream_in"
+    src_dir.mkdir()
+    spark.range(100, 120).write.parquet(str(src_dir / "drop0"))
+    stream = spark.readStream.schema("id LONG").parquet(str(src_dir) + "/*")
+    q = (
+        stream.writeStream.foreachBatch(lambda b, i: t.commit_batch(b, 1000 + i))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert t.read(spark).count() == 35
