@@ -133,6 +133,36 @@ class VersionedTable:
             raise FileNotFoundError(f"no committed versions under {self.path}")
         return spark.read.parquet(*self._manifest(version)["dirs"])
 
+    def vacuum(self, retain_versions: int = 1) -> dict:
+        """Garbage-collect history: keep the newest ``retain_versions``
+        manifests, delete older manifests and every data dir no surviving
+        manifest references — both commit-race orphans and aged-out
+        snapshots.  Readers of retained versions are unaffected (their
+        dirs are, by definition, referenced).  Returns an audit dict."""
+        import shutil
+
+        if retain_versions < 1:
+            raise ValueError("retain_versions must be >= 1")
+        vs = self.versions()
+        keep, drop = vs[-retain_versions:], vs[:-retain_versions]
+        referenced: set[str] = set()
+        for v in keep:
+            referenced.update(self._manifest(v)["dirs"])
+        removed_dirs = []
+        data_root = os.path.join(self.path, "data")
+        for d in os.listdir(data_root):
+            full = os.path.join(data_root, d)
+            if full not in referenced:
+                shutil.rmtree(full, ignore_errors=True)
+                removed_dirs.append(full)
+        for v in drop:
+            os.unlink(os.path.join(self.path, "manifest", f"v{v}.json"))
+        return {
+            "kept_versions": keep,
+            "dropped_versions": drop,
+            "removed_dirs": len(removed_dirs),
+        }
+
     def history(self) -> list[dict]:
         return [
             {

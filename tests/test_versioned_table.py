@@ -91,3 +91,26 @@ def test_streaming_append_exactly_once(spark, tmp_path):
     )
     q.awaitTermination()
     assert t.read(spark).count() == 35
+
+
+def test_vacuum_removes_unreferenced_keeps_live(spark, tmp_path):
+    import os
+
+    t = VersionedTable(str(tmp_path / "tbl"))
+    t.commit(spark.range(10))                     # v0 (aged out below)
+    t.commit(spark.range(20))                     # v1 (aged out below)
+    t.commit(spark.range(5), mode="append")       # v2 references v1's dir
+    audit = t.vacuum(retain_versions=1)
+    assert audit["kept_versions"] == [2]
+    assert audit["dropped_versions"] == [0, 1]
+    # v2 still fully readable: its manifest references v1's data dir,
+    # which vacuum must therefore have kept
+    assert t.read(spark).count() == 25
+    assert t.versions() == [2]
+    # v0's dir is gone: only v2's referenced dirs remain on disk
+    live = set(t._manifest(2)["dirs"])
+    on_disk = {
+        os.path.join(str(tmp_path / "tbl"), "data", d)
+        for d in os.listdir(os.path.join(str(tmp_path / "tbl"), "data"))
+    }
+    assert on_disk == live
