@@ -114,3 +114,35 @@ def test_vacuum_removes_unreferenced_keeps_live(spark, tmp_path):
         for d in os.listdir(os.path.join(str(tmp_path / "tbl"), "data"))
     }
     assert on_disk == live
+
+
+def test_changes_between_versions(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = VersionedTable(str(tmp_path / "tbl"))
+    t.commit(
+        spark.range(0, 20).select(
+            "id", F.when(F.col("id") < 5, "x").otherwise("y").alias("s")
+        )
+    )
+    t.commit(
+        spark.range(10, 30).select(
+            "id", F.when(F.col("id") % 2 == 0, "x").otherwise("y").alias("s")
+        )
+    )
+    cdc = t.changes_between(spark, "id", 0, 1)
+    counts = {
+        r.change_type: r.n
+        for r in cdc.groupBy("change_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts["added"] == 10        # ids 20-29
+    assert counts["removed"] == 10      # ids 0-9
+    assert counts["added"] + counts["removed"] + counts.get("changed", 0) + counts.get(
+        "unchanged", 0
+    ) == 30
+    row = {r.id: r for r in cdc.collect()}
+    assert row[25].change_type == "added" and row[25].old_s is None
+    assert row[3].change_type == "removed" and row[3].new_s is None
+    # ids 10-19: v0 says 'y' (id>=5), v1 says x if even — odd ids unchanged
+    assert row[12].change_type == "changed" and (row[12].old_s, row[12].new_s) == ("y", "x")
+    assert row[11].change_type == "unchanged"
