@@ -133,6 +133,28 @@ class VersionedTable:
             raise FileNotFoundError(f"no committed versions under {self.path}")
         return spark.read.parquet(*self._manifest(version)["dirs"])
 
+    def merge(self, updates: DataFrame, pk: str, max_retries: int = 3) -> int:
+        """Transactional MERGE upsert: read the latest snapshot, apply the
+        full WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT merge
+        (operators.upsert.merge_upsert), and commit the result as a new
+        overwrite version pinned to the snapshot it was planned against
+        (expected_version).  If another writer lands first, VersionConflict
+        triggers a re-plan against the new latest — the Delta MERGE retry
+        loop, bounded by ``max_retries``."""
+        from coldata_spark.operators.upsert import merge_upsert
+
+        spark = updates.sparkSession
+        for _ in range(max_retries):
+            base = self.latest_version()
+            if base is None:
+                return self.commit(updates.dropDuplicates([pk]))
+            merged = merge_upsert(self.read(spark, base), updates, pk=pk)
+            try:
+                return self.commit(merged, expected_version=base + 1)
+            except VersionConflict:
+                continue
+        raise VersionConflict(f"merge lost {max_retries} commit races; giving up")
+
     def changes_between(
         self,
         spark: SparkSession,

@@ -146,3 +146,48 @@ def test_changes_between_versions(spark, tmp_path):
     # ids 10-19: v0 says 'y' (id>=5), v1 says x if even — odd ids unchanged
     assert row[12].change_type == "changed" and (row[12].old_s, row[12].new_s) == ("y", "x")
     assert row[11].change_type == "unchanged"
+
+
+def test_transactional_merge_upsert(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = VersionedTable(str(tmp_path / "tbl"))
+    base = spark.range(0, 10).select("id", F.lit("old").alias("s"))
+    t.commit(base)
+    updates = spark.range(5, 15).select("id", F.lit("new").alias("s"))
+    v = t.merge(updates, pk="id")
+    assert v == 1
+    rows = {r.id: r.s for r in t.read(spark).collect()}
+    assert len(rows) == 15
+    assert rows[3] == "old" and rows[7] == "new" and rows[12] == "new"
+    # the pre-merge snapshot is still readable (time travel)
+    assert {r.s for r in t.read(spark, 0).collect()} == {"old"}
+
+
+def test_merge_retries_after_commit_race(spark, tmp_path, monkeypatch):
+    from pyspark.sql import functions as F
+
+    from coldata_spark.operators import table as TB
+
+    t = VersionedTable(str(tmp_path / "tbl"))
+    t.commit(spark.range(0, 5).select("id", F.lit("a").alias("s")))
+
+    real_commit = VersionedTable.commit
+    raced = {"done": False}
+
+    def racing_commit(self, df, mode="overwrite", expected_version=None, extra=None):
+        # first merge attempt: another writer lands just before our claim
+        if expected_version is not None and not raced["done"]:
+            raced["done"] = True
+            real_commit(
+                self,
+                df.sparkSession.range(0, 5).select("id", F.lit("b").alias("s")),
+            )
+        return real_commit(self, df, mode, expected_version, extra)
+
+    monkeypatch.setattr(VersionedTable, "commit", racing_commit)
+    v = t.merge(spark.range(3, 8).select("id", F.lit("m").alias("s")), pk="id")
+    # raced commit took v1; the merge re-planned on it and landed v2
+    assert v == 2
+    rows = {r.id: r.s for r in t.read(spark).collect()}
+    assert rows == {0: "b", 1: "b", 2: "b", 3: "m", 4: "m", 5: "m", 6: "m", 7: "m"}
