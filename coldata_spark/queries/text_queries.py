@@ -1099,3 +1099,86 @@ def q120_bm25_search(spark, sf_dir):
         .cast("long")
         .alias("rank"),
     )
+
+
+@register(
+    "q132_source_keyness",
+    survey="T1,A5,W1",
+    sql="""
+    WITH toks AS (
+        SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT source, term, CAST(count(*) AS BIGINT) AS tf
+           FROM toks GROUP BY source, term),
+    totals AS (SELECT source, CAST(sum(tf) AS BIGINT) AS n_src FROM tf GROUP BY source),
+    term_tot AS (SELECT term, CAST(sum(tf) AS BIGINT) AS tf_all FROM tf GROUP BY term),
+    grand AS (SELECT CAST(sum(tf) AS BIGINT) AS n_all FROM tf),
+    scored AS (
+        SELECT tf.source, tf.term, tf.tf,
+               CAST((1000000 * (tf.tf + 1) * (g.n_all - t.n_src + 1000))
+                    // ((tt.tf_all - tf.tf + 1) * (t.n_src + 1000)) AS BIGINT)
+                   AS keyness_micro
+        FROM tf
+        JOIN totals t USING (source)
+        JOIN term_tot tt USING (term)
+        CROSS JOIN grand g
+    )
+    SELECT source, term, tf, keyness_micro, rnk
+    FROM (
+        SELECT source, term, tf, keyness_micro,
+               CAST(row_number() OVER (PARTITION BY source
+                    ORDER BY keyness_micro DESC, term) AS BIGINT) AS rnk
+        FROM scored
+    )
+    WHERE rnk <= 5
+    """,
+)
+def q132_source_keyness(spark, sf_dir):
+    """Corpus-comparison keyness: the terms most distinctive of each source
+    vs the rest of the corpus, scored by a smoothed relative-rate ratio
+    ((tf_s+1)/(n_s+V)) / ((tf_rest+1)/(n_rest+V)) kept entirely in integer
+    micro-units — the log-odds keyness ranking without the log (monotone
+    transform, rule 21), so top-5 per source is bit-exact cross-engine.
+
+    Plan: token tf (one combine-agg shuffle on (source, term)), term and
+    source totals derived FROM the tf table (tiny re-aggs, no second scan
+    of documents), a broadcast of the scalar grand total, then a per-source
+    window over the scored vocabulary.  At 100 TB the vocabulary table is
+    the only wide intermediate, and it is heavy-tail-skewed exactly like
+    q84 — same AQE skew-join note applies."""
+    from coldata_spark.tables import fan_out
+
+    docs = load(spark, sf_dir, "documents")
+    toks = fan_out(docs).select(
+        "source",
+        F.explode(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).alias(
+            "term"
+        ),
+    )
+    tf = toks.groupBy("source", "term").agg(F.count("*").cast("long").alias("tf"))
+    totals = tf.groupBy("source").agg(F.sum("tf").cast("long").alias("n_src"))
+    term_tot = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("tf_all"))
+    grand = tf.agg(F.sum("tf").cast("long").alias("n_all"))
+    scored = (
+        tf.join(F.broadcast(totals), "source")
+        .join(term_tot, "term")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "source",
+            "term",
+            "tf",
+            F.expr(
+                "CAST((1000000 * (tf + 1) * (n_all - n_src + 1000))"
+                " div ((tf_all - tf + 1) * (n_src + 1000)) AS BIGINT)"
+            ).alias("keyness_micro"),
+        )
+    )
+    w = W.partitionBy("source").orderBy(F.col("keyness_micro").desc(), "term")
+    return (
+        scored.select(
+            "source", "term", "tf", "keyness_micro",
+            F.row_number().over(w).cast("long").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 5)
+    )

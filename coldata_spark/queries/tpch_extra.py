@@ -1185,3 +1185,72 @@ def q130_mom_revenue_growth(spark, sf_dir):
             " div lag(revenue_c) OVER (ORDER BY month) AS BIGINT)"
         ).alias("growth_bp"),
     )
+
+
+@register(
+    "q133_join_key_skew_profile",
+    survey="A5,A3,ext-quality",
+    sql="""
+    WITH pk AS (
+        SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY l_partkey
+    ),
+    sk AS (
+        SELECT l_suppkey AS k, CAST(count(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY l_suppkey
+    ),
+    prof AS (
+        SELECT 'l_partkey' AS key_col,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(n) AS BIGINT) AS n_rows,
+               CAST(max(n) AS BIGINT) AS max_key_rows
+        FROM pk
+        UNION ALL
+        SELECT 'l_suppkey', CAST(count(*) AS BIGINT),
+               CAST(sum(n) AS BIGINT), CAST(max(n) AS BIGINT)
+        FROM sk
+    )
+    SELECT key_col, n_keys, n_rows, max_key_rows,
+           CAST((1000000 * max_key_rows) // n_rows AS BIGINT) AS top_key_ppm,
+           CAST((1000000 * max_key_rows * n_keys) // n_rows AS BIGINT)
+               AS skew_x_uniform_micro
+    FROM prof
+    """,
+)
+def q133_join_key_skew_profile(spark, sf_dir):
+    """Join-key skew diagnostic — the profile a planner (or an engineer
+    choosing between AQE skew-join and operators/skew.py salting) reads
+    before a big join: per candidate key column, key cardinality, the
+    hottest key's row share in ppm, and how many times a uniform key's
+    share that is (skew factor in micro-units, integer floor math).
+
+    Plan: one combine-agg per profiled column over the same scan (Spark
+    runs them as independent aggs; each shuffle carries #keys rows), then
+    a constant-size union — the profile output is one row per column at
+    any data size."""
+    li = load(spark, sf_dir, "lineitem")
+
+    def prof(col: str):
+        per_key = li.groupBy(F.col(col).alias("k")).agg(
+            F.count("*").cast("long").alias("n")
+        )
+        return per_key.agg(
+            F.lit(col).alias("key_col"),
+            F.count("*").cast("long").alias("n_keys"),
+            F.sum("n").cast("long").alias("n_rows"),
+            F.max("n").cast("long").alias("max_key_rows"),
+        )
+
+    out = prof("l_partkey").unionByName(prof("l_suppkey"))
+    return out.select(
+        "key_col",
+        "n_keys",
+        "n_rows",
+        "max_key_rows",
+        F.expr("CAST((1000000 * max_key_rows) div n_rows AS BIGINT)").alias(
+            "top_key_ppm"
+        ),
+        F.expr(
+            "CAST((1000000 * max_key_rows * n_keys) div n_rows AS BIGINT)"
+        ).alias("skew_x_uniform_micro"),
+    )
