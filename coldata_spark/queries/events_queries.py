@@ -1201,3 +1201,44 @@ def q131_conversion_delay_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("median_delay_s"),
         F.max("delay_s").cast("long").alias("max_delay_s"),
     )
+
+
+@register(
+    "q135_weekday_hour_heatmap",
+    survey="R6,A5,W3",
+    sql="""
+    SELECT CAST(((CAST(floor(epoch(ts)) AS BIGINT) // 86400) + 4) % 7 AS BIGINT)
+               AS dow,
+           CAST((CAST(floor(epoch(ts)) AS BIGINT) % 86400) // 3600 AS BIGINT)
+               AS hour_utc,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY dow, hour_utc
+    """,
+)
+def q135_weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday x hour activity heatmap (the ops-dashboard staple).  Both
+    axes come from pure integer epoch arithmetic — dow = (epoch_days + 4)
+    % 7 with Monday=0 (1970-01-01 was a Thursday), hour = seconds-of-day
+    div 3600 — because the engines' calendar functions DISAGREE on
+    weekday numbering (Spark dayofweek is 1=Sunday, DuckDB dayofweek is
+    0=Sunday): portable epoch math instead of dialect-dependent calendars.
+
+    Plan: map-side integer exprs + one combine agg into a fixed 168-cell
+    grid; the count-distinct expands per cell but cells bound the output
+    at any scale."""
+    ev = load(spark, sf_dir, "events")
+    epoch = F.col("ts").cast("long")
+    return (
+        ev.select(
+            (((epoch / 86400).cast("long") + 4) % 7).alias("dow"),
+            ((epoch % 86400) / 3600).cast("long").alias("hour_utc"),
+            "user_id",
+        )
+        .groupBy("dow", "hour_utc")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+    )

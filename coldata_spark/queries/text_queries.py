@@ -1182,3 +1182,44 @@ def q132_source_keyness(spark, sf_dir):
         )
         .filter(F.col("rnk") <= 5)
     )
+
+
+@register(
+    "q134_length_deciles",
+    survey="A5,W2,ext-quality",
+    sql="""
+    WITH banded AS (
+        SELECT n_chars,
+               CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS decile
+        FROM documents
+    )
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM banded GROUP BY decile
+    """,
+)
+def q134_length_deciles(spark, sf_dir):
+    """Exact decile bands over document length — the curation profile that
+    decides truncation/packing policies.  ntile under a fully tie-broken
+    total order distributes rows identically in both engines (same
+    floor-division bucket rule), so band boundaries and per-band stats are
+    bit-exact with zero percentile interpolation.
+
+    Plan: the global-order window is the honest cost here and is the point
+    of the query (deciles need a total order once); at 100 TB the same
+    output comes from a 2-pass approximate-boundaries + bucket-assign
+    plan, with this exact form as its oracle at test scale."""
+    docs = load(spark, sf_dir, "documents")
+    w = W.orderBy("n_chars", "doc_id")
+    banded = docs.select(
+        "n_chars", F.ntile(10).over(w).cast("long").alias("decile")
+    )
+    return banded.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
