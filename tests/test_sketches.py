@@ -92,3 +92,53 @@ def test_cms_lookup_matches_exact_on_unique_buckets(spark):
         r["k"]: r["cms_est"] for r in SK.cms_lookup(sketch, spark_df, "k").collect()
     }
     assert got == {1: 1, 2: 2, 3: 3, 4: 4, 5: 5}
+
+
+# -- property-based (hypothesis): the Spark operators vs an independent
+# pure-Python reference on arbitrary key sets, not just the fixtures ------
+
+import hashlib
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+key_lists = st.lists(
+    st.integers(min_value=-(10**9), max_value=10**9), min_size=1, max_size=300
+)
+
+
+def _ref_hll_registers(keys) -> dict[int, int]:
+    regs: dict[int, int] = {}
+    for k in set(keys):
+        h32 = int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16)
+        idx, w24 = h32 // (1 << 24), h32 % (1 << 24)
+        rank = 25 if w24 == 0 else 25 - w24.bit_length()
+        regs[idx] = max(regs.get(idx, 0), rank)
+    return regs
+
+
+@settings(max_examples=5, deadline=None)
+@given(key_lists)
+def test_hll_registers_match_python_reference(spark, keys):
+    df = spark.createDataFrame([(k,) for k in keys], "k LONG").select(
+        F.lit("g").alias("g"), "k"
+    )
+    got = {
+        r["idx"]: r["mx"]
+        for r in SK.hll_registers(df, ["g"], "k").collect()
+    }
+    assert got == _ref_hll_registers(keys)
+
+
+@settings(max_examples=5, deadline=None)
+@given(key_lists)
+def test_cms_overcount_holds_on_arbitrary_keys(spark, keys):
+    from collections import Counter
+
+    truth = Counter(keys)
+    df = spark.createDataFrame([(k,) for k in keys], "k LONG")
+    sketch = SK.cms_build(df, "k")
+    probes = spark.createDataFrame([(k,) for k in set(keys)], "k LONG")
+    est = {r["k"]: r["cms_est"] for r in SK.cms_lookup(sketch, probes, "k").collect()}
+    for k, n in truth.items():
+        assert est[k] >= n
