@@ -102,7 +102,60 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_BENCH_16X", "1") != "0":
         result["replicated_16x"] = bench_16x(spark, sf_dir, specs)
 
+    # Batch-throughput operating point: wall-clock to complete ALL headline
+    # queries with concurrent submission, each engine at its best client
+    # concurrency (Spark local overlaps stage-scheduling gaps across jobs;
+    # DuckDB already saturates cores per query, so its optimum is lower).
+    # This is the "N concurrent users" number a serving deployment quotes —
+    # the sequential per-query timings above remain the primary metric.
+    result["concurrent_batch"] = bench_concurrent(spark, sf_dir, specs)
+
     print(json.dumps(result))
+
+
+def bench_concurrent(spark, sf_dir: str, specs) -> dict:
+    from concurrent.futures import ThreadPoolExecutor
+
+    import duckdb
+
+    from coldata_spark.tables import TABLES
+
+    def spark_batch(workers: int) -> float:
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(workers) as ex:
+            list(ex.map(lambda n: run_plan(specs[n].fn(spark, sf_dir)), HEADLINE))
+        return time.perf_counter() - t0
+
+    def duck_one(name: str) -> None:
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        con.execute(specs[name].sql).fetchall()
+        con.close()
+
+    def duck_batch(workers: int) -> float:
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(workers) as ex:
+            list(ex.map(duck_one, HEADLINE))
+        return time.perf_counter() - t0
+
+    spark_batch(4)  # warm both paths
+    duck_batch(4)
+    spark_best = {w: round(spark_batch(w), 3) for w in (1, 4, 8)}
+    duck_best = {w: round(duck_batch(w), 3) for w in (1, 4, 8)}
+    sw = min(spark_best, key=spark_best.get)
+    dw = min(duck_best, key=duck_best.get)
+    return {
+        "spark_sec": spark_best[sw],
+        "duckdb_sec": duck_best[dw],
+        "ratio": round(spark_best[sw] / duck_best[dw], 2),
+        "spark_workers": sw,
+        "duckdb_workers": dw,
+        "spark_by_workers": spark_best,
+        "duckdb_by_workers": duck_best,
+    }
 
 
 REPL_QUERIES = [  # one per engine layer, all with DuckDB-runnable oracles
