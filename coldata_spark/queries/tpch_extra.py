@@ -1254,3 +1254,78 @@ def q133_join_key_skew_profile(spark, sf_dir):
             "CAST((1000000 * max_key_rows * n_keys) div n_rows AS BIGINT)"
         ).alias("skew_x_uniform_micro"),
     )
+
+
+@register(
+    "q136_percent_of_parent",
+    survey="J1,A5,ext-quality",
+    sql="""
+    WITH nat AS (
+        SELECT n.n_regionkey, n.n_name,
+               CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_c
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_regionkey, n.n_name
+    ),
+    reg AS (
+        SELECT n_regionkey, CAST(sum(rev_c) AS BIGINT) AS region_rev_c
+        FROM nat GROUP BY n_regionkey
+    ),
+    tot AS (SELECT CAST(sum(rev_c) AS BIGINT) AS total_rev_c FROM nat)
+    SELECT r.r_name, nat.n_name, nat.rev_c,
+           CAST((1000000 * nat.rev_c) // reg.region_rev_c AS BIGINT)
+               AS share_of_region_ppm,
+           CAST((1000000 * reg.region_rev_c) // tot.total_rev_c AS BIGINT)
+               AS region_share_ppm
+    FROM nat
+    JOIN reg USING (n_regionkey)
+    JOIN region r ON r.r_regionkey = nat.n_regionkey
+    CROSS JOIN tot
+    """,
+)
+def q136_percent_of_parent(spark, sf_dir):
+    """Percent-of-parent hierarchical rollup (nation share of region,
+    region share of total) — the drill-down ratio report every BI layer
+    generates.  Revenue fixed-points to integer cents and shares to ppm
+    via floor division, so the whole hierarchy is bit-exact; the parent
+    levels are re-aggregated FROM the child level (one fact scan total).
+
+    Plan: one fact-side shuffle for the nation-level agg; region and
+    grand totals are tiny re-aggs of that output, broadcast back — a
+    rollup cube computed bottom-up without rescanning at 100 TB."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    nat = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_regionkey", "n_name")
+        .agg(
+            F.sum(F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+            .cast("long")
+            .alias("rev_c")
+        )
+    )
+    reg = nat.groupBy("n_regionkey").agg(
+        F.sum("rev_c").cast("long").alias("region_rev_c")
+    )
+    tot = nat.agg(F.sum("rev_c").cast("long").alias("total_rev_c"))
+    return (
+        nat.join(F.broadcast(reg), "n_regionkey")
+        .join(F.broadcast(r), nat.n_regionkey == r.r_regionkey)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "r_name",
+            "n_name",
+            "rev_c",
+            F.expr(
+                "CAST((1000000 * rev_c) div region_rev_c AS BIGINT)"
+            ).alias("share_of_region_ppm"),
+            F.expr(
+                "CAST((1000000 * region_rev_c) div total_rev_c AS BIGINT)"
+            ).alias("region_share_ppm"),
+        )
+    )
