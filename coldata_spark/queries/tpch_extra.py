@@ -1329,3 +1329,66 @@ def q136_percent_of_parent(spark, sf_dir):
             ).alias("region_share_ppm"),
         )
     )
+
+
+@register(
+    "q137_integrity_audit",
+    survey="J3,A5,A3,ext-quality",
+    sql="""
+    SELECT 'orphan_lineitems' AS check_name,
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS n_violations
+    UNION ALL
+    SELECT 'childless_orders',
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                                   WHERE l.l_orderkey = o.o_orderkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'orders_without_customer',
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'duplicate_order_pks',
+           CAST((SELECT count(*) FROM (
+                     SELECT o_orderkey FROM orders
+                     GROUP BY o_orderkey HAVING count(*) > 1))
+                AS BIGINT)
+    """,
+)
+def q137_integrity_audit(spark, sf_dir):
+    """Referential-integrity audit — the data-quality gate a pipeline runs
+    after every load: orphaned facts (lineitem -> orders), childless
+    parents, dangling foreign keys (orders -> customer), duplicate primary
+    keys.  Output is one row per check with its violation count (all zero
+    on consistent data), so the audit is itself oracle-checked.
+
+    Plan: each FK check is a LEFT ANTI join (set-oriented NOT EXISTS —
+    never a per-row subquery), the pk check one combine-agg; Spark runs
+    the four independent counts as parallel jobs over shared scans.  At
+    100 TB each anti-join shuffles on its key unless the layout already
+    co-partitions fact and dim (bucketing makes these audits exchange-free)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+
+    def count1(df):
+        return df.agg(F.count("*").cast("long").alias("n_violations"))
+
+    orphan = count1(
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+    ).select(F.lit("orphan_lineitems").alias("check_name"), "n_violations")
+    childless = count1(
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_anti")
+    ).select(F.lit("childless_orders").alias("check_name"), "n_violations")
+    dangling = count1(
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+    ).select(F.lit("orders_without_customer").alias("check_name"), "n_violations")
+    dup_pk = count1(
+        o.groupBy("o_orderkey").agg(F.count("*").alias("n")).filter("n > 1")
+    ).select(F.lit("duplicate_order_pks").alias("check_name"), "n_violations")
+    return orphan.unionByName(childless).unionByName(dangling).unionByName(dup_pk)
