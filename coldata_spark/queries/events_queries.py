@@ -1242,3 +1242,77 @@ def q135_weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").cast("long").alias("n_users"),
         )
     )
+
+
+@register(
+    "q139_asof_forward_next_error",
+    survey="ext-asof,W3",
+    sql="""
+    WITH purch AS (
+        SELECT user_id, ts, event_id AS purchase_id
+        FROM events WHERE event_type = 'purchase'
+    ),
+    errs AS (
+        SELECT user_id, ts, max(event_id) AS error_id
+        FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+    ),
+    u AS (
+        SELECT user_id, ts, 0 AS tag, purchase_id,
+               NULL::BIGINT AS error_id, NULL::TIMESTAMP AS err_ts
+        FROM purch
+        UNION ALL
+        SELECT user_id, ts, 1, NULL, error_id, ts FROM errs
+    ),
+    m AS (
+        SELECT user_id, ts, tag, purchase_id,
+               first_value(error_id IGNORE NULLS) OVER w AS m_err,
+               first_value(err_ts IGNORE NULLS) OVER w AS m_ts
+        FROM u
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, tag
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT purchase_id, user_id,
+           epoch_us(ts) AS purchase_us,
+           CASE WHEN epoch_us(m_ts) - epoch_us(ts) <= 1800000000
+                THEN m_err END AS error_id,
+           CASE WHEN epoch_us(m_ts) - epoch_us(ts) <= 1800000000
+                THEN epoch_us(m_ts) - epoch_us(ts) END AS gap_us
+    FROM m WHERE tag = 0
+    """,
+)
+def q139_asof_forward_next_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (the operator's other direction, driver-checked:
+    q107 covers backward): each purchase matched to the same user's
+    EARLIEST error event strictly-or-equal after it, within a 30-minute
+    tolerance — the 'did the purchase precede a failure' diagnostic.
+    The oracle reproduces the union-stream with a FOLLOWING-frame
+    first_value window, the mirror of the backward PRECEDING frame.
+
+    Plan: identical single user_id shuffle as backward — direction only
+    flips the frame, not the shuffle count."""
+    from coldata_spark.operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("error_id"))
+    )
+    joined = asof_join(
+        purchases,
+        errors,
+        on="ts",
+        by="user_id",
+        direction="forward",
+        tolerance=F.expr("INTERVAL '30' MINUTE"),
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        F.unix_micros("ts").alias("purchase_us"),
+        "error_id",
+        (F.unix_micros("ts_right") - F.unix_micros("ts")).alias("gap_us"),
+    )

@@ -1392,3 +1392,72 @@ def q137_integrity_audit(spark, sf_dir):
         o.groupBy("o_orderkey").agg(F.count("*").alias("n")).filter("n > 1")
     ).select(F.lit("duplicate_order_pks").alias("check_name"), "n_violations")
     return orphan.unionByName(childless).unionByName(dangling).unionByName(dup_pk)
+
+
+@register(
+    "q138_pareto_abc",
+    survey="A5,W3,O1",
+    sql="""
+    WITH per_part AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_c
+        FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+        SELECT l_partkey, rev_c,
+               CAST(sum(rev_c) OVER (ORDER BY rev_c DESC, l_partkey
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_c,
+               CAST(sum(rev_c) OVER () AS BIGINT) AS total_rev_c
+        FROM per_part
+    ),
+    classed AS (
+        SELECT CASE WHEN (1000000 * cum_rev_c) // total_rev_c <= 800000 THEN 'A'
+                    WHEN (1000000 * cum_rev_c) // total_rev_c <= 950000 THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               rev_c
+        FROM ranked
+    )
+    SELECT abc_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(rev_c) AS BIGINT) AS class_rev_c
+    FROM classed GROUP BY abc_class
+    """,
+)
+def q138_pareto_abc(spark, sf_dir):
+    """Pareto / ABC inventory classification: parts ranked by revenue,
+    classed A/B/C at the 80% / 95% cumulative-share breakpoints — the
+    80/20 analysis behind stocking and curation-priority decisions.
+    Revenue in integer cents and shares in ppm floor-division keep every
+    class boundary bit-exact under the tie-broken cumulative order.
+
+    Plan: one fact shuffle to per-part revenue; the cumulative window
+    runs over #parts rows (the rolled-up entity table, not the fact
+    table), then a 3-group agg.  The single-partition ordered window is
+    bounded by the entity count — the standard Pareto shape."""
+    li = load(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)"))
+        .cast("long")
+        .alias("rev_c")
+    )
+    w = W.orderBy(F.col("rev_c").desc(), "l_partkey").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    ranked = per_part.select(
+        "rev_c",
+        F.sum("rev_c").over(w).cast("long").alias("cum_rev_c"),
+        F.sum("rev_c").over(W.partitionBy()).cast("long").alias("total_rev_c"),
+    )
+    classed = ranked.select(
+        F.expr(
+            "CASE WHEN (1000000 * cum_rev_c) div total_rev_c <= 800000 THEN 'A'"
+            " WHEN (1000000 * cum_rev_c) div total_rev_c <= 950000 THEN 'B'"
+            " ELSE 'C' END"
+        ).alias("abc_class"),
+        "rev_c",
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.sum("rev_c").cast("long").alias("class_rev_c"),
+    )
