@@ -1223,3 +1223,120 @@ def q134_length_deciles(spark, sf_dir):
         F.max("n_chars").cast("long").alias("max_chars"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+@register(
+    "q140_cluster_aware_split",
+    survey="V6,A5,ext-fingerprint",
+    sql="""
+    WITH RECURSIVE sig AS (
+        SELECT doc_id, seed,
+               min((h1 + seed * h2) % 4294967296) AS minhash
+        FROM (
+            SELECT doc_id,
+                   ('0x' || substring(md5(shingle), 1, 8))::BIGINT AS h1,
+                   ('0x' || substring(md5(shingle), 9, 8))::BIGINT AS h2
+            FROM (
+                SELECT DISTINCT doc_id, substring(text, i, 5) AS shingle
+                FROM documents, unnest(generate_series(1,
+                     greatest(1, length(text) - 4))) AS t(i)
+            )
+        ), unnest(generate_series(0, 7)) AS s(seed)
+        GROUP BY doc_id, seed
+    ),
+    banded AS (
+        SELECT doc_id, cast(floor(seed / 2) AS INT) AS band,
+               string_agg(cast(minhash AS VARCHAR), '|' ORDER BY seed) AS band_key
+        FROM sig GROUP BY doc_id, cast(floor(seed / 2) AS INT)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    est AS (
+        SELECT c.doc_a, c.doc_b,
+               round(avg(CASE WHEN sa.minhash = sb.minhash THEN 1.0 ELSE 0.0 END), 6)
+                   AS est_jaccard
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.doc_a
+        JOIN sig sb ON sb.doc_id = c.doc_b AND sb.seed = sa.seed
+        GROUP BY c.doc_a, c.doc_b
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM est WHERE est_jaccard >= 0.75
+        UNION
+        SELECT doc_b, doc_a FROM est WHERE est_jaccard >= 0.75
+    ),
+    reach(src, dst) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    labels AS (
+        SELECT src AS id, least(src, min(dst)) AS component
+        FROM reach GROUP BY src
+    ),
+    grp AS (
+        SELECT d.doc_id, d.n_chars, coalesce(l.component, d.doc_id) AS g
+        FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
+    ),
+    splits AS (
+        SELECT g, n_chars,
+               CASE WHEN ('0x' || substring(md5(CAST(g AS VARCHAR)), 1, 8))::BIGINT
+                         % 100 < 80 THEN 'train'
+                    WHEN ('0x' || substring(md5(CAST(g AS VARCHAR)), 1, 8))::BIGINT
+                         % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM grp
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT g) AS BIGINT) AS n_groups,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM splits GROUP BY split
+    """,
+)
+def q140_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware train/val/test split — the leakage guard q81's plain
+    hash split lacks: near-duplicate documents land in the SAME split
+    because the split hash is computed on the dedup-GROUP label (connected
+    component of the minhash-LSH pair graph), not the document id.  A
+    test-set document can therefore never have a near-dup twin in train —
+    the contamination that inflates eval scores in dedup-naive pipelines.
+    80/10/10 by md5 of the group label, identical integer rule on both
+    engines; every group lands in exactly one split by construction
+    (n_groups per split sums to total groups).
+
+    Plan: the pair graph + O(diameter) label propagation from q59, then
+    one map-side hash and a 3-group combine agg — the split itself adds
+    no shuffle beyond the dedup pipeline it reuses."""
+    from coldata_spark.operators.dedup import connected_components
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = DD.minhash_neardup_pairs(docs, "text", "doc_id").filter(
+        F.col("est_jaccard") >= 0.75
+    )
+    comp = connected_components(pairs)
+    grp = docs.join(
+        comp.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+    ).select(
+        "n_chars",
+        F.coalesce("component", "doc_id").alias("g"),
+    )
+    bucket = F.expr(
+        "cast(conv(substring(md5(cast(g as string)), 1, 8), 16, 10) as bigint) % 100"
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        grp.select(split.alias("split"), "g", "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("g").cast("long").alias("n_groups"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
