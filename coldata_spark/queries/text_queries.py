@@ -1340,3 +1340,78 @@ def q140_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("total_chars"),
         )
     )
+
+
+@register(
+    "q141_shingle_containment",
+    survey="V6,A5,J5",
+    sql="""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, substring(text, i, 5) AS shingle
+        FROM documents, unnest(generate_series(1,
+             greatest(1, length(text) - 4))) AS t(i)
+    ),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc_a, i.doc_b, i.n_common,
+           CAST((1000000 * i.n_common) // sa.n_sh AS BIGINT)
+               AS containment_ppm
+    FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+    WHERE (1000000 * i.n_common) // sa.n_sh >= 800000
+    """,
+)
+def q141_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup: |shingles(A) ∩ shingles(B)| /
+    |shingles(A)| ≥ 0.8 flags documents mostly CONTAINED in another —
+    quote/subset duplication that symmetric Jaccard under-scores (a short
+    doc inside a long one has low Jaccard but containment ~1).  Exact
+    integer ppm ratio, ordered pairs (A-in-B and B-in-A are different
+    findings).
+
+    Plan: distinct shingles per doc (one combine shuffle), the
+    intersection via a shingle-keyed self-join with map-side combine on
+    the (a, b) pair — the candidate space is bounded by co-occurring
+    shingles exactly like the q29 n-gram join; at 100 TB stop-shingle
+    capping (drop shingles above a doc-frequency ceiling) bounds the hot
+    shingle lists, the same mitigation q29 documents."""
+    from coldata_spark.tables import fan_out
+
+    docs = load(spark, sf_dir, "documents")
+    sh = (
+        fan_out(docs)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(1, length(text) - 4)),"
+                    " i -> substring(text, i, 5))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    out = inter.join(
+        F.broadcast(sizes.withColumnRenamed("doc_id", "doc_a")), "doc_a"
+    ).select(
+        "doc_a",
+        "doc_b",
+        "n_common",
+        F.expr("CAST((1000000 * n_common) div n_sh AS BIGINT)").alias(
+            "containment_ppm"
+        ),
+    )
+    return out.filter(F.col("containment_ppm") >= 800000)
