@@ -1316,3 +1316,54 @@ def q139_asof_forward_next_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         "error_id",
         (F.unix_micros("ts_right") - F.unix_micros("ts")).alias("gap_us"),
     )
+
+
+@register(
+    "q142_hourly_first_dedup",
+    survey="A1,W2,R6",
+    sql="""
+    WITH ranked AS (
+        SELECT user_id, event_type, ts, event_id, value,
+               row_number() OVER (
+                   PARTITION BY user_id, event_type, date_trunc('hour', ts)
+                   ORDER BY ts, event_id) AS rn
+        FROM events
+    )
+    SELECT user_id, event_type,
+           date_trunc('hour', ts) AS hour_start,
+           event_id AS first_event_id,
+           round(value, 2) AS first_value
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q142_hourly_first_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granularity dedup: keep only the FIRST event per (user, type, hour)
+    — the batch twin of streaming dropDuplicatesWithinWatermark with an
+    hour horizon, and the dedup rule event collectors apply to repeated
+    beacons.  First is a rank-1 pick under the tie-broken event order, so
+    the kept set is deterministic on both engines.
+
+    Plan: one window shuffle on the composite key, filter rn = 1 — state
+    is partition-local and bounded by the hour granularity exactly like
+    the streaming variant's watermark state."""
+    ev = load(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts")).alias("hour_start")
+    w = W.partitionBy("user_id", "event_type", hour).orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_type",
+            hour,
+            "event_id",
+            "value",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "hour_start",
+            F.col("event_id").alias("first_event_id"),
+            F.round("value", 2).alias("first_value"),
+        )
+    )
