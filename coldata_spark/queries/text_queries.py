@@ -1415,3 +1415,75 @@ def q141_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return out.filter(F.col("containment_ppm") >= 800000)
+
+
+@register(
+    "q143_lsh_bucket_balance",
+    survey="A5,V6,ext-quality",
+    sql="""
+    WITH sig AS (
+        SELECT doc_id, seed,
+               min((h1 + seed * h2) % 4294967296) AS minhash
+        FROM (
+            SELECT doc_id,
+                   ('0x' || substring(md5(shingle), 1, 8))::BIGINT AS h1,
+                   ('0x' || substring(md5(shingle), 9, 8))::BIGINT AS h2
+            FROM (
+                SELECT DISTINCT doc_id, substring(text, i, 5) AS shingle
+                FROM documents, unnest(generate_series(1,
+                     greatest(1, length(text) - 4))) AS t(i)
+            )
+        ), unnest(generate_series(0, 7)) AS s(seed)
+        GROUP BY doc_id, seed
+    ),
+    banded AS (
+        SELECT doc_id, cast(floor(seed / 2) AS INT) AS band,
+               string_agg(cast(minhash AS VARCHAR), '|' ORDER BY seed) AS band_key
+        FROM sig GROUP BY doc_id, cast(floor(seed / 2) AS INT)
+    ),
+    buckets AS (
+        SELECT band, band_key, CAST(count(*) AS BIGINT) AS sz
+        FROM banded GROUP BY band, band_key
+    )
+    SELECT band,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(max(sz) AS BIGINT) AS max_bucket,
+           CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS candidate_pairs
+    FROM buckets GROUP BY band
+    """,
+)
+def q143_lsh_bucket_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket-balance diagnostic: per band, how many buckets the
+    corpus hashes into, the hottest bucket's size, and the candidate-pair
+    work sum(s*(s-1)/2) the within-bucket join will do — the number that
+    says whether the banding parameters keep the quadratic term bounded
+    BEFORE running the join (the q133 skew profile, specialized to the
+    dedup pipeline's own shuffle key).
+
+    Plan: the minhash signature build (1 md5 per distinct shingle), one
+    groupBy to band keys, one to bucket sizes, one tiny per-band agg —
+    the diagnostic costs the signature stage, never the join it
+    predicts."""
+    docs = load(spark, sf_dir, "documents")
+    sig = DD.minhash_signatures(docs, "text", "doc_id")
+    banded = (
+        sig.withColumn("band", (F.col("seed") / 2).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                    lambda s: s["minhash"].cast("string"),
+                ),
+            ).alias("band_key")
+        )
+    )
+    buckets = banded.groupBy("band", "band_key").agg(
+        F.count("*").cast("long").alias("sz")
+    )
+    return buckets.groupBy("band").agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.max("sz").cast("long").alias("max_bucket"),
+        F.sum(F.expr("sz * (sz - 1) div 2")).cast("long").alias("candidate_pairs"),
+    )
