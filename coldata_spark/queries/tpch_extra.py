@@ -1461,3 +1461,39 @@ def q138_pareto_abc(spark, sf_dir):
         F.count("*").cast("long").alias("n_parts"),
         F.sum("rev_c").cast("long").alias("class_rev_c"),
     )
+
+
+@register(
+    "q144_topk_with_ties",
+    survey="W1,A2,O3",
+    sql="""
+    SELECT p_brand, p_partkey, p_retailprice, price_rank
+    FROM (
+        SELECT p_brand, p_partkey, p_retailprice,
+               CAST(rank() OVER (PARTITION BY p_brand
+                    ORDER BY p_retailprice) AS BIGINT) AS price_rank
+        FROM part
+    )
+    WHERE price_rank <= 2
+    """,
+)
+def q144_topk_with_ties(spark, sf_dir):
+    """Top-k WITH ties — rank() <= k keeps every row tied at the boundary,
+    the 'WITH TIES' fetch semantics row_number-based top-k (q09/q53)
+    silently truncates.  Both engines define rank() gaps identically, so
+    the kept set needs no tie-break column at all: ties are the point.
+
+    Plan: same single window shuffle as row_number top-k — the semantic
+    choice is free; Spark's WindowGroupLimit pushdown still applies to
+    rank() filters, keeping per-partition state at k rows."""
+    p = load(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy("p_retailprice")
+    return (
+        p.select(
+            "p_brand",
+            "p_partkey",
+            "p_retailprice",
+            F.rank().over(w).cast("long").alias("price_rank"),
+        )
+        .filter(F.col("price_rank") <= 2)
+    )
