@@ -1367,3 +1367,66 @@ def q142_hourly_first_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("value", 2).alias("first_value"),
         )
     )
+
+
+@register(
+    "q146_user_journeys",
+    survey="R6,W2,A5",
+    sql="""
+    WITH firsts AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS step
+        FROM events
+    ),
+    journeys AS (
+        SELECT user_id,
+               string_agg(event_type, '>' ORDER BY step) AS journey
+        FROM firsts WHERE step <= 5
+        GROUP BY user_id
+    )
+    SELECT journey, CAST(cnt AS BIGINT) AS n_users, rk
+    FROM (
+        SELECT journey, count(*) AS cnt,
+               CAST(row_number() OVER (ORDER BY count(*) DESC, journey)
+                    AS BIGINT) AS rk
+        FROM journeys GROUP BY journey
+    ) t(journey, cnt, rk)
+    WHERE rk <= 10
+    """,
+)
+def q146_user_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey signatures: each user's first five events as an
+    ordered path string, ranked by how many users share the exact path —
+    the onboarding-funnel shape product analytics mines.  Path
+    construction is a seed-ordered aggregation (sort by step inside the
+    group, rule: deterministic under the ts,event_id tie-break), so the
+    signature strings match byte-for-byte across engines.
+
+    Plan: one user window for step numbers, a per-user path agg on the
+    SAME partitioning, then a path-frequency agg whose input is #users
+    rows; the final top-10 window runs over distinct paths only."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    firsts = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("step")
+    ).filter(F.col("step") <= 5)
+    journeys = firsts.groupBy("user_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("step", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+        ).alias("journey")
+    )
+    freq = journeys.groupBy("journey").agg(F.count("*").alias("cnt"))
+    wr = W.orderBy(F.col("cnt").desc(), "journey")
+    return (
+        freq.select(
+            "journey",
+            F.col("cnt").cast("long").alias("n_users"),
+            F.row_number().over(wr).cast("long").alias("rk"),
+        )
+        .filter(F.col("rk") <= 10)
+    )

@@ -1497,3 +1497,46 @@ def q144_topk_with_ties(spark, sf_dir):
         )
         .filter(F.col("price_rank") <= 2)
     )
+
+
+@register(
+    "q145_mode_per_group",
+    survey="A2,A5,W1",
+    sql="""
+    SELECT o_orderpriority, o_orderstatus AS mode_status, n
+    FROM (
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n,
+               row_number() OVER (PARTITION BY o_orderpriority
+                    ORDER BY count(*) DESC, o_orderstatus) AS rk
+        FROM orders
+        GROUP BY o_orderpriority, o_orderstatus
+    )
+    WHERE rk = 1
+    """,
+)
+def q145_mode_per_group(spark, sf_dir):
+    """Statistical MODE per group (most frequent order status per
+    priority) — not a built-in aggregate in either engine's portable
+    subset, so it is the canonical two-level shape: frequency agg, then a
+    deterministic argmax (count DESC, value ASC tie-break) per group.
+
+    Plan: one combine agg on (group, value) — the frequency table — then
+    a window over that tiny rollup; the raw table is scanned once."""
+    o = load(spark, sf_dir, "orders")
+    freq = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("n").desc(), "o_orderstatus"
+    )
+    return (
+        freq.select(
+            "o_orderpriority",
+            F.col("o_orderstatus").alias("mode_status"),
+            "n",
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
