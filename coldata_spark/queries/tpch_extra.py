@@ -1540,3 +1540,65 @@ def q145_mode_per_group(spark, sf_dir):
         .filter(F.col("rk") == 1)
         .drop("rk")
     )
+
+
+@register(
+    "q147_revenue_gini",
+    survey="A5,W3,ext-quality",
+    sql="""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_c
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT rev_c,
+               CAST(row_number() OVER (ORDER BY rev_c, o_custkey) AS BIGINT) AS i
+        FROM per_cust
+    ),
+    sums AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(rev_c) AS BIGINT) AS s_x,
+               CAST(sum(i * rev_c) AS BIGINT) AS s_ix
+        FROM ranked
+    )
+    SELECT n, s_x,
+           CAST(((2 * s_ix - (n + 1) * s_x) * 1000) // (n * s_x) AS BIGINT)
+               AS gini_milli
+    FROM sums
+    """,
+)
+def q147_revenue_gini(spark, sf_dir):
+    """Revenue concentration as an exact integer Gini coefficient: the
+    rank-sum identity G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over
+    ascending-ranked per-customer revenue — inequality measured with zero
+    floats (milli units via one floor division; milli rather than micro
+    keeps the scaled numerator inside int64 through ~10^7 customers —
+    rescale or decimal beyond that).  The same query shape measures corpus
+    concentration over sources or token budgets over documents.
+
+    Plan: per-customer agg (one fact shuffle), a global-order window over
+    the #customers rollup, one scalar aggregate."""
+    o = load(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+        .cast("long")
+        .alias("rev_c")
+    )
+    w = W.orderBy("rev_c", "o_custkey")
+    ranked = per_cust.select(
+        "rev_c", F.row_number().over(w).cast("long").alias("i")
+    )
+    sums = ranked.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("rev_c").cast("long").alias("s_x"),
+        F.sum(F.expr("i * rev_c")).cast("long").alias("s_ix"),
+    )
+    return sums.select(
+        "n",
+        "s_x",
+        F.expr(
+            "CAST(((2 * s_ix - (n + 1) * s_x) * 1000) div (n * s_x) AS BIGINT)"
+        ).alias("gini_milli"),
+    )
