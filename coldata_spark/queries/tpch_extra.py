@@ -1602,3 +1602,43 @@ def q147_revenue_gini(spark, sf_dir):
             "CAST(((2 * s_ix - (n + 1) * s_x) * 1000) div (n * s_x) AS BIGINT)"
         ).alias("gini_milli"),
     )
+
+
+@register(
+    "q148_ship_latency_histogram",
+    survey="J1,A5,ext-quality",
+    sql="""
+    SELECT date_diff('day', o.o_orderdate, l.l_shipdate) AS latency_days,
+           CAST(count(*) AS BIGINT) AS n_lineitems,
+           CAST(count(DISTINCT l.l_orderkey) AS BIGINT) AS n_orders
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY latency_days
+    """,
+)
+def q148_ship_latency_histogram(spark, sf_dir):
+    """Order-to-ship latency distribution in whole days — the fulfillment
+    SLA histogram (and, for a crawl pipeline, the exact shape of
+    crawl-to-index lag analysis).  Day diffs are calendar-exact integers
+    on both engines (datediff ≡ date_diff('day')), so every bucket is
+    bit-stable.
+
+    Plan: one fact-fact equi-join on the order key — at 100 TB THE
+    bucketed-layout case (both tables cluster on orderkey, making this a
+    zero-exchange sort-merge, tests/test_bucketing.py) — then a combine
+    agg into a few hundred day buckets."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    return (
+        j.select(
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).cast("long").alias(
+                "latency_days"
+            ),
+            "l_orderkey",
+        )
+        .groupBy("latency_days")
+        .agg(
+            F.count("*").cast("long").alias("n_lineitems"),
+            F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
+        )
+    )
