@@ -48,6 +48,7 @@ def knn_join(
     exclude_self: bool = False,
     force: bool = False,
     gate_bytes: int = QUADRATIC_GATE_BYTES,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Exact k-NN theta-join: top-k vectors per query under ``metric``.
 
@@ -61,9 +62,21 @@ def knn_join(
 
     Scores are rounded to ``score_decimals`` BEFORE ranking, with vec_id as
     tie-break, so the ranking is deterministic and engine-independent.
-    """
-    from coldata_spark.tables import fan_out
 
+    ``strategy`` picks the scoring engine:
+
+      * ``"arrow"`` (the ``"auto"`` default) — Arrow-batched numpy matmul
+        against the (collected, gate-bounded) query matrix inside a single
+        ``mapInPandas`` pass, with a per-batch partial top-k so each scan
+        task emits only ~#queries x k candidate rows.  Same pattern as the
+        IVF-PQ in-UDF ADC LUTs (ivf.py): the big side never shuffles and
+        the per-pair cost is one fused BLAS op instead of a 64-step
+        Catalyst fold.  Raw scores are emitted and rounded by ``F.round``
+        afterwards, so the published score is bit-identical in semantics to
+        the expression path.
+      * ``"expr"`` — pure Catalyst higher-order-function scoring (the
+        oracle-parity baseline; zero Python in the plan).
+    """
     refuse_at_scale(
         queries,
         "knn_join",
@@ -74,6 +87,40 @@ def knn_join(
     )
 
     desc = V.METRIC_DESCENDING[metric.upper()]
+    if strategy not in ("auto", "arrow", "expr"):
+        raise ValueError(f"unknown knn_join strategy {strategy!r}")
+    if strategy in ("auto", "arrow"):
+        scored = _knn_scored_arrow(
+            queries,
+            vectors,
+            k,
+            metric,
+            query_id,
+            query_vec,
+            vec_id,
+            vec_col,
+            score_decimals,
+            exclude_self,
+        )
+        if score_decimals is not None:
+            scored = scored.withColumn(
+                "score", F.round(F.col("score"), score_decimals)
+            )
+        # The Arrow stage already reduced each scan task to ~#queries x k
+        # survivor rows, so the global window merges a bounded set — no
+        # salting needed regardless of input size.
+        order = [
+            F.col("score").desc() if desc else F.col("score").asc(),
+            F.col(vec_id).asc(),
+        ]
+        w = W.partitionBy(query_id).orderBy(*order)
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+
+    from coldata_spark.tables import fan_out
+
     score = V.score_expr(
         metric, V.as_double(F.col(query_vec)), V.as_double(F.col(vec_col))
     )
@@ -113,6 +160,110 @@ def knn_join(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+def _knn_scored_arrow(
+    queries: DataFrame,
+    vectors: DataFrame,
+    k: int,
+    metric: str,
+    query_id: str,
+    query_vec: str,
+    vec_id: str,
+    vec_col: str,
+    score_decimals: int | None,
+    exclude_self: bool,
+) -> DataFrame:
+    """Score (query x vector) pairs with numpy inside mapInPandas, keeping a
+    per-batch partial top-k per query.
+
+    The query side is collected to the driver — bounded by the same gate
+    that makes the expression path's broadcast legal — and closed over by
+    the UDF (Spark ships the closure once per task, like a broadcast var).
+
+    Correctness of the partial top-k under post-hoc rounding: F.round moves
+    a score by at most ``0.5 * 10^-d``, so two rows can swap order after
+    rounding only if their raw scores differ by <= ``10^-d``.  Each batch
+    therefore keeps every row within ``10^-d`` (+ ulp slack) of its k-th
+    best raw score — a superset of any possible post-rounding top-k — and
+    the exact global ranking happens after F.round in the caller.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from coldata_spark.tables import fan_out
+
+    m = metric.upper()
+    desc = V.METRIC_DESCENDING[m]
+    slack = (10.0 ** -score_decimals + 1e-9) if score_decimals is not None else 0.0
+
+    q_rows = queries.select(query_id, query_vec).collect()
+    q_ids = [r[0] for r in q_rows]
+    Q = (
+        np.asarray([list(r[1]) for r in q_rows], dtype=np.float64)
+        if q_rows
+        else np.zeros((0, 1))
+    )
+    nq = len(q_ids)
+    q_norm = np.linalg.norm(Q, axis=1) if nq else np.zeros(0)
+
+    out_schema = T.StructType(
+        [
+            T.StructField(query_id, queries.schema[query_id].dataType),
+            T.StructField(vec_id, vectors.schema[vec_id].dataType),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+
+    def score_batches(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0 or nq == 0:
+                continue
+            X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            vids = pdf[vec_id].to_numpy()
+            if m == "COSINE":
+                S = X @ Q.T
+                S /= np.linalg.norm(X, axis=1, keepdims=True)
+                S /= q_norm[None, :]
+            elif m == "IP":
+                S = X @ Q.T
+            else:  # L2
+                S = np.empty((n, nq))
+                for j in range(nq):
+                    d = X - Q[j]
+                    S[:, j] = np.sqrt(np.einsum("ij,ij->i", d, d))
+            sel_q, sel_v, sel_s = [], [], []
+            for j in range(nq):
+                s = S[:, j]
+                idx = np.arange(n)
+                if exclude_self:
+                    idx = idx[vids != q_ids[j]]
+                sv = s[idx]
+                if len(sv) > k:
+                    if desc:
+                        kth = np.partition(sv, len(sv) - k)[len(sv) - k]
+                        idx = idx[sv >= kth - slack]
+                    else:
+                        kth = np.partition(sv, k - 1)[k - 1]
+                        idx = idx[sv <= kth + slack]
+                sel_q.append(np.full(len(idx), j, dtype=np.int64))
+                sel_v.append(idx)
+                sel_s.append(s[idx])
+            qi = np.concatenate(sel_q)
+            vi = np.concatenate(sel_v)
+            yield pd.DataFrame(
+                {
+                    query_id: [q_ids[j] for j in qi],
+                    vec_id: vids[vi],
+                    "score": np.concatenate(sel_s),
+                }
+            )
+
+    return fan_out(vectors.select(vec_id, vec_col)).mapInPandas(
+        score_batches, schema=out_schema
     )
 
 

@@ -51,6 +51,24 @@ def test_metric_ordering_semantics(spark):
     assert ip[0].vec_id == 1
 
 
+@pytest.mark.parametrize("metric", ["COSINE", "L2", "IP"])
+def test_knn_arrow_matches_expr_strategy(spark, sf_dir, metric):
+    """The Arrow-matmul scoring path must return the exact rows+rounded
+    scores of the expression-scored baseline for every metric."""
+    emb = load(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    vs = emb.select("vec_id", "embedding")
+    kw = dict(k=6, metric=metric, exclude_self=True)
+    arrow = knn_join(qs, vs, strategy="arrow", **kw).collect()
+    expr = knn_join(qs, vs, strategy="expr", **kw).collect()
+    key = lambda r: (r.q_id, r.rank)
+    a = {key(r): (r.vec_id, r.score) for r in arrow}
+    e = {key(r): (r.vec_id, r.score) for r in expr}
+    assert a == e
+
+
 def test_topk_subset_of_full_ranking(spark, sf_dir):
     """Property: top-2 is a prefix of top-4 (SURVEY §5.4)."""
     emb = load(spark, sf_dir, "embeddings")

@@ -51,10 +51,44 @@ def test_dimension_joins_broadcast(spark, sf_dir):
 
 
 def test_knn_big_side_never_shuffles_before_topk(spark, sf_dir):
-    """q30: the vector table must meet the (broadcast) query side without a
-    join-key exchange; the only shuffle is the per-query top-k window."""
+    """q30 (arrow strategy): the vector table flows from the scan straight
+    into the Arrow scoring stage — no join, no exchange of the big side;
+    the only shuffle is the bounded per-query top-k merge window."""
     q = registry.specs()["q30_knn_cosine_topk"]
     plan = plan_of(q.fn(spark, sf_dir))
+    assert "MapInPandas" in plan
+    assert "SortMergeJoin" not in plan
+    # nothing between the scan and the Arrow stage may shuffle ON A KEY —
+    # the only exchange allowed there is fan_out's round-robin rebalance of
+    # the single-file test fixture (absent at scale, where the scan already
+    # has thousands of splits).  A hash/range exchange would mean the big
+    # side is being co-partitioned for a join — the shape this test bans.
+    import re
+
+    tree = plan.split("\n\n")[0]
+    mip_id = int(re.search(r"MapInPandas \((\d+)\)", tree).group(1))
+    for m in re.finditer(r"Exchange \((\d+)\)", tree):
+        ex_id = int(m.group(1))
+        if ex_id < mip_id:  # below MapInPandas in the tree = before it
+            detail = plan.split(f"({ex_id}) Exchange")[1].split("\n\n")[0]
+            assert "RoundRobinPartitioning" in detail, detail
+
+
+def test_knn_expr_strategy_broadcasts(spark, sf_dir):
+    """The expression-scored fallback keeps the broadcast-join shape."""
+    from coldata_spark.operators.similarity import knn_join
+    from coldata_spark.queries.vector_queries import _queries_df
+
+    emb = load(spark, sf_dir, "embeddings")
+    df = knn_join(
+        _queries_df(spark, sf_dir),
+        emb.select("vec_id", "embedding"),
+        k=4,
+        metric="COSINE",
+        exclude_self=True,
+        strategy="expr",
+    )
+    plan = plan_of(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
 

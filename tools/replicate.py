@@ -98,5 +98,6 @@ if __name__ == "__main__":
 
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     dst = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.bench_cache/16x"
-    replicate_fixture(get_spark(app_name="replicate"), src, dst, times=16)
+    times = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+    replicate_fixture(get_spark(app_name="replicate"), src, dst, times=times)
     print(dst)
