@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# ---- HyperLogLog (p=8, m=256 registers, 32-bit md5-derived hash) ----------
+# ---- HyperLogLog (p=8, m=256 registers, 32-bit integer-mixed hash) --------
 # Estimate alpha_m * m^2 / sum(2^-M_j) in pure integers: scale 2^-M_j by
 # 2^25 (max rank 25, so every term 2^(25-M_j) is integral) and divide the
 # precomputed constant C = floor(alpha * m^2 * 2^25).
@@ -31,12 +31,76 @@ _W_BITS = 32 - HLL_P  # 24-bit rank field
 _W_MOD = 1 << _W_BITS
 _MAX_RANK = _W_BITS + 1  # 25
 
+# The row hash is the murmur3 32-bit finalizer (public avalanche constants)
+# over the key's folded 64 bits — pure integer xor/div/mul/mod steps that
+# every SQL engine evaluates bit-identically, unlike an engine-native
+# hash().  Each 32-bit multiply is split into 16-bit halves so no
+# intermediate exceeds 2^49 (exact under ANSI bigint semantics):
+#   (h * c) mod 2^32 = (((h div 2^16) * c mod 2^16) * 2^16 + (h mod 2^16) * c) mod 2^32
+# This replaced the r2 md5-hex-substring chain, which cost ~5x the
+# surrounding scan per row in BOTH engines (digest + string conv).
+_MIX_C1 = 2246822507  # 0x85EBCA6B
+_MIX_C2 = 3266489909  # 0xC2B2AE35
 
-def _h32(key_col: str) -> Column:
-    return F.expr(
-        f"cast(conv(substring(md5(cast({key_col} as string)), 1, 8), 16, 10)"
-        " as bigint)"
+
+def _mix32_steps(xor, idiv: str) -> list[str]:
+    """The 5 finalizer steps as SQL templates over the prior value ``{h}``.
+
+    ``xor(a, b)`` renders the engine's bitwise xor; ``idiv`` its integer
+    division operator.  Keeping ONE step per projection stage (not one
+    nested expression) bounds expression-tree size and lets both engines
+    evaluate each 32-bit intermediate exactly once."""
+
+    def mul(c: int) -> str:
+        return (
+            f"((((({{h}}) {idiv} 65536) * {c}) % 65536) * 65536"
+            f" + (({{h}}) % 65536) * {c}) % 4294967296"
+        )
+
+    return [
+        xor("{h}", f"({{h}}) {idiv} 65536"),
+        mul(_MIX_C1),
+        xor("{h}", f"({{h}}) {idiv} 8192"),
+        mul(_MIX_C2),
+        xor("{h}", f"({{h}}) {idiv} 65536"),
+    ]
+
+
+def _spark_xor(a: str, b: str) -> str:
+    return f"({a}) ^ ({b})"
+
+
+def _duck_xor(a: str, b: str) -> str:
+    return f"xor({a}, {b})"
+
+
+def _spark_fold64(key_col: str) -> str:
+    """Fold a 64-bit key to 32 bits before mixing.  pmod keeps both halves
+    non-negative for any input; the cross-engine oracle twin additionally
+    assumes non-negative keys (Spark ``div`` truncates toward zero, DuckDB
+    ``//`` floors — they agree only for non-negative operands)."""
+    return (
+        f"(pmod(cast({key_col} as bigint), 4294967296))"
+        f" ^ (pmod(cast({key_col} as bigint) div 4294967296, 4294967296))"
     )
+
+
+def hll_h32_sql(from_sql: str, select_cols: str, key_expr: str) -> str:
+    """DuckDB CTE chain computing the identical h32 for the oracle twin.
+
+    Returns the text of chained CTEs ``m0..m5`` where ``m5`` has
+    ``select_cols`` plus the mixed hash column ``h``.  Interpolate into an
+    oracle's WITH clause so both engines hash bit-identically."""
+    fold = (
+        f"xor(({key_expr}) % 4294967296, ({key_expr}) // 4294967296)"
+    )
+    ctes = [f"m0 AS (SELECT {select_cols}, {fold} AS h FROM {from_sql})"]
+    for i, step in enumerate(_mix32_steps(_duck_xor, "//"), start=1):
+        ctes.append(
+            f"m{i} AS (SELECT * REPLACE ({step.format(h='h')} AS h)"
+            f" FROM m{i - 1})"
+        )
+    return ",\n    ".join(ctes)
 
 
 def hll_registers(
@@ -44,18 +108,23 @@ def hll_registers(
 ) -> DataFrame:
     """Per-group HLL register table: (group..., idx, mx).
 
-    One md5 + bit-split per row map-side, then a groupBy max whose shuffle
-    carries at most groups x 256 rows regardless of input size.  The
-    output is the sketch artifact — persistable, mergeable (hll_merge)."""
-    b = df.select(
-        *group_cols,
-        _h32(key_col).alias("h32"),
-    ).select(
+    One integer-mix hash + bit-split per row map-side, then a groupBy max
+    whose shuffle carries at most groups x 256 rows regardless of input
+    size.  The output is the sketch artifact — persistable, mergeable
+    (hll_merge)."""
+    b = df.select(*group_cols, F.expr(_spark_fold64(key_col)).alias("h32"))
+    for step in _mix32_steps(_spark_xor, "div"):
+        b = b.select(*group_cols, F.expr(step.format(h="h32")).alias("h32"))
+    # rank = leading zeros in the 24-bit field + 1 = 24 - floor(log2(w)),
+    # computed numerically (floor(log2(2^k)) is exact in IEEE double, and
+    # no other value can cross an integer boundary) — length(bin(w)) built
+    # a per-row string, ~35% of the register-build cost at 16x replication.
+    b = b.select(
         *group_cols,
         F.expr(f"h32 div {_W_MOD}").alias("idx"),
         F.expr(
             f"case when h32 % {_W_MOD} = 0 then {_MAX_RANK}"
-            f" else {_MAX_RANK} - length(bin(h32 % {_W_MOD})) end"
+            f" else {_MAX_RANK - 1} - cast(floor(log2(h32 % {_W_MOD})) as int) end"
         ).alias("rank"),
     )
     return b.groupBy(*group_cols, "idx").agg(F.max("rank").alias("mx"))

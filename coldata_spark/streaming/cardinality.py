@@ -14,7 +14,7 @@ a batch cannot change a max — so exactly-once here needs no applied-batch
 marker; the atomic table swap alone suffices.  (The marker recipe in
 rollup.py remains necessary for additive folds.)
 
-Because the registers are the same md5-derived integers the DuckDB oracle
+Because the registers are the same integer-mixed hashes the DuckDB oracle
 computes (ORACLE_PARITY.md rule 20), the persisted sketch table is readable
 and mergeable by any engine downstream.
 """

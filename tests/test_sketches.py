@@ -107,10 +107,28 @@ key_lists = st.lists(
 )
 
 
+def _trunc_div(a: int, b: int) -> int:
+    """Spark's bigint ``div``: truncation toward zero (Python // floors)."""
+    q = abs(a) // b
+    return q if a >= 0 else -q
+
+
+def _ref_h32(k: int) -> int:
+    """The operator's murmur3 finalizer over the folded key, in plain
+    Python — mirrors _spark_fold64 + _mix32_steps bit for bit."""
+    h = (k % (1 << 32)) ^ (_trunc_div(k, 1 << 32) % (1 << 32))
+    h ^= h >> 16
+    h = (h * SK._MIX_C1) % (1 << 32)
+    h ^= h >> 13
+    h = (h * SK._MIX_C2) % (1 << 32)
+    h ^= h >> 16
+    return h
+
+
 def _ref_hll_registers(keys) -> dict[int, int]:
     regs: dict[int, int] = {}
     for k in set(keys):
-        h32 = int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16)
+        h32 = _ref_h32(k)
         idx, w24 = h32 // (1 << 24), h32 % (1 << 24)
         rank = 25 if w24 == 0 else 25 - w24.bit_length()
         regs[idx] = max(regs.get(idx, 0), rank)
