@@ -123,6 +123,12 @@ def compact_parquet_dir(
             n += sum(1 for f in files if f.endswith(".parquet"))
         return n
 
+    if os.path.realpath(dst) == os.path.realpath(src):
+        raise ValueError(
+            f"compact_parquet_dir: dst == src ({src}) — overwrite-writing "
+            "the directory being lazily read would destroy the source; "
+            "compact into a fresh dir and swap afterwards"
+        )
     total = dir_bytes(src)
     n_out = max(1, math.ceil(total / target_bytes))
     df = spark.read.parquet(src)

@@ -71,7 +71,20 @@ def salted_join(
     The salt must depend only on the big row (here: a crc32 spread, as in
     salted_agg), never on the key alone — salting the key deterministically
     would re-create the same hot partition.
+
+    Only inner/left/left_semi/left_anti are correct under replication: a
+    right or full outer join would emit every unmatched small-side row
+    once per salt (n_salts duplicates).  Swap the sides (the unmatched-
+    preserved side must be the salted one) or dedup downstream instead.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join(how={how!r}): replication of the small side makes "
+            "right/full outer joins emit unmatched small rows once per salt; "
+            "use how in {inner, left, left_semi, left_anti}"
+        )
     salted_big = big.withColumn(
         "_salt",
         (F.crc32(F.monotonically_increasing_id().cast("string")) % n_salts).cast(

@@ -8,12 +8,12 @@ per committed version, so that:
   * readers pin a snapshot (no torn reads while a writer lands),
   * any historical version stays queryable (time travel — the input to
     the q127-style snapshot diff),
-  * commits are atomic: data lands in a new directory, then one
-    manifest file appears via os.rename (atomic on POSIX); a version is
-    visible iff its manifest exists,
-  * concurrent writers conflict safely: the manifest create uses
-    O_EXCL, so the loser of a race gets an error instead of corrupting
-    history (optimistic concurrency, Delta-style).
+  * commits are atomic: data lands in a new directory, then the fully
+    written manifest is hard-linked to its version name (atomic on
+    POSIX); a version is visible iff its complete manifest exists,
+  * concurrent writers conflict safely: os.link fails with EEXIST for
+    the loser of a race, who gets VersionConflict instead of
+    corrupting history (optimistic concurrency, Delta-style).
 
 Layout:
     <path>/data/v<N>-<mode>/...parquet   immutable data directories
@@ -44,7 +44,11 @@ class VersionedTable:
         out = []
         for f in os.listdir(mdir):
             if f.startswith("v") and f.endswith(".json"):
-                out.append(int(f[1:-5]))
+                # zero-byte manifests can only be left by a pre-hard-link
+                # writer that crashed between claim and publish — never by
+                # the current commit path; skip them rather than crash
+                if os.path.getsize(os.path.join(mdir, f)) > 0:
+                    out.append(int(f[1:-5]))
         return sorted(out)
 
     def latest_version(self) -> int | None:
@@ -87,24 +91,45 @@ class VersionedTable:
         data_dir = os.path.join(self.path, "data", f"v{version}-{mode}-{nonce}")
         df.write.mode("errorifexists").parquet(data_dir)
         dirs = [data_dir]
-        if mode == "append" and prev is not None:
-            dirs = self._manifest(prev)["dirs"] + dirs
-        tmp = os.path.join(self.path, "manifest", f".v{version}.json.tmp")
+        applied_batches: set[int] = set()
+        if prev is not None:
+            pm = self._manifest(prev)
+            if mode == "append":
+                dirs = pm["dirs"] + dirs
+            # the exactly-once marker set survives vacuum because EVERY new
+            # manifest carries the full applied-batch history forward — a
+            # late foreachBatch replay is detected even after the manifest
+            # that originally recorded its batch_id was vacuumed away
+            applied_batches.update(pm.get("applied_batches", []))
+            if "batch_id" in pm:
+                applied_batches.add(pm["batch_id"])
+        extra = dict(extra or {})
+        if "batch_id" in extra:
+            applied_batches.add(extra["batch_id"])
+        tmp = os.path.join(
+            self.path, "manifest", f".v{version}-{nonce}.json.tmp"
+        )
         final = os.path.join(self.path, "manifest", f"v{version}.json")
         manifest = {"version": version, "mode": mode, "dirs": dirs}
-        manifest.update(extra or {})
+        if applied_batches:
+            manifest["applied_batches"] = sorted(applied_batches)
+        manifest.update(extra)
         with open(tmp, "w") as f:
             json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
         try:
-            # O_EXCL claim of the version number, then atomic publish
-            fd = os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.close(fd)
+            # atomic claim WITH content: hard-link the fully-written tmp to
+            # the version name — EEXIST on a race, and no instant at which
+            # readers can observe an empty/partial manifest (the O_EXCL
+            # claim-then-replace it replaced published a torn empty file)
+            os.link(tmp, final)
         except FileExistsError as ex:
-            os.unlink(tmp)
             raise VersionConflict(
                 f"version {version} already committed by another writer"
             ) from ex
-        os.replace(tmp, final)
+        finally:
+            os.unlink(tmp)
         return version
 
     # -- read path -------------------------------------------------------
@@ -118,11 +143,18 @@ class VersionedTable:
             stream.writeStream.foreachBatch(
                 lambda b, i: table.commit_batch(b, i)).start()
         """
-        for v in self.versions():
-            if self._manifest(v).get("batch_id") == batch_id:
+        latest = self.latest_version()
+        if latest is not None:
+            m = self._manifest(latest)
+            applied = set(m.get("applied_batches", []))
+            if "batch_id" in m:
+                applied.add(m["batch_id"])
+            if batch_id in applied:
                 return None
         # batch_id rides the manifest itself (one atomic publish) — there
-        # is no window where the data is visible but the marker is not
+        # is no window where the data is visible but the marker is not;
+        # commit() folds it into applied_batches so every later manifest
+        # (and therefore every post-vacuum latest) still rejects a replay
         return self.commit(df, mode="append", extra={"batch_id": batch_id})
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:

@@ -80,3 +80,19 @@ def test_compact_small_files_preserves_rows_and_hits_target(spark, sf_dir, tmp_p
     ha = a.select(*cols).orderBy("l_orderkey", "l_linenumber").toPandas()
     hb = b.select(*cols).orderBy("l_orderkey", "l_linenumber").toPandas()
     assert ha.equals(hb)
+
+
+def test_compact_refuses_in_place_overwrite(spark, sf_dir, tmp_path):
+    """dst == src would overwrite the directory being lazily read."""
+    import pytest
+
+    from coldata_spark.operators.layout import compact_parquet_dir
+
+    src = str(tmp_path / "frag")
+    spark.read.parquet(f"{sf_dir}/nation.parquet").write.parquet(src)
+    with pytest.raises(ValueError, match="dst == src"):
+        compact_parquet_dir(spark, src, src)
+    # a relative alias of the same dir must be caught too
+    alias = src + "/../" + src.rsplit("/", 1)[-1]
+    with pytest.raises(ValueError, match="dst == src"):
+        compact_parquet_dir(spark, src, alias)

@@ -118,3 +118,17 @@ def test_salted_join_equals_plain_join(spark):
     assert sorted(map(tuple, left_plain.select("k", "v", "w").collect())) == sorted(
         map(tuple, left_salted.select("k", "v", "w").collect())
     )
+
+
+def test_salted_join_refuses_outer_preserving_small_side(spark):
+    """right/full outer would emit each unmatched small-side row once per
+    salt — the operator must refuse rather than silently duplicate."""
+    import pytest
+
+    from coldata_spark.operators.skew import salted_join
+
+    big = spark.range(5).selectExpr("id AS k", "id AS v")
+    small = spark.range(10).selectExpr("id AS k", "id AS w")
+    for how in ("right", "full", "right_outer", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(big, small, "k", how=how)

@@ -93,6 +93,43 @@ def test_streaming_append_exactly_once(spark, tmp_path):
     assert t.read(spark).count() == 35
 
 
+def test_batch_replay_rejected_after_vacuum(spark, tmp_path):
+    """The exactly-once marker must survive vacuum: every manifest carries
+    the full applied-batch set forward, so a late replay of a batch whose
+    original manifest was vacuumed is still a no-op."""
+    t = VersionedTable(str(tmp_path / "tbl"))
+    assert t.commit_batch(spark.range(0, 10), batch_id=0) == 0
+    assert t.commit_batch(spark.range(10, 20), batch_id=1) == 1
+    assert t.commit_batch(spark.range(20, 30), batch_id=2) == 2
+    t.vacuum(retain_versions=1)  # drops the manifests recording batches 0,1
+    assert t.commit_batch(spark.range(0, 10), batch_id=0) is None
+    assert t.commit_batch(spark.range(10, 20), batch_id=1) is None
+    assert t.read(spark).count() == 30
+    # the marker set also rides through non-batch commits (e.g. a MERGE)
+    t.commit(spark.range(100), mode="overwrite")
+    assert t.commit_batch(spark.range(0, 10), batch_id=2) is None
+
+
+def test_manifests_are_never_torn(spark, tmp_path):
+    """Every published manifest must be complete at the instant it becomes
+    visible (hard-link of fully-written content); a leftover zero-byte
+    manifest from a crashed legacy writer is skipped, not fatal."""
+    import json
+    import os
+
+    t = VersionedTable(str(tmp_path / "tbl"))
+    t.commit(spark.range(10))
+    mdir = os.path.join(str(tmp_path / "tbl"), "manifest")
+    for f in os.listdir(mdir):
+        assert not f.endswith(".tmp")  # publish leaves no temp files
+        with open(os.path.join(mdir, f)) as fh:
+            json.load(fh)  # parseable == complete
+    # simulate a torn legacy manifest: readers must not crash on it
+    open(os.path.join(mdir, "v99.json"), "w").close()
+    assert t.versions() == [0]
+    assert t.read(spark).count() == 10
+
+
 def test_vacuum_removes_unreferenced_keeps_live(spark, tmp_path):
     import os
 
