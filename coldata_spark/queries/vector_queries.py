@@ -282,12 +282,57 @@ def q39_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q35_ann_ivf_search", survey="V3,V4,W1", sql=None)
+@register(
+    "q35_ann_ivf_search",
+    survey="V3,V4,W1",
+    sql="""
+    WITH q AS (
+        SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+        FROM embeddings WHERE vec_id < 8
+    ),
+    scored AS (
+        SELECT q.q_id, v.vec_id,
+               round(list_dot_product(q.q_vec, v.embedding::DOUBLE[])
+                     / (sqrt(list_dot_product(q.q_vec, q.q_vec))
+                        * sqrt(list_dot_product(v.embedding::DOUBLE[],
+                                                v.embedding::DOUBLE[]))), 6) AS score
+        FROM q, embeddings v
+    ),
+    ranked AS (
+        SELECT q_id, vec_id, score,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY score DESC, vec_id) AS rank
+        FROM scored
+    )
+    SELECT q_id, vec_id, score, rank FROM ranked WHERE rank <= 4
+    """,
+)
 def q35_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full IVF path (rows-only check — KMeans centroids are not
-    SQL-expressible): build index partitioned by centroid, probe half the
-    cells, exact top-k within probed cells.  Recall vs the exact path is
-    asserted in tests/test_operators.py."""
+    """Full IVF path at nprobe == nlist — the reference's own operating
+    point (config.yml:81-82), where probing every cell makes the result
+    EQUAL exact search regardless of where KMeans put the centroids, so
+    the whole build/partition/probe/scan machinery is value-hash-checkable
+    against the brute-force SQL.  The pruned configuration (nprobe <
+    nlist, the scale path) runs as q150_ann_ivf_pruned plus the
+    IVF_SWEEP.md recall curve."""
+    import tempfile
+
+    from coldata_spark.operators import ivf
+
+    emb = load(spark, sf_dir, "embeddings")
+    assigned, centroids = ivf.build_ivf(emb, nlist=8)
+    path = tempfile.mkdtemp(prefix="coldata_ivf_") + "/index"
+    ivf.write_ivf(assigned, path)
+    return ivf.search_ivf(
+        spark, path, _queries_df(spark, sf_dir), centroids, k=4, nprobe=8
+    )
+
+
+@register("q150_ann_ivf_pruned", survey="V3,V4,W1", sql=None)
+def q150_ann_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production IVF configuration: nprobe = nlist/2, partition
+    pruning skips half the cells (rows-only — recall vs exact is the
+    measured IVF_SWEEP.md curve, not a fixed value set)."""
     import tempfile
 
     from coldata_spark.operators import ivf
@@ -417,18 +462,68 @@ def q85_pq_candidates(spark, sf_dir):
     return ivf.pq_search(codes, q, codebook, top_k=50)
 
 
-@register("q86_ivf_pq_search", survey="V3,V4,ext-ivf", sql=None)
+@register(
+    "q86_ivf_pq_search",
+    survey="V3,V4,ext-ivf",
+    sql="""
+    WITH q AS (
+        SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+        FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+        SELECT q.q_id, v.vec_id,
+               round(list_dot_product(q.q_vec, v.embedding::DOUBLE[])
+                     / (sqrt(list_dot_product(q.q_vec, q.q_vec))
+                        * sqrt(list_dot_product(v.embedding::DOUBLE[],
+                                                v.embedding::DOUBLE[]))), 6) AS score
+        FROM q, embeddings v
+    ),
+    ranked AS (
+        SELECT q_id, vec_id, score,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY score DESC, vec_id) AS rank
+        FROM scored
+    )
+    SELECT q_id, vec_id, score, rank FROM ranked WHERE rank <= 4
+    """,
+)
 def q86_ivf_pq_search(spark, sf_dir):
-    """Complete production ANN path: IVF cell pruning + PQ ADC candidate
-    scan + full-precision re-rank (operators.ivf.search_ivf_pq).  Rows-only;
-    recall vs the exact path asserted in tests/test_search.py::
-    test_ivf_pq_end_to_end_recall (>=0.75 at nprobe=nlist, overfetch=8).
-    """
+    """Complete IVF-PQ path (probe -> ADC scan -> full-precision re-rank)
+    in its exhaustive configuration: nprobe = nlist and overfetch sized so
+    the candidate cut keeps every scanned row.  The re-rank then scores
+    ALL vectors full-precision, so the output provably equals brute-force
+    top-k whatever the (non-SQL-expressible) KMeans cells and PQ codebook
+    did — which makes the entire pipeline value-hash-checkable.  The lossy
+    production configuration runs as q151_ivf_pq_ann and its recall is
+    asserted in tests/test_search.py::test_ivf_pq_end_to_end_recall."""
     from coldata_spark.operators import ivf
     from coldata_spark.tables import load as _load
 
     emb = _load(spark, sf_dir, "embeddings")
-    queries = emb.limit(5).select(
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    index, centroids, codebook = ivf.build_ivf_pq(emb, nlist=8, m=8, k_codes=16)
+    k = 4
+    # cover-all overfetch: ceil(n/k) keeps every candidate through the ADC
+    # cut (bounded driver scalar, like the PQ training sample)
+    n = emb.count()
+    return ivf.search_ivf_pq(
+        index, queries, centroids, codebook, k=k, nprobe=8,
+        overfetch=-(-n // k),
+    )
+
+
+@register("q151_ivf_pq_ann", survey="V3,V4,ext-ivf", sql=None)
+def q151_ivf_pq_ann(spark, sf_dir):
+    """The lossy production IVF-PQ configuration (nprobe=nlist/2,
+    overfetch=8) — rows-only; recall >= 0.75 asserted in
+    tests/test_search.py::test_ivf_pq_end_to_end_recall."""
+    from coldata_spark.operators import ivf
+    from coldata_spark.tables import load as _load
+
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     index, centroids, codebook = ivf.build_ivf_pq(emb, nlist=8, m=8, k_codes=16)

@@ -61,5 +61,6 @@ def test_window_oracle_density():
     """The window should be mostly hard oracle checks, not rows-only."""
     all_specs = registry.specs()
     rows_only = [n for n in registry._DRIVER_WINDOW if all_specs[n].sql is None]
-    # Known budget: q35/q36/q39/q86 (inherently approximate/stubbed); don't grow it.
-    assert len(rows_only) <= 4, f"too many rows-only in window: {rows_only}"
+    # Known budget: q36/q39 (float-vector outputs with no SQL twin); don't
+    # grow it — q35/q86 gained exhaustive-configuration oracles in round 3.
+    assert len(rows_only) <= 2, f"too many rows-only in window: {rows_only}"
