@@ -121,13 +121,22 @@ def minhash_neardup_pairs(
     id_col: str,
     n_hashes: int = N_HASHES,
     band_size: int = BAND_SIZE,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding: two docs collide if any
     band (concatenation of ``band_size`` consecutive minhashes) matches.
 
     Returns distinct (doc_a, doc_b) with doc_a < doc_b plus the estimated
     jaccard = fraction of matching minhash positions.
-    """
+
+    ``max_bucket_size`` bounds the within-bucket self-join, which is
+    quadratic in bucket population: a degenerate band key (think millions
+    of empty or boilerplate documents hashing identically) would otherwise
+    schedule bucket_size^2 candidate pairs — the one place this plan can
+    blow up at 100 TB.  Buckets above the cap are skipped ENTIRELY (their
+    members still pair through their other, non-degenerate bands), which
+    is the standard production mitigation; audit what a cap would drop
+    with the q143 bucket-balance diagnostic before choosing one."""
     sig = minhash_signatures(df, text_col, id_col, n_hashes)
     banded = (
         sig.withColumn("band", (F.col("seed") / band_size).cast("int"))
@@ -146,6 +155,17 @@ def minhash_neardup_pairs(
             ).alias("band_key")
         )
     )
+    if max_bucket_size is not None:
+        # one count window on the join key itself (the exchange is shared
+        # with the self-join below), then drop oversized buckets pre-join
+        from pyspark.sql import Window as W
+
+        wcnt = W.partitionBy("band", "band_key")
+        banded = (
+            banded.withColumn("_bucket_n", F.count("*").over(wcnt))
+            .filter(F.col("_bucket_n") <= max_bucket_size)
+            .drop("_bucket_n")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (

@@ -140,3 +140,26 @@ def test_q39_surfaces_planted_neardups(spark, sf_dir):
     for vid in planted_ids:
         assert (vid, vid + 1000000) in got, f"planted pair for {vid} missing"
         assert got[(vid, vid + 1000000)] >= 0.999999
+
+
+def test_minhash_hot_bucket_cap_bounds_quadratic_join(spark):
+    """A degenerate band bucket (many identical docs) must be skippable:
+    with max_bucket_size set, the oversized bucket contributes no pairs,
+    while normal-sized buckets keep pairing."""
+    hot = [(i, "identical boilerplate text repeated everywhere") for i in range(40)]
+    pair = [
+        (100, "quick brown fox jumps over the lazy dog tonight"),
+        (101, "quick brown fox jumps over the lazy dog tonight"),
+    ]
+    df = spark.createDataFrame(hot + pair, ["doc_id", "text"])
+
+    uncapped = DD.minhash_neardup_pairs(df, "text", "doc_id").collect()
+    # the hot clique alone is 40*39/2 = 780 pairs
+    assert len(uncapped) >= 780
+
+    capped = DD.minhash_neardup_pairs(
+        df, "text", "doc_id", max_bucket_size=10
+    ).collect()
+    got = {(r.doc_a, r.doc_b) for r in capped}
+    assert (100, 101) in got          # normal bucket survives
+    assert all(a >= 100 for a, _ in got)  # hot clique fully skipped
