@@ -103,6 +103,27 @@ class TinyNumpyEncoder:
         return out
 
 
+def hf_encode_fn(tok, model) -> Callable[[list[str]], np.ndarray]:
+    """The real-transformer encode path over an already-constructed
+    tokenizer + model: tokenize -> forward -> attention-mask mean-pool ->
+    L2-normalize (reference embed.py:21-39).  Factored out of the
+    from_pretrained wiring so environments with `transformers` installed
+    can exercise it against locally-constructed models (no hub download) —
+    tests/test_real_libs.py does exactly that, skipping where the library
+    is absent."""
+    import torch
+
+    def encode(texts: list[str]) -> np.ndarray:
+        with torch.no_grad():
+            enc = tok(texts, padding=True, truncation=True, return_tensors="pt")
+            hidden = model(**enc).last_hidden_state
+            mask = enc["attention_mask"].unsqueeze(-1)
+            pooled = (hidden * mask).sum(1) / mask.sum(1)
+            return torch.nn.functional.normalize(pooled, dim=-1).numpy()
+
+    return encode
+
+
 def _default_encoder_factory() -> Callable[[list[str]], np.ndarray]:
     """One-time model load per task (reference embed.py:16-19).
 
@@ -114,18 +135,7 @@ def _default_encoder_factory() -> Callable[[list[str]], np.ndarray]:
 
         tok = AutoTokenizer.from_pretrained("intfloat/e5-large-v2")
         model = AutoModel.from_pretrained("intfloat/e5-large-v2")
-
-        def encode(texts: list[str]) -> np.ndarray:
-            import torch
-
-            with torch.no_grad():
-                enc = tok(texts, padding=True, truncation=True, return_tensors="pt")
-                hidden = model(**enc).last_hidden_state
-                mask = enc["attention_mask"].unsqueeze(-1)
-                pooled = (hidden * mask).sum(1) / mask.sum(1)
-                return torch.nn.functional.normalize(pooled, dim=-1).numpy()
-
-        return encode
+        return hf_encode_fn(tok, model)
     except ImportError:
         return hash_embed_texts
 
