@@ -190,10 +190,8 @@ def _knn_scored_arrow(
     the exact global ranking happens after F.round in the caller.
     """
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
     from pyspark.sql import types as T
-
-    from coldata_spark.tables import fan_out
 
     m = metric.upper()
     desc = V.METRIC_DESCENDING[m]
@@ -208,6 +206,7 @@ def _knn_scored_arrow(
     )
     nq = len(q_ids)
     q_norm = np.linalg.norm(Q, axis=1) if nq else np.zeros(0)
+    q_id_arr = np.asarray(q_ids)
 
     out_schema = T.StructType(
         [
@@ -216,14 +215,26 @@ def _knn_scored_arrow(
             T.StructField("score", T.DoubleType()),
         ]
     )
+    # emitted Arrow columns must carry EXACTLY the declared types — numpy
+    # round-trips widen int32 ids to int64, which the JVM-side accessor
+    # then refuses (getInt on an Int64 vector)
+    from pyspark.sql.pandas.types import to_arrow_type
 
+    pa_types = [to_arrow_type(f.dataType) for f in out_schema.fields]
+
+    # mapInArrow, not mapInPandas: the vector column arrives as an Arrow
+    # ListArray whose flat values buffer reshapes to the (n, dim) matrix
+    # with zero per-row Python objects — the pandas path's per-row
+    # tolist() was the marginal cost of the whole operator.
     def score_batches(batches):
-        for pdf in batches:
-            n = len(pdf)
+        for batch in batches:
+            n = batch.num_rows
             if n == 0 or nq == 0:
                 continue
-            X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
-            vids = pdf[vec_id].to_numpy()
+            emb = batch.column(1)
+            flat = emb.flatten().to_numpy(zero_copy_only=False)
+            X = flat.reshape(n, -1).astype(np.float64, copy=False)
+            vids = batch.column(0).to_numpy(zero_copy_only=False)
             if m == "COSINE":
                 S = X @ Q.T
                 S /= np.linalg.norm(X, axis=1, keepdims=True)
@@ -254,17 +265,43 @@ def _knn_scored_arrow(
                 sel_s.append(s[idx])
             qi = np.concatenate(sel_q)
             vi = np.concatenate(sel_v)
-            yield pd.DataFrame(
-                {
-                    query_id: [q_ids[j] for j in qi],
-                    vec_id: vids[vi],
-                    "score": np.concatenate(sel_s),
-                }
+            yield pa.record_batch(
+                [
+                    pa.array(q_id_arr[qi]).cast(pa_types[0]),
+                    pa.array(vids[vi]).cast(pa_types[1]),
+                    pa.array(np.concatenate(sel_s), type=pa_types[2]),
+                ],
+                names=[query_id, vec_id, "score"],
             )
 
-    return fan_out(vectors.select(vec_id, vec_col)).mapInPandas(
+    return _sized_for_arrow_stage(vectors.select(vec_id, vec_col)).mapInArrow(
         score_batches, schema=out_schema
     )
+
+
+def _sized_for_arrow_stage(
+    df: DataFrame, bytes_per_task: int = 16 << 20
+) -> DataFrame:
+    """Partition a map-only Arrow stage so each task carries enough bytes
+    to amortize its Python-worker round-trip (~10-15 ms/task): below
+    ~16 MB/task the handshake dominates the numpy work it feeds.  Never
+    exceeds the cluster's parallelism; with unknown stats falls back to
+    fan_out's under-partitioning guard (single-file fixture case)."""
+    from coldata_spark.tables import fan_out
+
+    est = _estimated_bytes(df)
+    if not (0 < est < _UNKNOWN_STATS_FLOOR):
+        return fan_out(df)
+    target = df.sparkSession.sparkContext.defaultParallelism
+    want = max(1, min(target, -(-est // bytes_per_task)))
+    cur = df.rdd.getNumPartitions()
+    if cur < want:
+        return df.repartition(want)
+    if cur > want * 2:
+        # coalesce merges splits without a shuffle; tasks then stream
+        # several files each, which is exactly right for map-only scoring
+        return df.coalesce(want)
+    return df
 
 
 def _estimated_bytes(df: DataFrame) -> int:

@@ -56,7 +56,7 @@ def test_knn_big_side_never_shuffles_before_topk(spark, sf_dir):
     the only shuffle is the bounded per-query top-k merge window."""
     q = registry.specs()["q30_knn_cosine_topk"]
     plan = plan_of(q.fn(spark, sf_dir))
-    assert "MapInPandas" in plan
+    assert "MapInArrow" in plan
     assert "SortMergeJoin" not in plan
     # nothing between the scan and the Arrow stage may shuffle ON A KEY —
     # the only exchange allowed there is fan_out's round-robin rebalance of
@@ -66,7 +66,7 @@ def test_knn_big_side_never_shuffles_before_topk(spark, sf_dir):
     import re
 
     tree = plan.split("\n\n")[0]
-    mip_id = int(re.search(r"MapInPandas \((\d+)\)", tree).group(1))
+    mip_id = int(re.search(r"MapInArrow \((\d+)\)", tree).group(1))
     for m in re.finditer(r"Exchange \((\d+)\)", tree):
         ex_id = int(m.group(1))
         if ex_id < mip_id:  # below MapInPandas in the tree = before it
