@@ -129,6 +129,7 @@ def search_ivf(
     nprobe: int = 4,
     metric: str = "COSINE",
     probe_strategy: str = "auto",
+    score_strategy: str = "auto",
 ) -> DataFrame:
     """ANN top-k: probe the nprobe best cells per query, exact search inside.
 
@@ -144,6 +145,15 @@ def search_ivf(
       large (1e4+) query batches, where collecting probe lists would
       funnel the batch through the driver.
     * ``auto``: picks by the optimizer's size estimate of the query side.
+
+    In-cell scoring follows knn_join's two engines: ``'arrow'`` closes the
+    query matrix + per-query probed-cell sets over one mapInArrow pass
+    with a per-batch partial top-k (numpy matmul, no join, scan rows never
+    shuffle); ``'expr'`` scores via Catalyst higher-order functions over a
+    broadcast probe join.  ``'auto'`` pairs with the probe resolution:
+    a driver-boundable query batch (collect probe) takes the arrow engine;
+    the join probe path — whose contract is that NOTHING touches the
+    driver, however large the batch — keeps the collect-free expr engine.
     """
     probe = knn_join(
         queries,
@@ -176,22 +186,30 @@ def search_ivf(
     else:
         raise ValueError(f"unknown probe_strategy {probe_strategy!r}")
 
-    # exact distance within each query's own probed cells only: the
-    # (q_id, centroid_id) probe table is tiny -> broadcast equi-join keys
-    # the scan rows to exactly the queries probing that cell.
     from pyspark.sql import Window as W
 
     desc = V.METRIC_DESCENDING[metric.upper()]
-    pairs = index.join(F.broadcast(probe), "centroid_id").join(
-        F.broadcast(queries), "q_id"
-    )
-    score = F.round(
-        V.score_expr(
-            metric, V.as_double(F.col("q_vec")), V.as_double(F.col("embedding"))
-        ),
-        6,
-    )
-    scored = pairs.select("q_id", "vec_id", score.alias("score"))
+    if score_strategy == "auto":
+        score_strategy = "arrow" if probe_strategy == "collect" else "expr"
+    if score_strategy == "arrow":
+        scored = _ivf_scored_arrow(index, probe, queries, k, metric)
+        scored = scored.withColumn("score", F.round(F.col("score"), 6))
+    elif score_strategy == "expr":
+        # exact distance within each query's own probed cells only: the
+        # (q_id, centroid_id) probe table is tiny -> broadcast equi-join
+        # keys the scan rows to exactly the queries probing that cell.
+        pairs = index.join(F.broadcast(probe), "centroid_id").join(
+            F.broadcast(queries), "q_id"
+        )
+        score = F.round(
+            V.score_expr(
+                metric, V.as_double(F.col("q_vec")), V.as_double(F.col("embedding"))
+            ),
+            6,
+        )
+        scored = pairs.select("q_id", "vec_id", score.alias("score"))
+    else:
+        raise ValueError(f"unknown score_strategy {score_strategy!r}")
     order = [
         F.col("score").desc() if desc else F.col("score").asc(),
         F.col("vec_id").asc(),
@@ -201,6 +219,117 @@ def search_ivf(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def _ivf_scored_arrow(
+    index: DataFrame,
+    probe: DataFrame,
+    queries: DataFrame,
+    k: int,
+    metric: str,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-matmul in-cell scoring: each scan batch is scored against the
+    (collected, gate-bounded) query matrix, each query restricted to its
+    own probed cells, with an exact-under-rounding partial top-k per batch
+    (the slack-band argument in similarity._knn_scored_arrow).  The scan
+    side never joins or shuffles; output is ~tasks x queries x k rows."""
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql import types as T
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    from coldata_spark.operators.similarity import _sized_for_arrow_stage
+
+    m = metric.upper()
+    desc = V.METRIC_DESCENDING[m]
+    slack = 1e-6 + 1e-9  # scores are rounded to 6 dp by the caller
+
+    q_rows = queries.select("q_id", "q_vec").collect()
+    q_ids = [r[0] for r in q_rows]
+    nq = len(q_ids)
+    Q = (
+        np.asarray([list(r[1]) for r in q_rows], dtype=np.float64)
+        if q_rows
+        else np.zeros((0, 1))
+    )
+    q_norm = np.linalg.norm(Q, axis=1) if nq else np.zeros(0)
+    q_id_arr = np.asarray(q_ids)
+    pos = {qid: j for j, qid in enumerate(q_ids)}
+    cells_by_q: list[set] = [set() for _ in range(nq)]
+    for r in probe.collect():
+        cells_by_q[pos[r.q_id]].add(r.centroid_id)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("q_id", queries.schema["q_id"].dataType),
+            T.StructField(vec_id, index.schema[vec_id].dataType),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    pa_types = [to_arrow_type(f.dataType) for f in out_schema.fields]
+
+    def score_batches(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0 or nq == 0:
+                continue
+            cols = {name: i for i, name in enumerate(batch.schema.names)}
+            emb = batch.column(cols[vec_col])
+            X = (
+                emb.flatten()
+                .to_numpy(zero_copy_only=False)
+                .reshape(n, -1)
+                .astype(np.float64, copy=False)
+            )
+            vids = batch.column(cols[vec_id]).to_numpy(zero_copy_only=False)
+            cents = batch.column(cols["centroid_id"]).to_numpy(
+                zero_copy_only=False
+            )
+            if m == "COSINE":
+                S = X @ Q.T
+                S /= np.linalg.norm(X, axis=1, keepdims=True)
+                S /= q_norm[None, :]
+            elif m == "IP":
+                S = X @ Q.T
+            else:  # L2
+                S = np.empty((n, nq))
+                for j in range(nq):
+                    d = X - Q[j]
+                    S[:, j] = np.sqrt(np.einsum("ij,ij->i", d, d))
+            sel_q, sel_v, sel_s = [], [], []
+            for j in range(nq):
+                idx = np.nonzero(np.isin(cents, list(cells_by_q[j])))[0]
+                if not len(idx):
+                    continue
+                s = S[:, j]
+                sv = s[idx]
+                if len(sv) > k:
+                    if desc:
+                        kth = np.partition(sv, len(sv) - k)[len(sv) - k]
+                        idx = idx[sv >= kth - slack]
+                    else:
+                        kth = np.partition(sv, k - 1)[k - 1]
+                        idx = idx[sv <= kth + slack]
+                sel_q.append(np.full(len(idx), j, dtype=np.int64))
+                sel_v.append(idx)
+                sel_s.append(s[idx])
+            if not sel_q:
+                continue
+            qi = np.concatenate(sel_q)
+            vi = np.concatenate(sel_v)
+            yield pa.record_batch(
+                [
+                    pa.array(q_id_arr[qi]).cast(pa_types[0]),
+                    pa.array(vids[vi]).cast(pa_types[1]),
+                    pa.array(np.concatenate(sel_s), type=pa_types[2]),
+                ],
+                names=["q_id", vec_id, "score"],
+            )
+
+    src = _sized_for_arrow_stage(index.select(vec_id, vec_col, "centroid_id"))
+    return src.mapInArrow(score_batches, schema=out_schema)
 
 
 def search_exact(

@@ -119,3 +119,17 @@ def test_neardup_pairs_gate(spark, sf_dir, monkeypatch):
     with pytest.raises(ValueError, match="embedding_neardup_lsh"):
         DD.embedding_neardup_pairs(emb)
     assert DD.embedding_neardup_pairs(emb.limit(20), force=True).count() >= 0
+
+
+def test_ivf_arrow_scoring_matches_expr(spark, sf_dir, ivf_index):
+    """Both in-cell scoring engines must return identical rows+scores."""
+    path, centroids = ivf_index
+    qdf = _queries(spark, sf_dir, 12).cache()
+    try:
+        a = ivf.search_ivf(spark, path, qdf, centroids, k=3, nprobe=3,
+                           score_strategy="arrow")
+        e = ivf.search_ivf(spark, path, qdf, centroids, k=3, nprobe=3,
+                           score_strategy="expr")
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, e.collect()))
+    finally:
+        qdf.unpersist()
