@@ -49,8 +49,14 @@ def knn_join(
     force: bool = False,
     gate_bytes: int = QUADRATIC_GATE_BYTES,
     strategy: str = "auto",
+    score_range: tuple[float | None, float | None] | None = None,
 ) -> DataFrame:
     """Exact k-NN theta-join: top-k vectors per query under ``metric``.
+
+    ``score_range=(lo, hi)`` restricts candidates to a (rounded-)score band
+    BEFORE ranking — the hard-negative-mining shape: "most similar items
+    that are not near-duplicates" is top-k under ``hi`` excluding the
+    region above it.  Either bound may be None.
 
     Returns (query_id, vec_id, score, rank).  The query side is broadcast
     (queries are few; vectors are huge), so the big side never shuffles —
@@ -101,11 +107,13 @@ def knn_join(
             vec_col,
             score_decimals,
             exclude_self,
+            score_range,
         )
         if score_decimals is not None:
             scored = scored.withColumn(
                 "score", F.round(F.col("score"), score_decimals)
             )
+        scored = _apply_score_range(scored, score_range)
         # The Arrow stage already reduced each scan task to ~#queries x k
         # survivor rows, so the global window merges a bounded set — no
         # salting needed regardless of input size.
@@ -132,7 +140,9 @@ def knn_join(
     pairs = fan_out(vectors).join(F.broadcast(queries))
     if exclude_self:
         pairs = pairs.filter(F.col(query_id) != F.col(vec_id))
-    scored = pairs.select(query_id, vec_id, score.alias("score"))
+    scored = _apply_score_range(
+        pairs.select(query_id, vec_id, score.alias("score")), score_range
+    )
 
     order = [
         F.col("score").desc() if desc else F.col("score").asc(),
@@ -163,6 +173,18 @@ def knn_join(
     )
 
 
+def _apply_score_range(scored: DataFrame, score_range) -> DataFrame:
+    """Exact band filter on the published (rounded) score column."""
+    if score_range is None:
+        return scored
+    lo, hi = score_range
+    if lo is not None:
+        scored = scored.filter(F.col("score") >= lo)
+    if hi is not None:
+        scored = scored.filter(F.col("score") <= hi)
+    return scored
+
+
 def _knn_scored_arrow(
     queries: DataFrame,
     vectors: DataFrame,
@@ -174,6 +196,7 @@ def _knn_scored_arrow(
     vec_col: str,
     score_decimals: int | None,
     exclude_self: bool,
+    score_range=None,
 ) -> DataFrame:
     """Score (query x vector) pairs with numpy inside mapInPandas, keeping a
     per-batch partial top-k per query.
@@ -207,6 +230,11 @@ def _knn_scored_arrow(
     nq = len(q_ids)
     q_norm = np.linalg.norm(Q, axis=1) if nq else np.zeros(0)
     q_id_arr = np.asarray(q_ids)
+    # the exact band filter runs Spark-side on the rounded score; here the
+    # slack-widened raw band only guards the partial top-k from cutting
+    # boundary rows the exact filter would keep
+    band_lo = (score_range[0] - slack) if score_range and score_range[0] is not None else None
+    band_hi = (score_range[1] + slack) if score_range and score_range[1] is not None else None
 
     out_schema = T.StructType(
         [
@@ -252,6 +280,10 @@ def _knn_scored_arrow(
                 idx = np.arange(n)
                 if exclude_self:
                     idx = idx[vids != q_ids[j]]
+                if band_lo is not None:
+                    idx = idx[s[idx] >= band_lo]
+                if band_hi is not None:
+                    idx = idx[s[idx] <= band_hi]
                 sv = s[idx]
                 if len(sv) > k:
                     if desc:

@@ -670,3 +670,84 @@ def q110_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return ranks.select("doc_id", F.col("r").alias("rank_micro"))
+
+
+@register(
+    "q154_mixture_allocation",
+    survey="ext-curation,A5,W3,J1",
+    sql="""
+    WITH weights(lang, w) AS (
+        VALUES ('en', 50), ('zh', 20), ('es', 15), ('fr', 10), ('de', 5)
+    ),
+    avail AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+    base AS (
+        SELECT a.lang, a.n_docs, w.w,
+               (10000 * w.w) // (SELECT sum(w) FROM weights) AS floor_alloc,
+               (10000 * w.w) % (SELECT sum(w) FROM weights) AS rem
+        FROM avail a JOIN weights w USING (lang)
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (ORDER BY rem DESC, lang) AS rk,
+               (SELECT 10000 - sum(floor_alloc) FROM base) AS leftover
+        FROM base
+    )
+    SELECT lang,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(w AS BIGINT) AS weight,
+           CAST(floor_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS allocation,
+           CAST(((floor_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)
+                 + n_docs - 1) // n_docs AS BIGINT) AS epochs_needed
+    FROM ranked
+    """,
+)
+def q154_mixture_allocation(spark, sf_dir):
+    """Training-mixture budget allocation by the largest-remainder method:
+    given target language weights and a total document budget, compute each
+    language's exact integer allocation (floor share, then +1 to the
+    largest remainders until the budget is spent) and how many epochs over
+    the available corpus that allocation implies (the up-sampling factor a
+    mixture like The Pile / Dolma publishes per source).  All integer
+    arithmetic — allocations sum EXACTLY to the budget on any engine.
+
+    Plan: per-language counts are one map-side-combinable agg (bounded
+    groups); weights broadcast from a literal frame; the remainder ranking
+    is a window over #languages rows — everything after the count is
+    driver-scale tiny, which is the point: mixture math never touches the
+    corpus again."""
+    from pyspark.sql import Window as W
+
+    from coldata_spark.tables import load
+
+    BUDGET = 10_000
+    weights = [("en", 50), ("zh", 20), ("es", 15), ("fr", 10), ("de", 5)]
+    total_w = sum(w for _, w in weights)
+    wdf = spark.createDataFrame(weights, ["lang", "w"])
+    avail = (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    base = (
+        avail.join(F.broadcast(wdf), "lang")
+        .withColumn("floor_alloc", F.expr(f"({BUDGET} * w) div {total_w}"))
+        .withColumn("rem", F.expr(f"({BUDGET} * w) % {total_w}"))
+    )
+    leftover = F.lit(BUDGET) - F.sum("floor_alloc").over(W.partitionBy())
+    rk = F.row_number().over(W.orderBy(F.col("rem").desc(), F.col("lang")))
+    ranked = base.select(
+        "lang", "n_docs", "w", "floor_alloc",
+        rk.alias("rk"), leftover.alias("leftover"),
+    ).withColumn(
+        "allocation",
+        F.col("floor_alloc") + (F.col("rk") <= F.col("leftover")).cast("long"),
+    )
+    return ranked.select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("w").cast("long").alias("weight"),
+        F.col("allocation").cast("long").alias("allocation"),
+        F.expr("(allocation + n_docs - 1) div n_docs")
+        .cast("long")
+        .alias("epochs_needed"),
+    )

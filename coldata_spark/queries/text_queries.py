@@ -1487,3 +1487,71 @@ def q143_lsh_bucket_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("sz").cast("long").alias("max_bucket"),
         F.sum(F.expr("sz * (sz - 1) div 2")).cast("long").alias("candidate_pairs"),
     )
+
+
+@register(
+    "q153_unigram_logprob_quality",
+    survey="ext-quality,A5,J1,O1",
+    sql="""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    vocab AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+    tot AS (SELECT count(*) AS n FROM toks),
+    scored AS (
+        SELECT t.doc_id,
+               count(*) AS n_tokens,
+               avg(-ln(v.cnt / (SELECT n FROM tot))) AS nll
+        FROM toks t JOIN vocab v USING (term)
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(nll, 4) AS avg_nll
+    FROM scored
+    ORDER BY avg_nll DESC, doc_id
+    LIMIT 25
+    """,
+)
+def q153_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model surprisal scoring — the cheapest member of
+    the perplexity-filter family (CCNet/RedPajama score documents with a
+    KenLM n-gram model; the unigram case is exactly expressible in both
+    engines): build corpus unigram frequencies, score each document by its
+    mean token negative log-probability, surface the most surprising
+    (likely junk or off-distribution) documents.
+
+    Plan: one token explode feeding BOTH the vocabulary aggregate and the
+    per-doc join probe; the corpus total joins in as a broadcast 1-row
+    scalar.  The vocab join shuffles on term — at 100 TB the vocabulary is
+    the heavy side and this is the standard frequency-join; per-doc
+    aggregation reuses nothing exotic.  Top-k via TakeOrdered.  Float
+    parity note: ln() is the one libm call in the oracle surface; the
+    4 dp round makes cross-engine ulp drift a ~1e-9 event per row."""
+    from pyspark.sql import Window as W
+
+    from coldata_spark.tables import fan_out
+
+    docs = fan_out(load(spark, sf_dir, "documents")).filter(
+        F.length(F.trim("text")) > 0
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
+    )
+    vocab = toks.groupBy("term").agg(F.count("*").alias("cnt"))
+    total = toks.agg(F.count("*").alias("n"))
+    scored = (
+        toks.join(vocab, "term")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("cnt") / F.col("n"))), 4).alias("avg_nll"),
+        )
+    )
+    w = W.orderBy(F.col("avg_nll").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= 25)
+        .drop("_rk")
+    )

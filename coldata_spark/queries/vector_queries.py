@@ -785,3 +785,56 @@ def q129_embedding_component_stats(spark: SparkSession, sf_dir: str) -> DataFram
             F.min("vec_id").cast("long").alias("min_vec_id"),
         )
     )
+
+
+@register(
+    "q152_hard_negative_mining",
+    survey="J5,V5,W1,ext-curation",
+    sql="""
+    WITH q AS (
+        SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+        FROM embeddings WHERE vec_id < 6
+    ),
+    scored AS (
+        SELECT q.q_id, v.vec_id,
+               round(list_dot_product(q.q_vec, v.embedding::DOUBLE[])
+                     / (sqrt(list_dot_product(q.q_vec, q.q_vec))
+                        * sqrt(list_dot_product(v.embedding::DOUBLE[],
+                                                v.embedding::DOUBLE[]))), 6) AS score
+        FROM q, embeddings v
+        WHERE q.q_id <> v.vec_id
+    ),
+    banded AS (SELECT * FROM scored WHERE score <= 0.8),
+    ranked AS (
+        SELECT q_id, vec_id, score,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY score DESC, vec_id) AS rank
+        FROM banded
+    )
+    SELECT q_id, vec_id, score, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def q152_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the most
+    similar items BELOW a near-duplicate ceiling — similar enough to be
+    informative negatives, dissimilar enough not to be latent positives
+    (the standard DPR/sentence-transformers recipe).  Expressed as
+    knn_join's score band: candidates above 0.8 cosine are excluded
+    BEFORE ranking, so the top-3 are the hardest admissible negatives.
+
+    Plan: identical to the exact kNN arrow path — one mapInArrow scoring
+    pass with the band applied inside the per-batch partial top-k, no
+    shuffle of the vector table, merge window over ~tasks x anchors x 3
+    rows.  At 100 TB this is the same single-pass scan as q30."""
+    emb = load(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return knn_join(
+        anchors,
+        emb.select("vec_id", "embedding"),
+        k=3,
+        metric="COSINE",
+        exclude_self=True,
+        score_range=(None, 0.8),
+    )
