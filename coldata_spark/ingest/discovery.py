@@ -23,6 +23,16 @@ without network access, emitting exactly the seed lists ingest/crawl.py's
                  (opendatalab.py:44-61).
   * HuggingFace— an API listing truncated to the attempt budget
                  (huggingface.py:25-40); the parser is a pure truncation.
+  * AWS        — one registry root page; the first <a href> inside every
+                 div.dataset card, deduped and sorted by the SECOND path
+                 segment (aws.py:40-46).
+  * BDSP       — the about/database page; every a[href^="/content/"] with
+                 at least two slashes, trailing-slash-stripped, minus the
+                 listing root and its ?types=0 variant (bdsp.py:39-52).
+  * IEEE DataPort — two stages: topic-tag categories harvested from the
+                 /datasets page (ieeedp.py:23-29), then per-category
+                 pagination collecting a[href^="/documents/"] with an
+                 empty-or-repeat-page stop (ieeedp.py:40-70).
 
 Parsers are stdlib-only (html.parser event callbacks — the container has
 no bs4); each mirrors the reference's selector semantics, cited above, not
@@ -281,6 +291,151 @@ def opendatalab_last_page(html: str) -> int:
     if not p.titles:
         raise ValueError("no ant-pagination-item elements found")
     return int(p.titles[-1])
+
+
+# -- AWS Open Data registry -------------------------------------------------
+
+
+class _AwsParser(HTMLParser):
+    """First <a href> inside every div.dataset card (aws.py:42-43)."""
+
+    def __init__(self):
+        super().__init__()
+        self.links: set[str] = set()
+        self._card_depth = 0
+        self._taken_in_card = False
+        self._div_stack: list[bool] = []  # True for div.dataset opens
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "div":
+            is_card = "dataset" in _classes(attrs)
+            self._div_stack.append(is_card)
+            if is_card:
+                self._card_depth += 1
+                self._taken_in_card = False
+        elif tag == "a" and self._card_depth and not self._taken_in_card:
+            href = _attr(attrs, "href")
+            if href:
+                self.links.add(href)
+            self._taken_in_card = True
+
+    def handle_endtag(self, tag):
+        if tag == "div" and self._div_stack:
+            if self._div_stack.pop():
+                self._card_depth -= 1
+
+
+def aws_dataset_links(html: str) -> list[str]:
+    """Hrefs of the AWS registry root, deduped as a set and sorted by the
+    second path segment (the dataset slug) — aws.py:40-45 exactly."""
+    p = _AwsParser()
+    p.feed(html)
+    return sorted(p.links, key=lambda x: x.split("/")[1])
+
+
+# -- Brain Data Science Platform --------------------------------------------
+
+
+class _BdspParser(HTMLParser):
+    """All a[href^='/content/'] hrefs, in a set (bdsp.py:43-47)."""
+
+    def __init__(self):
+        super().__init__()
+        self.hrefs: set[str] = set()
+
+    def handle_starttag(self, tag, attrs):
+        if tag != "a":
+            return
+        href = _attr(attrs, "href")
+        if href and href.startswith("/content/"):
+            self.hrefs.add(href)
+
+
+def bdsp_content_links(html: str) -> list[str]:
+    """Content-page links from the BDSP database listing: at least two
+    slashes (so '/content/<slug>' and versioned '/content/<slug>/1.0/'
+    qualify), trailing slash stripped, minus the listing root '/content'
+    and its '/content/?types=0' filter variant, sorted — bdsp.py:43-50.
+    The reference ``set.remove``s those two entries (KeyError if the page
+    layout drops them); here ``discard`` tolerates their absence since the
+    filter intent, not the crash, is the semantic."""
+    p = _BdspParser()
+    p.feed(html)
+    datasets = {h.rstrip("/") for h in p.hrefs if h.count("/") >= 2}
+    datasets.discard("/content")
+    datasets.discard("/content/?types=0")
+    return sorted(datasets)
+
+
+# -- IEEE DataPort -----------------------------------------------------------
+
+
+class _HrefPrefixParser(HTMLParser):
+    """All a[href^=prefix] hrefs in document order, duplicates kept."""
+
+    def __init__(self, prefix: str):
+        super().__init__()
+        self.prefix = prefix
+        self.hrefs: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag != "a":
+            return
+        href = _attr(attrs, "href")
+        if href and href.startswith(self.prefix):
+            self.hrefs.append(href)
+
+
+def ieee_topic_tags(html: str) -> list[str]:
+    """Category slugs from the /datasets page: the third path segment of
+    every a[href^='/topic-tags/'], sorted unique — ieeedp.py:23-29."""
+    p = _HrefPrefixParser("/topic-tags/")
+    p.feed(html)
+    return sorted({h.split("/")[2] for h in p.hrefs})
+
+
+def ieee_document_links(html: str) -> list[str]:
+    """a[href^='/documents/'] hrefs, first-occurrence order preserved,
+    duplicates dropped (the reference's dict.fromkeys, ieeedp.py:51-53)."""
+    p = _HrefPrefixParser("/documents/")
+    p.feed(html)
+    return list(dict.fromkeys(p.hrefs))
+
+
+def ieee_discover(
+    fetch: Callable[[str], str],
+    root_url: str = "https://ieee-dataport.org",
+    num_attempts: int | None = None,
+) -> list[str]:
+    """Full IEEE DataPort discovery: harvest topic-tag categories from the
+    listing root, then paginate each category from page 0 collecting
+    document links, stopping a category when a page is empty or repeats
+    the previous page's hrefs (R5 stop, per-category ``last`` — unlike
+    PWC's shared-across-labels compare), and stopping everything once the
+    attempt budget is spent.  Returns document paths sorted by slug (the
+    last path segment) — ieeedp.py:40-70 faithfully, including the budget
+    check landing AFTER a page's links are appended."""
+    categories = ieee_topic_tags(fetch(f"{root_url}/datasets"))
+    datasets: list[str] = []
+    attempts = 0
+    for cat in categories:
+        page = 0
+        last: list[str] | None = None
+        while True:
+            hrefs = ieee_document_links(
+                fetch(f"{root_url}/topic-tags/{cat}?page={page}")
+            )
+            if not hrefs or hrefs == last:
+                break
+            datasets += hrefs
+            last = hrefs
+            attempts += len(hrefs)
+            if num_attempts is not None and attempts >= num_attempts:
+                break
+            page += 1
+        if num_attempts and attempts >= num_attempts:
+            break
+    return sorted(datasets, key=lambda x: x.split("/")[-1])
 
 
 # -- HuggingFace ------------------------------------------------------------

@@ -167,3 +167,80 @@ def test_discovery_feeds_crawl_seed_path(spark):
         (u, hashlib.sha256(u.encode()).hexdigest()) for u in seeds["UCI"]
     }
     assert got == expect
+
+
+def test_aws_registry_links_sorted_by_second_segment():
+    """aws.py:40-45: first <a href> of every div.dataset card (nested
+    wrappers included, nav/footer/tag links excluded), set-deduped, sorted
+    by the SECOND path segment — not the first, which is the provider."""
+    links = D.aws_dataset_links(_page("aws_root.html"))
+    assert links == [
+        "/allen/brain-atlas",   # brain-atlas
+        "/commoncrawl/corpus",  # corpus
+        "/noaa/goes",           # goes — duplicate card collapsed
+    ]
+
+
+def test_bdsp_content_links_filter_roots_and_trailing_slash():
+    """bdsp.py:43-50: a[href^='/content/'] with >= 2 slashes, trailing
+    slash stripped (so '/x/' and '/x' collapse), minus the listing root
+    and its ?types=0 variant, sorted."""
+    links = D.bdsp_content_links(_page("bdsp_about.html"))
+    assert links == [
+        "/content/bdsp-psg",
+        "/content/hsp-sleep",
+        "/content/icare-eeg/1.0",
+    ]
+
+
+def test_ieee_topic_tags_sorted_unique():
+    assert D.ieee_topic_tags(_page("ieee_datasets.html")) == [
+        "biomedical", "machine-learning", "signal-processing"
+    ]
+
+
+def _ieee_fetch(url: str) -> str:
+    """Recorded fetcher: machine-learning has two pages then an empty one;
+    biomedical page 0 repeats forever (the repeat-page stop signal);
+    signal-processing is empty from the start."""
+    if url.endswith("/datasets"):
+        return _page("ieee_datasets.html")
+    cat = url.split("/topic-tags/")[1].split("?")[0]
+    page = int(url.split("page=")[1])
+    if cat == "machine-learning":
+        if page == 0:
+            return _page("ieee_ml_p0.html")
+        if page == 1:
+            return _page("ieee_ml_p1.html")
+        return "<html><body><main></main></body></html>"
+    if cat == "biomedical":
+        return (
+            '<html><body><a href="/documents/eeg-sleep">EEG Sleep</a>'
+            '<a href="/documents/mri-knee">MRI Knee</a></body></html>'
+        )
+    return "<html><body><main></main></body></html>"
+
+
+def test_ieee_discover_paginates_with_empty_and_repeat_stops():
+    """ieeedp.py:40-70: biomedical stops when page 1 repeats page 0
+    (its links appear ONCE — unlike PWC, the repeat page is compared
+    before appending); machine-learning stops on the empty page 2;
+    signal-processing contributes nothing; output sorted by slug."""
+    got = D.ieee_discover(_ieee_fetch)
+    assert got == sorted(
+        [
+            "/documents/uav-imagery", "/documents/ecg-arrhythmia",
+            "/documents/traffic-flows",                      # ml p0
+            "/documents/solar-irradiance", "/documents/battery-cycles",  # ml p1
+            "/documents/eeg-sleep", "/documents/mri-knee",   # biomedical p0
+        ],
+        key=lambda x: x.split("/")[-1],
+    )
+
+
+def test_ieee_discover_attempt_budget_stops_after_page():
+    """The budget check lands AFTER a page is appended (ieeedp.py:59-66):
+    budget 2 is consumed by biomedical page 0's 2 links and stops the
+    whole sweep before machine-learning is visited."""
+    got = D.ieee_discover(_ieee_fetch, num_attempts=2)
+    assert sorted(got) == ["/documents/eeg-sleep", "/documents/mri-knee"]
