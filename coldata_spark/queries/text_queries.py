@@ -832,7 +832,7 @@ def q84_tfidf_top_terms(spark, sf_dir):
 
 @register(
     "q87_corpus_curation",
-    survey="V6,A1,A5,ext-quality,ext-langid",
+    survey="V6,A1,A5,ext-quality,ext-langid,ext-curation",
     sql="""
     WITH scored AS (
         SELECT doc_id, source, lang, n_chars, text,
