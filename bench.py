@@ -102,14 +102,32 @@ def main() -> None:
     # converges to actual plan efficiency.  The 64x tier re-measures the
     # queries that were ratio-weak at 16x so the amortization is a measured
     # curve, not an assertion.
-    if os.environ.get("SPARK_GRAFT_BENCH_16X", "1") != "0":
-        result["replicated_16x"] = bench_replicated(
-            spark, sf_dir, specs, times=16, queries=REPL_QUERIES
+    # Each tier gets a FRESH SparkSession: a JVM that has already run a few
+    # hundred jobs carries heap pressure, shuffle files and broadcast refs
+    # that inflate later tiers' timings by 2-3x (measured: q01 at 64x was
+    # 1.91 s late in a shared session vs 0.67 s in a clean one) — the
+    # contamination is harness state, not plan cost, so it must not be
+    # attributed to the queries.  Fixtures are materialized up front with
+    # the headline session; the marker file makes that a no-op on re-runs.
+    tiers = [
+        (16, REPL_QUERIES, "replicated_16x", "SPARK_GRAFT_BENCH_16X"),
+        (64, REPL_64X_QUERIES, "replicated_64x", "SPARK_GRAFT_BENCH_64X"),
+        (256, REPL_256X_QUERIES, "replicated_256x", "SPARK_GRAFT_BENCH_256X"),
+    ]
+    wanted = [t for t in tiers if os.environ.get(t[3], "1") != "0"]
+    from tools.replicate import replicate_fixture
+
+    for times, _, _, _ in wanted:
+        replicate_fixture(spark, sf_dir, _tier_dir(sf_dir, times), times=times)
+    for times, queries, key, _ in wanted:
+        spark.stop()
+        spark = get_spark(app_name=f"coldata_spark_bench_{times}x")
+        result[key] = bench_replicated(
+            spark, sf_dir, specs, times=times, queries=queries
         )
-    if os.environ.get("SPARK_GRAFT_BENCH_64X", "1") != "0":
-        result["replicated_64x"] = bench_replicated(
-            spark, sf_dir, specs, times=64, queries=REPL_64X_QUERIES
-        )
+    spark.stop()
+    spark = get_spark(app_name="coldata_spark_bench_concurrent")
+    tune_for_input(spark, dir_bytes(sf_dir))
 
     # Batch-throughput operating point: wall-clock to complete ALL headline
     # queries with concurrent submission, each engine at its best client
@@ -181,8 +199,12 @@ REPL_QUERIES = [  # one per engine layer, all with DuckDB-runnable oracles
     "q116_time_weighted_avg",
 ]
 
-# The queries whose 16x ratio was >2x in round 2 — re-measured at 64x to
-# show the stage-floor amortization curve per query.
+# The queries whose 16x ratio was >2x in round 2 — re-measured at 64x and
+# 256x to show the fixed-cost amortization curve per query.  (At 16x-64x
+# BOTH engines are still fixed-cost-dominated — Spark's per-execution floor
+# is ~0.2-0.4 s vs DuckDB's ~0.02-0.2 s — so the ratio there measures
+# harness floors, not plan efficiency; 256x (~4 GB) is the first tier where
+# per-row work dominates both engines.)
 REPL_64X_QUERIES = [
     "q01_pricing_summary",
     "q02_top_orders_by_revenue",
@@ -191,6 +213,17 @@ REPL_64X_QUERIES = [
     "q114_hll_distinct",
     "q116_time_weighted_avg",
 ]
+
+REPL_256X_QUERIES = REPL_64X_QUERIES
+
+
+def _tier_dir(sf_dir: str, times: int) -> str:
+    return os.environ.get(
+        f"SPARK_GRAFT_{times}X_DIR",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".bench_cache", f"{times}x"
+        ),
+    )
 
 
 def bench_replicated(
@@ -201,12 +234,7 @@ def bench_replicated(
     from coldata_spark.tables import TABLES
     from tools.replicate import replicate_fixture
 
-    dst = os.environ.get(
-        f"SPARK_GRAFT_{times}X_DIR",
-        os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), ".bench_cache", f"{times}x"
-        ),
-    )
+    dst = _tier_dir(sf_dir, times)
     replicate_fixture(spark, sf_dir, dst, times=times)
     tune_for_input(spark, dir_bytes(dst))
 
@@ -217,6 +245,9 @@ def bench_replicated(
     spark_t: dict[str, float] = {}
     for name in queries:
         specs[name].fn(spark, dst).toPandas()  # warm (codegen + FS cache)
+        # collect garbage from the warmup OUTSIDE the timing loop so prior
+        # queries' shuffle/broadcast refs don't GC mid-measurement
+        spark._jvm.System.gc()
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()

@@ -97,15 +97,26 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q02_top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-shaped: selective dim filter -> two joins -> agg -> top-10.
 
-    Two deliberate reorderings over the naive join-then-aggregate shape:
-    the customer filter restricts ORDERS first (broadcast join — orders
-    then carries 1/5 of its rows into the orderkey shuffle), and lineitem
-    revenue is PRE-AGGREGATED by orderkey before that join, so the
-    orderkey exchange moves one partial row per key instead of every line
-    item, and the join output needs no further aggregation (−18% at 64x
-    replication).  Final top-k is TakeOrderedAndProject (no global sort);
-    tie-break on o_orderkey keeps the limit deterministic.
+    Join FIRST, aggregate the survivors: the customer filter restricts
+    orders (broadcast join — BUILDING keeps ~1/5), and lineitem joins that
+    pruned order set BEFORE any aggregation, so the agg hashes only the
+    ~10% of line items whose order survives both filters.  (The previous
+    pre-aggregate-by-orderkey shape did the opposite — it hash-aggregated
+    every filtered line item into one row per orderkey, then threw 90% of
+    those groups away at the join; measured 1.8x slower at 64x
+    replication.)  The join output is already partitioned by orderkey, so
+    the groupBy adds no extra exchange beyond the join's own.
+
+    The pruned order side is broadcast only while the ORDERS SCAN estimate
+    (reliable file-size stats, unlike join-output estimates) stays under
+    ~1 GB — at real fact-table scale the hint drops out and the same plan
+    runs as a shuffle join on orderkey, where joining before aggregating
+    still wins by the same survivor argument.  Final top-k is
+    TakeOrderedAndProject (no global sort); tie-break on o_orderkey keeps
+    the limit deterministic.
     """
+    from coldata_spark.operators.similarity import _estimated_bytes
+
     cutoff = F.lit("1998-01-01").cast("timestamp")
     cust = (
         load(spark, sf_dir, "customer")
@@ -116,18 +127,19 @@ def q02_top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
         "o_orderkey", "o_orderdate", "o_orderpriority"
     )
+    est = _estimated_bytes(load(spark, sf_dir, "orders"))
+    if 0 < est <= (1 << 30):
+        o = F.broadcast(o)
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
-    pre = li.groupBy("l_orderkey").agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev")
-    )
     return (
-        pre.join(o, pre.l_orderkey == o.o_orderkey)
-        .select(
-            "o_orderkey",
-            F.round("_rev", 2).alias("revenue"),
-            "o_orderdate",
-            "o_orderpriority",
+        li.join(o, li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
         )
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
         .limit(10)
     )
