@@ -29,6 +29,14 @@ def _queries_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     return (
         emb.filter(F.col("vec_id") < N_QUERIES)
+        # the filter already bounds this to N_QUERIES rows, but Catalyst
+        # can't see that (no CBO stats on raw parquet: a Filter inherits
+        # its child's full scan size), so a huge embeddings table would
+        # trip knn_join's broadcast gate on a provably tiny query batch.
+        # The explicit limit is a semantic no-op that gives the optimizer
+        # a hard row bound — the general pattern for bounding query-batch
+        # sides of similarity joins.
+        .limit(N_QUERIES)
         .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
     )
 
@@ -500,7 +508,7 @@ def q86_ivf_pq_search(spark, sf_dir):
     from coldata_spark.tables import load as _load
 
     emb = _load(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5).select(
+    queries = emb.filter(F.col("vec_id") < 5).limit(5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     index, centroids, codebook = ivf.build_ivf_pq(emb, nlist=8, m=8, k_codes=16)
@@ -523,7 +531,7 @@ def q151_ivf_pq_ann(spark, sf_dir):
     from coldata_spark.tables import load as _load
 
     emb = _load(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5).select(
+    queries = emb.filter(F.col("vec_id") < 5).limit(5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     index, centroids, codebook = ivf.build_ivf_pq(emb, nlist=8, m=8, k_codes=16)
@@ -574,7 +582,7 @@ def q89_filtered_knn(spark, sf_dir):
     with partition pruning.
     """
     emb = load(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 4).select(
+    queries = emb.filter(F.col("vec_id") < 4).limit(4).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     cand = emb.filter(F.col("label").isin(0, 1, 2))
@@ -668,7 +676,7 @@ def q90_hybrid_search_rrf(spark, sf_dir):
         .alias("kw_rank"),
     )
 
-    queries = emb.filter(F.col("vec_id") == 0).select(
+    queries = emb.filter(F.col("vec_id") == 0).limit(1).select(
         F.lit(0).alias("q_id"), F.col("embedding").alias("q_vec")
     )
     vec_ranked = (
@@ -827,7 +835,7 @@ def q152_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle of the vector table, merge window over ~tasks x anchors x 3
     rows.  At 100 TB this is the same single-pass scan as q30."""
     emb = load(spark, sf_dir, "embeddings")
-    anchors = emb.filter(F.col("vec_id") < 6).select(
+    anchors = emb.filter(F.col("vec_id") < 6).limit(6).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     return knn_join(
