@@ -216,3 +216,37 @@ def test_date_partitioned_events_prunes(spark, sf_dir, tmp_path):
     # and correctness: matches a ts-range filter on the unpartitioned table
     want = ev.filter(F.to_date("ts") == "2024-01-03").count()
     assert one_day.count() == want and want > 0
+
+
+def test_q02_joins_before_aggregating(spark, sf_dir):
+    """q02 must aggregate only join survivors: the plan's aggregate sits
+    ABOVE the lineitem-orders join (pre-aggregating every filtered line
+    item wastes 90% of the agg work on groups the join discards), and at
+    fixture scale the pruned order side is broadcast so the lineitem side
+    never shuffles before the aggregate's own exchange."""
+    q = registry.specs()["q02_top_orders_by_revenue"]
+    plan = plan_of(q.fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # the formatted tree prints parents above children, so an aggregate
+    # that consumes the join output appears on an EARLIER line than the
+    # orderkey join (the old pre-aggregate shape printed the join first)
+    tree = plan.split("\n\n")[0].splitlines()
+    agg_idx = next(i for i, l in enumerate(tree) if "HashAggregate" in l)
+    join_idx = max(i for i, l in enumerate(tree) if "BroadcastHashJoin" in l)
+    assert agg_idx < join_idx, "q02 aggregate must sit above the orderkey join"
+
+
+def test_q83_aggregates_hourly_before_rollup(spark, sf_dir):
+    """q83's Expand (ROLLUP) must sit above the hour-grain aggregate, so
+    only ~10^4 hourly rows are tripled — never the raw event stream."""
+    q = registry.specs()["q83_hypertable_rollup"]
+    plan = plan_of(q.fn(spark, sf_dir))
+    assert "Expand" in plan
+    # formatted explain lists operators leaves-last in the numbered tree;
+    # walk the indented tree text instead: the Expand node's subtree must
+    # contain a HashAggregate (hourly) below it
+    tree = plan.split("\n\n")[0]
+    lines = tree.splitlines()
+    expand_idx = next(i for i, l in enumerate(lines) if "Expand" in l)
+    below = "\n".join(lines[expand_idx:])
+    assert "HashAggregate" in below, "hourly aggregate missing below Expand"
