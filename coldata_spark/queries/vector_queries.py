@@ -291,6 +291,173 @@ def q39_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q152_embedding_neardup_exact",
+    survey="V6,ext-embedding-dedup",
+    sql="""
+    WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000,
+               list_transform(embedding::DOUBLE[], x -> x * 1.01)
+        FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    qv AS (
+        SELECT vec_id,
+               list_transform(e, x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+        FROM base
+    ),
+    planes AS (
+        SELECT j,
+               list_transform(generate_series(1, 64), i ->
+                   ((('0x' || substring(md5(j::VARCHAR || '_' || i::VARCHAR),
+                                        1, 8))::BIGINT % 2001) - 1000)
+               ) AS w
+        FROM generate_series(0, 15) t(j)
+    ),
+    bits AS (
+        SELECT vec_id, j,
+               CASE WHEN CAST(list_dot_product(q, w) AS BIGINT) >= 0
+                    THEN 1 ELSE 0 END AS bit
+        FROM qv, planes
+    ),
+    bands AS (
+        SELECT vec_id, j // 4 AS band,
+               CAST(sum(bit * (1 << (j % 4))) AS BIGINT) AS band_key
+        FROM bits GROUP BY vec_id, j // 4
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM bands a JOIN bands b USING (band, band_key)
+        WHERE a.vec_id < b.vec_id
+    ),
+    scored AS (
+        SELECT id_a, id_b,
+               CAST(list_dot_product(qa.q, qb.q) AS BIGINT) AS dot_q,
+               CAST(list_dot_product(qa.q, qa.q) AS BIGINT) AS norm_a,
+               CAST(list_dot_product(qb.q, qb.q) AS BIGINT) AS norm_b
+        FROM cand
+        JOIN qv qa ON qa.vec_id = cand.id_a
+        JOIN qv qb ON qb.vec_id = cand.id_b
+    )
+    SELECT id_a, id_b, dot_q, norm_a, norm_b
+    FROM scored
+    WHERE dot_q > 0
+      AND CAST(dot_q AS HUGEINT) * dot_q * 10000
+          >= CAST(norm_a AS HUGEINT) * norm_b * 9025
+    """,
+)
+def q152_embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup with a full value-hash oracle — the integer-exact
+    twin of q39's float LSH path (upgrades the ext-embedding-dedup window
+    slot from rows-only to hash-checked).
+
+    Everything that q39 leaves engine-internal is made deterministic:
+      * vectors quantize to ``floor(x*1000)`` int64 components (floor, not
+        round — no tie-break divergence between engines);
+      * the 16 random hyperplanes derive from md5(j + '_' + i) — the same
+        cross-engine hash twin as q47's SimHash (Spark ``conv(substring(
+        md5...))`` == DuckDB ``('0x' || substring(md5...))::BIGINT``) —
+        integer weights in [-1000, 1000];
+      * signature bits are signs of INTEGER plane dots, banded 4x4 into
+        integer band keys;
+      * candidates pair on shared band buckets (never all-pairs — the same
+        banded topology as q39/minhash-LSH, quadratic only within buckets);
+      * the cosine >= 0.95 test is cross-multiplied into pure integers:
+        dot > 0 AND dot^2 * 10^4 >= norm_a * norm_b * 9025 — no sqrt, no
+        float anywhere after quantization (the product is evaluated in
+        decimal(38,0)/HUGEINT headroom, though |q| <= 530 keeps even int64
+        safe at this fixture's value range).
+
+    Output columns (ids + integer dot/norms) are bit-exact on both engines.
+    Scale shape is identical to q39: plane scoring is a broadcast of 16
+    constant rows, banding is one #vectors x 4 shuffle, and the verify join
+    touches only bucket-collided pairs.  Reference basis: vdb.py:88-100
+    similarity semantics; dedup ladder SURVEY §2.8 V6.
+    """
+    from coldata_spark.functions import vector as V
+    from coldata_spark.tables import fan_out
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", V.as_double(F.col("embedding")).alias("e")
+    )
+    planted = emb.filter(F.expr("vec_id % 50 = 0")).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(F.col("e"), lambda x: x * F.lit(1.01)).alias("e"),
+    )
+    qv = (
+        fan_out(emb.unionByName(planted))
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("e"), lambda x: F.floor(x * F.lit(1000)).cast("bigint")
+            ).alias("q"),
+        )
+    )
+
+    planes = spark.range(16).select(
+        F.col("id").cast("int").alias("j"),
+        F.expr(
+            "transform(sequence(1, 64), i -> "
+            "(cast(conv(substring(md5(concat(cast(id as string), '_', "
+            "cast(i as string))), 1, 8), 16, 10) as bigint) % 2001) - 1000)"
+        ).alias("w"),
+    )
+
+    def idot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    bits = qv.join(F.broadcast(planes)).select(
+        "vec_id",
+        "j",
+        F.when(idot(F.col("q"), F.col("w")) >= 0, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("bit"),
+    )
+    bands = (
+        bits.withColumn("band", (F.col("j") / 4).cast("int"))
+        .groupBy("vec_id", "band")
+        .agg(
+            F.sum(F.col("bit") * F.expr("shiftleft(1, j % 4)")).alias(
+                "band_key"
+            )
+        )
+    )
+    a = bands.select(F.col("vec_id").alias("id_a"), "band", "band_key")
+    b = bands.select(F.col("vec_id").alias("id_b"), "band", "band_key")
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    qa = qv.select(F.col("vec_id").alias("id_a"), F.col("q").alias("qa"))
+    qb = qv.select(F.col("vec_id").alias("id_b"), F.col("q").alias("qb"))
+    dec = "decimal(38,0)"
+    scored = (
+        cand.join(qa, "id_a")
+        .join(qb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            idot(F.col("qa"), F.col("qb")).alias("dot_q"),
+            idot(F.col("qa"), F.col("qa")).alias("norm_a"),
+            idot(F.col("qb"), F.col("qb")).alias("norm_b"),
+        )
+    )
+    return scored.filter(
+        (F.col("dot_q") > 0)
+        & (
+            F.col("dot_q").cast(dec) * F.col("dot_q").cast(dec) * 10000
+            >= F.col("norm_a").cast(dec) * F.col("norm_b").cast(dec) * 9025
+        )
+    ).select("id_a", "id_b", "dot_q", "norm_a", "norm_b")
+
+
+@register(
     "q35_ann_ivf_search",
     survey="V3,V4,W1",
     sql="""

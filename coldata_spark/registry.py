@@ -48,7 +48,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q36_embed_documents",
     "q37_knn_ip_topk",
     "q38_embedding_dim_stats",
-    "q39_embedding_neardup_lsh",
+    "q152_embedding_neardup_exact",
     "q86_ivf_pq_search",
     "q89_filtered_knn",
     "q90_hybrid_search_rrf",

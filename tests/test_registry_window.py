@@ -61,6 +61,8 @@ def test_window_oracle_density():
     """The window should be mostly hard oracle checks, not rows-only."""
     all_specs = registry.specs()
     rows_only = [n for n in registry._DRIVER_WINDOW if all_specs[n].sql is None]
-    # Known budget: q36/q39 (float-vector outputs with no SQL twin); don't
-    # grow it — q35/q86 gained exhaustive-configuration oracles in round 3.
-    assert len(rows_only) <= 2, f"too many rows-only in window: {rows_only}"
+    # Known budget: q36 (float-vector embedding output with no SQL twin);
+    # don't grow it — q35/q86 gained exhaustive-configuration oracles and the
+    # ext-embedding-dedup slot swapped to integer-exact q152 in round 3
+    # (float-LSH q39 still registers and runs outside the window).
+    assert len(rows_only) <= 1, f"too many rows-only in window: {rows_only}"
