@@ -1642,3 +1642,91 @@ def q148_ship_latency_histogram(spark, sf_dir):
             F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
         )
     )
+
+
+@register(
+    "q153_promo_part_suppliers",
+    survey="J1,J4,A1,A5,P5",
+    sql="""
+    WITH shipped AS (
+        SELECT l_suppkey, l_partkey,
+               CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                              AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+                             THEN l_quantity ELSE 0 END) AS BIGINT) AS qty_1997,
+               CAST(sum(l_quantity) AS BIGINT) AS qty_all
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_type = 'ECONOMY'
+        GROUP BY l_suppkey, l_partkey
+    ),
+    qualifying AS (
+        SELECT l_suppkey,
+               CAST(count(*) AS BIGINT) AS n_parts,
+               CAST(sum(qty_1997) AS BIGINT) AS qty_1997_total
+        FROM shipped
+        WHERE qty_1997 > 0 AND 2 * qty_1997 > qty_all
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, n_parts, qty_1997_total
+    FROM qualifying
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_1', 'NATION_2')
+    """,
+)
+def q153_promo_part_suppliers(spark, sf_dir):
+    """TPC-H Q20-shaped (completes all 22 TPC-H query shapes): suppliers
+    who concentrated their shipments of a part class into the target year
+    — Q20's correlated ``availqty > 0.5 * shipped-in-year`` threshold,
+    decorrelated by construction into ONE conditional aggregation per
+    (supplier, part) with the comparison done between two columns of the
+    same aggregate row (the fixture has no partsupp; lineitem plays the
+    supply relation, as in q98/q99's Q11/Q16 adaptations).
+
+    Plan shape: part filter broadcasts into the fact scan; the only big
+    shuffle is the (suppkey, partkey) aggregation, whose conditional sums
+    are map-side partials; the per-supplier rollup reuses the suppkey-
+    prefixed grouping; supplier/nation resolve by broadcast at the end
+    against the (bounded) qualifying set.  The ``2 * qty > qty_all``
+    comparison stays in integers — l_quantity is integral, so the BIGINT
+    cast after sum is exact on both engines.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    y0 = F.lit("1997-01-01").cast("timestamp")
+    y1 = F.lit("1998-01-01").cast("timestamp")
+    shipped = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("l_shipdate") >= y0) & (F.col("l_shipdate") < y1),
+                    F.col("l_quantity"),
+                ).otherwise(F.lit(0.0))
+            )
+            .cast("long")
+            .alias("qty_1997"),
+            F.sum("l_quantity").cast("long").alias("qty_all"),
+        )
+    )
+    qualifying = (
+        shipped.filter(
+            (F.col("qty_1997") > 0)
+            & (2 * F.col("qty_1997") > F.col("qty_all"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.sum("qty_1997").cast("long").alias("qty_1997_total"),
+        )
+    )
+    nat = load(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    supp = load(spark, sf_dir, "supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return qualifying.join(
+        F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+    ).select("s_suppkey", "s_name", "n_parts", "qty_1997_total")
