@@ -167,3 +167,80 @@ def export_jsonl_shards(
         .json(path)
     )
     return len([d for d in os.listdir(path) if d.startswith("shard=")])
+
+
+def export_tar_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 16,
+    key_col: str = "doc_id",
+    payload_col: str = "payload",
+    meta_cols: tuple = (),
+    ext: str = "bin",
+) -> int:
+    """WebDataset-style training-shard delivery for multimodal corpora:
+    each shard is ONE tar archive (``shard-00000.tar``) whose members are
+    ``<key>.<ext>`` (the binary payload) and ``<key>.json`` (the typed
+    metadata) — the layout multimodal dataloaders stream sequentially
+    (the tar-sequential twin of export_jsonl_shards' text layout).
+
+    Shard assignment is the same md5 bucket of the key as the JSONL
+    exporter — deterministic across runs/engines/partitionings, so shard
+    membership is auditable with the identical SQL as q106.  Members are
+    written in ascending key order within each shard, so a re-export is
+    BYTE-reproducible given equal input.
+
+    Scale shape: one repartition by shard id co-locates each shard's rows
+    into exactly one task, which streams rows into its tar via
+    ``toLocalIterator``-free mapPartitions — payload bytes never gather on
+    the driver; at 100 TB choose n_shards so each tar lands near the
+    dataloader's preferred size (WebDataset convention: ~1 GB).
+
+    Returns the number of tar files written.
+    """
+    import json
+    import os
+    import tarfile
+
+    from pyspark.sql import functions as F
+
+    os.makedirs(path, exist_ok=True)
+    meta_cols = tuple(meta_cols)
+    shard = F.expr(
+        f"cast(conv(substring(md5(cast({key_col} as string)), 1, 8), 16, 10)"
+        f" as bigint) % {n_shards}"
+    ).alias("_shard")
+    cols = [F.col(key_col).cast("string").alias("_key"), F.col(payload_col)]
+    cols += [F.col(c) for c in meta_cols]
+    prepared = df.select(*cols, shard).repartition(n_shards, "_shard")
+
+    def write_shard(rows):
+        # one tar per shard id present in this task's partition (after the
+        # hash repartition that is exactly one shard, or zero for empty
+        # partitions when n_shards < shuffle partitions)
+        buckets: dict = {}
+        for row in rows:
+            buckets.setdefault(row["_shard"], []).append(row)
+        for sid, members in buckets.items():
+            members.sort(key=lambda r: r["_key"])
+            tmp = os.path.join(path, f".shard-{sid:05d}.tar.tmp")
+            with tarfile.open(tmp, "w") as tar:
+                for r in members:
+                    payload = bytes(r[payload_col] or b"")
+                    info = tarfile.TarInfo(name=f"{r['_key']}.{ext}")
+                    info.size = len(payload)
+                    info.mtime = 0  # fixed mtime keeps tars byte-reproducible
+                    import io as _io
+
+                    tar.addfile(info, _io.BytesIO(payload))
+                    meta = {c: r[c] for c in meta_cols}
+                    mbytes = json.dumps(meta, sort_keys=True, default=str).encode()
+                    minfo = tarfile.TarInfo(name=f"{r['_key']}.json")
+                    minfo.size = len(mbytes)
+                    minfo.mtime = 0
+                    tar.addfile(minfo, _io.BytesIO(mbytes))
+            os.replace(tmp, os.path.join(path, f"shard-{sid:05d}.tar"))
+        return iter(())
+
+    prepared.rdd.mapPartitions(write_shard).count()
+    return len([f for f in os.listdir(path) if f.endswith(".tar")])
