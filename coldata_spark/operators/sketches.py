@@ -201,3 +201,100 @@ def cms_lookup(
         .groupBy(key_col)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("cms_est"))
     )
+
+
+# ---- Equi-width histogram quantile sketch --------------------------------
+
+
+def hist_build(
+    df: DataFrame,
+    group_cols: list[str],
+    value_expr: str,
+    lo: int,
+    hi: int,
+    n_bins: int = 256,
+) -> DataFrame:
+    """Per-group equi-width histogram sketch: (group..., bin, cnt).
+
+    ``value_expr`` must already be an integer (fixed-point the measure
+    first); [lo, hi] is the closed value domain and bins split the span
+    ``hi - lo + 1`` evenly, so bin assignment is ONE integer floor-division
+    per row — exact on any engine.  The sketch is bounded by
+    groups x n_bins rows at any input size, counts are additive, so
+    per-slice sketches merge by summing (the same streaming/mergeable
+    artifact contract as hll_registers/cms_build).
+    """
+    v = f"CAST({value_expr} AS BIGINT)"
+    return (
+        df.select(
+            *group_cols,
+            F.expr(
+                f"CAST((({v} - ({lo})) * {n_bins}) div ({hi} - ({lo}) + 1)"
+                " AS BIGINT)"
+            ).alias("bin"),
+        )
+        .groupBy(*group_cols, "bin")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def hist_merge(hist: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge histogram sketches (unions of per-slice builds): counts add."""
+    return hist.groupBy(*group_cols, "bin").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
+def hist_quantile(
+    hist: DataFrame,
+    group_cols: list[str],
+    q_ppms: list[int],
+    lo: int,
+    hi: int,
+    n_bins: int = 256,
+) -> DataFrame:
+    """Quantile estimates from a histogram sketch: for each q (in ppm) the
+    LOWER BOUND of the first bin whose cumulative count reaches rank
+    ``ceil(q * total / 1e6)`` — the standard histogram-quantile read-out,
+    one-sided within a bin width of the true quantile.
+
+    All arithmetic is integer (ceil as ``(q*total + 999999) div 1e6``), so
+    estimates are bit-exact across engines.  Every stage runs over the
+    sketch (groups x n_bins rows), never the raw data: cumulative counts
+    are a partition-local window per group, and the rank probe joins
+    sketch-side only.
+    """
+    from pyspark.sql import Window as W
+
+    total = hist.groupBy(*group_cols).agg(
+        F.sum("cnt").cast("long").alias("_total")
+    )
+    cum = hist.select(
+        *group_cols,
+        "bin",
+        F.sum("cnt")
+        .over(W.partitionBy(*group_cols).orderBy("bin"))
+        .alias("_csum"),
+    )
+    qs = hist.sparkSession.createDataFrame(
+        [(int(q),) for q in q_ppms], ["q_ppm"]
+    )
+    ranks = total.crossJoin(F.broadcast(qs)).select(
+        *group_cols,
+        "q_ppm",
+        F.expr("(q_ppm * _total + 999999) div 1000000").alias("_rnk"),
+    )
+    pick = (
+        ranks.join(cum, group_cols)
+        .filter(F.col("_csum") >= F.col("_rnk"))
+        .groupBy(*group_cols, "q_ppm")
+        .agg(F.min("bin").alias("_qbin"))
+    )
+    return pick.select(
+        *group_cols,
+        "q_ppm",
+        F.expr(
+            f"CAST(({lo}) + (_qbin * ({hi} - ({lo}) + 1)) div {n_bins}"
+            " AS BIGINT)"
+        ).alias("est"),
+    )

@@ -160,3 +160,50 @@ def test_cms_overcount_holds_on_arbitrary_keys(spark, keys):
     est = {r["k"]: r["cms_est"] for r in SK.cms_lookup(sketch, probes, "k").collect()}
     for k, n in truth.items():
         assert est[k] >= n
+
+
+def test_hist_split_merge_equals_whole(spark):
+    """Histogram sketches are additive: per-slice builds merged by summing
+    counts give exactly the whole-input sketch."""
+    ev = load(spark, SF, "events")
+    args = dict(value_expr="floor(value * 100)", lo=0, hi=51199, n_bins=256)
+    whole = {
+        (r["event_type"], r["bin"]): r["cnt"]
+        for r in SK.hist_build(ev, ["event_type"], **args).collect()
+    }
+    a = SK.hist_build(
+        ev.filter(F.col("user_id") % 2 == 0), ["event_type"], **args
+    )
+    b = SK.hist_build(
+        ev.filter(F.col("user_id") % 2 == 1), ["event_type"], **args
+    )
+    merged = {
+        (r["event_type"], r["bin"]): r["cnt"]
+        for r in SK.hist_merge(a.unionByName(b), ["event_type"]).collect()
+    }
+    assert merged == whole
+
+
+def test_hist_quantile_one_sided_within_bin_width(spark):
+    """Each estimate is a bin lower bound at the ceil-rank: it can sit at
+    most one bin width (200 centi-units) below the true quantile, never
+    above it."""
+    ev = load(spark, SF, "events")
+    hist = SK.hist_build(
+        ev, ["event_type"], "floor(value * 100)", lo=0, hi=51199, n_bins=256
+    )
+    est = {
+        (r["event_type"], r["q_ppm"]): r["est"]
+        for r in SK.hist_quantile(
+            hist, ["event_type"], [500000, 990000], lo=0, hi=51199, n_bins=256
+        ).collect()
+    }
+    vals = {}
+    for r in ev.select("event_type", F.expr("CAST(floor(value*100) AS BIGINT)").alias("v")).collect():
+        vals.setdefault(r["event_type"], []).append(r["v"])
+    for (etype, q_ppm), e in est.items():
+        xs = sorted(vals[etype])
+        rank = -(-q_ppm * len(xs) // 1_000_000)  # ceil
+        true_q = xs[rank - 1]
+        assert e <= true_q, (etype, q_ppm, e, true_q)
+        assert true_q - e < 200, (etype, q_ppm, e, true_q)
