@@ -125,6 +125,14 @@ def main() -> None:
         result[key] = bench_replicated(
             spark, sf_dir, specs, times=times, queries=queries
         )
+        if times > 16:
+            # the deeper tiers deliberately re-measure ONLY the queries that
+            # were ratio-weak at 16x (the amortization curve), so their
+            # aggregate ratio is a worst-case subset, not the engine ratio
+            result[key]["note"] = (
+                "weak-at-16x subset only — aggregate ratio is worst-case; "
+                "see SCALE.md for the per-query amortization curve"
+            )
     spark.stop()
     spark = get_spark(app_name="coldata_spark_bench_concurrent")
     tune_for_input(spark, dir_bytes(sf_dir))
