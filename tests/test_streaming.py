@@ -423,3 +423,72 @@ def test_stream_cardinality_hll_rollup(spark, sf_dir, tmp_path):
     second.write.parquet(str(in_dir / "drop1"))
     SC.stream_cardinality_maintain(src(), table, ckpt)
     assert estimates() == batch_expected(ev)
+
+
+def test_stream_quantiles_hist_sketch(spark, sf_dir, tmp_path):
+    """streaming/quantiles.py: periodic runs fold new event files into the
+    per-hour histogram sketch; quantile read-outs equal the batch sketch
+    over everything ingested; replayed batch ids are no-ops (marker-gated
+    additive fold)."""
+    from pyspark.sql import functions as F
+
+    from coldata_spark.operators import sketches as SK
+    from coldata_spark.streaming import quantiles as SQ
+    from coldata_spark.tables import load
+
+    ev = load(spark, sf_dir, "events")
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+
+    in_dir = tmp_path / "q_in"
+    in_dir.mkdir()
+    table = str(tmp_path / "hist_sketch")
+    ckpt = str(tmp_path / "q_ckpt")
+
+    def src():
+        return spark.readStream.schema(first.schema).parquet(str(in_dir) + "/*")
+
+    def sketch_rows(df):
+        return {
+            (r.hour_start, r.bin, r.cnt)
+            for r in SQ.hourly_value_hist(df).collect()
+        }
+
+    first.write.parquet(str(in_dir / "drop0"))
+    SQ.stream_quantiles_maintain(src(), table, ckpt)
+    assert {
+        (r.hour_start, r.bin, r.cnt)
+        for r in spark.read.parquet(table).collect()
+    } == sketch_rows(first)
+
+    # replayed batch id is a no-op (marker gates the additive fold)
+    SQ.fold_into_hist(SQ.hourly_value_hist(first), table, batch_id=0)
+    assert {
+        (r.hour_start, r.bin, r.cnt)
+        for r in spark.read.parquet(table).collect()
+    } == sketch_rows(first)
+
+    # later drop accumulates; quantile read-out equals the batch sketch's
+    second.write.parquet(str(in_dir / "drop1"))
+    SQ.stream_quantiles_maintain(src(), table, ckpt)
+    assert {
+        (r.hour_start, r.bin, r.cnt)
+        for r in spark.read.parquet(table).collect()
+    } == sketch_rows(ev)
+
+    got_q = {
+        (r.hour_start, r.q_ppm, r.est)
+        for r in SQ.read_quantiles(spark, table).collect()
+    }
+    want_q = {
+        (r.hour_start, r.q_ppm, r.est)
+        for r in SK.hist_quantile(
+            SQ.hourly_value_hist(ev),
+            SQ.BUCKET_KEYS,
+            [500000, 900000, 990000],
+            lo=SQ.LO,
+            hi=SQ.HI,
+            n_bins=SQ.N_BINS,
+        ).collect()
+    }
+    assert got_q == want_q and len(got_q) > 0
