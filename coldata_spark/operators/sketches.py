@@ -219,12 +219,20 @@ def hist_build(
     ``value_expr`` must already be an integer (fixed-point the measure
     first); [lo, hi] is the closed value domain and bins split the span
     ``hi - lo + 1`` evenly, so bin assignment is ONE integer floor-division
-    per row — exact on any engine.  The sketch is bounded by
-    groups x n_bins rows at any input size, counts are additive, so
-    per-slice sketches merge by summing (the same streaming/mergeable
-    artifact contract as hll_registers/cms_build).
+    per row — exact on any engine.  Values outside [lo, hi] are CLAMPED to
+    the edge bins (so the sketch is truly bounded by groups x n_bins rows
+    however dirty the input, and the post-clamp numerator is never
+    negative — Spark ``div`` truncates toward zero while DuckDB ``//``
+    floors, so an unclamped negative value would diverge between the
+    engines).  Edge-bin counts therefore absorb out-of-domain mass; pick
+    [lo, hi] to cover the real domain when tail quantiles matter.  Counts
+    are additive, so per-slice sketches merge by summing (the same
+    streaming/mergeable artifact contract as hll_registers/cms_build).
     """
-    v = f"CAST({value_expr} AS BIGINT)"
+    v = (
+        f"greatest(CAST({lo} AS BIGINT), least(CAST({hi} AS BIGINT), "
+        f"CAST({value_expr} AS BIGINT)))"
+    )
     return (
         df.select(
             *group_cols,

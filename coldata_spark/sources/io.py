@@ -191,13 +191,22 @@ def export_tar_shards(
     BYTE-reproducible given equal input.
 
     Scale shape: one repartition by shard id co-locates each shard's rows
-    into exactly one task, which streams rows into its tar via
-    ``toLocalIterator``-free mapPartitions — payload bytes never gather on
-    the driver; at 100 TB choose n_shards so each tar lands near the
-    dataloader's preferred size (WebDataset convention: ~1 GB).
+    into its output task; the shuffle SORTS within each partition on
+    (_shard, _key), so the task streams rows straight into the tar as the
+    iterator yields them — at no point does a task (or the driver) hold
+    more than one row's payload in memory, and tars stay byte-reproducible
+    because the sort fixes member order.  At 100 TB choose n_shards so
+    each tar lands near the dataloader's preferred size (WebDataset
+    convention: ~1 GB).
+
+    ``path`` is written with local ``os``/``tarfile`` calls from inside
+    the tasks, so on a real cluster it must be a filesystem every executor
+    mounts (NFS/FUSE-mounted object store); single-JVM local mode has no
+    such constraint.
 
     Returns the number of tar files written.
     """
+    import io as _io
     import json
     import os
     import tarfile
@@ -212,34 +221,47 @@ def export_tar_shards(
     ).alias("_shard")
     cols = [F.col(key_col).cast("string").alias("_key"), F.col(payload_col)]
     cols += [F.col(c) for c in meta_cols]
-    prepared = df.select(*cols, shard).repartition(n_shards, "_shard")
+    prepared = (
+        df.select(*cols, shard)
+        .repartition(n_shards, "_shard")
+        .sortWithinPartitions("_shard", "_key")
+    )
 
     def write_shard(rows):
-        # one tar per shard id present in this task's partition (after the
-        # hash repartition that is exactly one shard, or zero for empty
-        # partitions when n_shards < shuffle partitions)
-        buckets: dict = {}
-        for row in rows:
-            buckets.setdefault(row["_shard"], []).append(row)
-        for sid, members in buckets.items():
-            members.sort(key=lambda r: r["_key"])
-            tmp = os.path.join(path, f".shard-{sid:05d}.tar.tmp")
-            with tarfile.open(tmp, "w") as tar:
-                for r in members:
-                    payload = bytes(r[payload_col] or b"")
-                    info = tarfile.TarInfo(name=f"{r['_key']}.{ext}")
-                    info.size = len(payload)
-                    info.mtime = 0  # fixed mtime keeps tars byte-reproducible
-                    import io as _io
+        # rows arrive sorted by (_shard, _key): stream each row into the
+        # current shard's tar, rolling to a new tar when the shard id
+        # changes (hash collisions can put several shard ids in one task;
+        # a sid never reappears once passed, thanks to the sort)
+        cur_sid, tar, tmp = None, None, None
 
-                    tar.addfile(info, _io.BytesIO(payload))
-                    meta = {c: r[c] for c in meta_cols}
-                    mbytes = json.dumps(meta, sort_keys=True, default=str).encode()
-                    minfo = tarfile.TarInfo(name=f"{r['_key']}.json")
-                    minfo.size = len(mbytes)
-                    minfo.mtime = 0
-                    tar.addfile(minfo, _io.BytesIO(mbytes))
-            os.replace(tmp, os.path.join(path, f"shard-{sid:05d}.tar"))
+        def close_current():
+            nonlocal tar
+            if tar is not None:
+                tar.close()
+                os.replace(
+                    tmp, os.path.join(path, f"shard-{cur_sid:05d}.tar")
+                )
+                tar = None
+
+        for r in rows:
+            sid = r["_shard"]
+            if sid != cur_sid:
+                close_current()
+                cur_sid = sid
+                tmp = os.path.join(path, f".shard-{sid:05d}.tar.tmp")
+                tar = tarfile.open(tmp, "w")
+            payload = bytes(r[payload_col] or b"")
+            info = tarfile.TarInfo(name=f"{r['_key']}.{ext}")
+            info.size = len(payload)
+            info.mtime = 0  # fixed mtime keeps tars byte-reproducible
+            tar.addfile(info, _io.BytesIO(payload))
+            meta = {c: r[c] for c in meta_cols}
+            mbytes = json.dumps(meta, sort_keys=True, default=str).encode()
+            minfo = tarfile.TarInfo(name=f"{r['_key']}.json")
+            minfo.size = len(mbytes)
+            minfo.mtime = 0
+            tar.addfile(minfo, _io.BytesIO(mbytes))
+        close_current()
         return iter(())
 
     prepared.rdd.mapPartitions(write_shard).count()

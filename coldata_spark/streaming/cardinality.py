@@ -21,13 +21,11 @@ and mergeable by any engine downstream.
 
 from __future__ import annotations
 
-import os
-import shutil
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from coldata_spark.operators import sketches as SK
+from coldata_spark.streaming.foldcommit import fold_once
 
 BUCKET_KEYS = ["hour_start"]
 
@@ -40,23 +38,23 @@ def hourly_user_registers(events: DataFrame) -> DataFrame:
     return SK.hll_registers(bucketed, BUCKET_KEYS, "user_id")
 
 
-def merge_into_registers(partial: DataFrame, table_path: str) -> None:
-    """Max-merge a register partial into the persistent sketch table with
-    an atomic swap.  Idempotent by construction (max), so replays are
-    harmless without markers."""
-    spark = partial.sparkSession
-    if os.path.isdir(table_path):
-        existing = spark.read.parquet(table_path)
-        merged = SK.hll_merge(existing.unionByName(partial), BUCKET_KEYS)
-    else:
-        merged = partial
-    stage = table_path.rstrip("/") + ".stage"
-    merged.write.mode("overwrite").parquet(stage)
-    old = table_path.rstrip("/") + ".old"
-    if os.path.isdir(table_path):
-        os.rename(table_path, old)
-    os.rename(stage, table_path)
-    shutil.rmtree(old, ignore_errors=True)
+def merge_into_registers(
+    partial: DataFrame, table_path: str, batch_id: int = 0
+) -> None:
+    """Max-merge a register partial into the persistent sketch table.
+    Idempotent by construction (max), so replays are harmless without
+    markers — fold_once(idempotent=True) skips the applied-marker gate but
+    still provides the sentinel swap, closing the torn-table crash window
+    the bare rename pair had."""
+    fold_once(
+        partial,
+        table_path,
+        batch_id,
+        lambda existing, part: SK.hll_merge(
+            existing.unionByName(part), BUCKET_KEYS
+        ),
+        idempotent=True,
+    )
 
 
 def distinct_users_estimate(spark, table_path: str) -> DataFrame:
@@ -73,7 +71,9 @@ def stream_cardinality_maintain(
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        merge_into_registers(hourly_user_registers(batch_df), table_path)
+        merge_into_registers(
+            hourly_user_registers(batch_df), table_path, batch_id
+        )
 
     q = (
         stream_df.writeStream.foreachBatch(apply)

@@ -1,0 +1,119 @@
+"""Crash-safe fold-commit protocol shared by the streaming sketch/rollup
+maintainers (rollup.py, quantiles.py, cardinality.py).
+
+The naive stage-swap-marker recipe has two crash windows (flagged in round-3
+review):
+
+* a crash between ``rename(table -> old)`` and ``rename(stage -> table)``
+  leaves NO table, so a replay rebuilds from the partial alone and silently
+  drops all prior state;
+* a crash after the swap but before the applied-batch marker is written
+  double-counts the batch on replay (fatal for additive folds).
+
+This module closes both by making the *completed stage* the commit point:
+after the stage parquet write finishes, a ``.done-{batch}`` sentinel is
+created; everything after the sentinel (swap, old-cleanup, marker) is a
+deterministic, resumable epilogue.  ``recover()`` runs on every fold entry:
+
+* any batch whose sentinel exists is COMMITTED — its swap is finished and
+  its applied marker written (replay becomes a no-op);
+* any residue without a sentinel is rolled back — partial stages are
+  discarded and a half-swapped ``.old`` directory is restored as the table.
+
+All paths are driver-local renames; like the rest of the streaming twins
+this assumes the sketch/rollup table lives on a filesystem the driver can
+see (at cluster scale: a Delta/Iceberg MERGE replaces this whole file).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+from typing import Callable
+
+from pyspark.sql import DataFrame
+
+
+def _marker(base: str, batch_id: int) -> str:
+    return os.path.join(base + ".applied", f"batch-{batch_id}")
+
+
+def is_applied(table_path: str, batch_id: int) -> bool:
+    return os.path.exists(_marker(table_path.rstrip("/"), batch_id))
+
+
+def _mark_applied(base: str, batch_id: int) -> None:
+    os.makedirs(base + ".applied", exist_ok=True)
+    open(_marker(base, batch_id), "w").close()
+
+
+def _complete(base: str, batch_id: int) -> None:
+    """Epilogue for a committed batch (sentinel exists): finish the swap,
+    drop the displaced table, write the applied marker, clear the sentinel.
+    Every step is idempotent, so this can resume from any crash point."""
+    stage = f"{base}.stage-{batch_id}"
+    done = f"{base}.done-{batch_id}"
+    old = f"{base}.old-{batch_id}"
+    if os.path.isdir(stage):
+        if os.path.isdir(base):
+            os.rename(base, old)
+        os.rename(stage, base)
+    shutil.rmtree(old, ignore_errors=True)
+    _mark_applied(base, batch_id)
+    try:
+        os.remove(done)
+    except FileNotFoundError:
+        pass
+
+
+def recover(table_path: str) -> None:
+    """Heal all crash residue around ``table_path`` before a fold decision."""
+    base = table_path.rstrip("/")
+    for done in sorted(glob.glob(glob.escape(base) + ".done-*")):
+        _complete(base, int(done.rsplit("-", 1)[1]))
+    # No sentinel => the batch never committed: discard partial stages.
+    for stage in glob.glob(glob.escape(base) + ".stage-*"):
+        shutil.rmtree(stage, ignore_errors=True)
+    # A lone .old with the table missing is a half-swap from the OLD recipe
+    # (pre-sentinel); restore the newest so no prior state is lost.
+    olds = sorted(
+        glob.glob(glob.escape(base) + ".old-*"),
+        key=lambda p: int(p.rsplit("-", 1)[1]),
+    )
+    if olds and not os.path.isdir(base):
+        os.rename(olds[-1], base)
+    for old in olds:
+        shutil.rmtree(old, ignore_errors=True)
+
+
+def fold_once(
+    partial: DataFrame,
+    table_path: str,
+    batch_id: int,
+    merge: Callable[[DataFrame, DataFrame], DataFrame],
+    idempotent: bool = False,
+) -> None:
+    """Fold ``partial`` into the parquet table at ``table_path`` exactly
+    once per ``batch_id``, surviving a crash at any point.
+
+    ``merge(existing, partial)`` produces the new table contents; it runs
+    only when the table already exists.  For additive merges the applied
+    marker is the exactly-once guarantee; pass ``idempotent=True`` for
+    merges where replays are harmless (HLL max) — the marker early-return
+    is skipped so repeat calls under the same batch_id still fold, while
+    the sentinel swap still protects against torn-table crashes."""
+    base = table_path.rstrip("/")
+    recover(base)
+    if not idempotent and is_applied(base, batch_id):
+        return
+    spark = partial.sparkSession
+    if os.path.isdir(base):
+        merged = merge(spark.read.parquet(base), partial)
+    else:
+        merged = partial
+    stage = f"{base}.stage-{batch_id}"
+    merged.write.mode("overwrite").parquet(stage)
+    # COMMIT POINT: the sentinel makes the completed stage authoritative.
+    open(f"{base}.done-{batch_id}", "w").close()
+    _complete(base, batch_id)

@@ -19,13 +19,11 @@ touching the table; the table grows with time buckets, never with events.
 
 from __future__ import annotations
 
-import os
-import shutil
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from coldata_spark.operators import sketches as SK
+from coldata_spark.streaming.foldcommit import fold_once
 
 BUCKET_KEYS = ["hour_start"]
 # q154's fixed centi-unit value domain: [0, 51199] in 256 bins of width 200
@@ -44,27 +42,17 @@ def hourly_value_hist(events: DataFrame) -> DataFrame:
 
 def fold_into_hist(partial: DataFrame, table_path: str, batch_id: int) -> None:
     """Additively fold a histogram partial into the sketch table, once:
-    the applied-batch marker makes replays no-ops (counts are additive,
-    so unlike the HLL max-merge this fold is NOT naturally idempotent)."""
-    marker_dir = table_path.rstrip("/") + ".applied"
-    marker = os.path.join(marker_dir, f"batch-{batch_id}")
-    if os.path.exists(marker):
-        return
-    spark = partial.sparkSession
-    if os.path.isdir(table_path):
-        existing = spark.read.parquet(table_path)
-        merged = SK.hist_merge(existing.unionByName(partial), BUCKET_KEYS)
-    else:
-        merged = partial
-    stage = table_path.rstrip("/") + f".stage-{batch_id}"
-    merged.write.mode("overwrite").parquet(stage)
-    old = table_path.rstrip("/") + f".old-{batch_id}"
-    if os.path.isdir(table_path):
-        os.rename(table_path, old)
-    os.rename(stage, table_path)
-    shutil.rmtree(old, ignore_errors=True)
-    os.makedirs(marker_dir, exist_ok=True)
-    open(marker, "w").close()
+    the fold_once sentinel protocol (streaming/foldcommit.py) closes the
+    torn-swap and marker-race crash windows (counts are additive, so
+    unlike the HLL max-merge this fold is NOT naturally idempotent)."""
+    fold_once(
+        partial,
+        table_path,
+        batch_id,
+        lambda existing, part: SK.hist_merge(
+            existing.unionByName(part), BUCKET_KEYS
+        ),
+    )
 
 
 def read_quantiles(

@@ -18,11 +18,10 @@ not events), and the same foreachBatch body targets a Delta MERGE.
 
 from __future__ import annotations
 
-import os
-import shutil
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from coldata_spark.streaming.foldcommit import fold_once
 
 ROLLUP_KEYS = ["hour_start", "event_type"]
 
@@ -42,33 +41,21 @@ def hourly_partial(events: DataFrame) -> DataFrame:
 
 def fold_into_rollup(partial: DataFrame, table_path: str, batch_id: int) -> None:
     """Additively fold a partial aggregate into the rollup table, once:
-    a marker per batch id makes replays no-ops."""
-    marker_dir = table_path.rstrip("/") + ".applied"
-    marker = os.path.join(marker_dir, f"batch-{batch_id}")
-    if os.path.exists(marker):
-        return
-    spark = partial.sparkSession
-    if os.path.isdir(table_path):
-        existing = spark.read.parquet(table_path)
-        merged = (
-            existing.unionByName(partial)
+    the fold_once sentinel protocol (streaming/foldcommit.py) makes the
+    additive merge exactly-once with no torn-swap or double-count crash
+    windows."""
+
+    def merge(existing: DataFrame, part: DataFrame) -> DataFrame:
+        return (
+            existing.unionByName(part)
             .groupBy(*ROLLUP_KEYS)
             .agg(
                 F.sum("n_events").alias("n_events"),
                 F.sum("total_value").alias("total_value"),
             )
         )
-    else:
-        merged = partial
-    stage = table_path.rstrip("/") + f".stage-{batch_id}"
-    merged.write.mode("overwrite").parquet(stage)
-    old = table_path.rstrip("/") + f".old-{batch_id}"
-    if os.path.isdir(table_path):
-        os.rename(table_path, old)
-    os.rename(stage, table_path)
-    shutil.rmtree(old, ignore_errors=True)
-    os.makedirs(marker_dir, exist_ok=True)
-    open(marker, "w").close()
+
+    fold_once(partial, table_path, batch_id, merge)
 
 
 def stream_rollup_maintain(stream_df: DataFrame, table_path: str, checkpoint: str):

@@ -1,0 +1,146 @@
+"""Crash-window tests for the fold-commit protocol
+(coldata_spark/streaming/foldcommit.py) — the exactly-once guarantee the
+streaming sketch/rollup maintainers rely on.
+
+Round-3 review found two crash windows in the old stage-swap-marker recipe:
+a torn swap (table renamed away, crash before the stage rename) silently
+dropped all prior state on replay, and a crash after the swap but before
+the marker double-counted the batch.  These tests reconstruct each on-disk
+crash state by hand and assert the replay converges to the correct table.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from coldata_spark.streaming import foldcommit as FC
+
+
+def _merge(existing, part):
+    return (
+        existing.unionByName(part)
+        .groupBy("k")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def _tbl(spark, rows):
+    return spark.createDataFrame(rows, "k string, cnt long")
+
+
+def _read(spark, path):
+    return {
+        (r.k, r.cnt) for r in spark.read.parquet(path).collect()
+    }
+
+
+@pytest.fixture()
+def seeded(spark, tmp_path):
+    """A table with batch 0 applied, plus the batch-1 partial."""
+    table = str(tmp_path / "t")
+    FC.fold_once(_tbl(spark, [("a", 1), ("b", 2)]), table, 0, _merge)
+    part1 = _tbl(spark, [("b", 10), ("c", 20)])
+    want_after_1 = {("a", 1), ("b", 12), ("c", 20)}
+    return table, part1, want_after_1
+
+
+def test_fold_once_basic_and_replay(spark, seeded):
+    table, part1, want = seeded
+    FC.fold_once(part1, table, 1, _merge)
+    assert _read(spark, table) == want
+    # replay of an applied batch is a no-op (additive fold, marker-gated)
+    FC.fold_once(part1, table, 1, _merge)
+    assert _read(spark, table) == want
+
+
+def test_crash_between_swap_renames_keeps_prior_state(spark, seeded):
+    """Torn swap: stage complete (sentinel present), table renamed to .old,
+    crash before stage->table.  The old recipe replayed from the partial
+    alone, dropping batch 0; now the committed stage is recovered."""
+    table, part1, want = seeded
+    # hand-build the crash state: merged stage + sentinel + half swap
+    merged = _merge(spark.read.parquet(table), part1)
+    merged.write.parquet(table + ".stage-1")
+    open(table + ".done-1", "w").close()
+    os.rename(table, table + ".old-1")
+    assert not os.path.isdir(table)
+
+    FC.fold_once(part1, table, 1, _merge)  # the replay
+    assert _read(spark, table) == want
+    assert FC.is_applied(table, 1)
+    assert not os.path.exists(table + ".done-1")
+    assert not os.path.isdir(table + ".old-1")
+    # and a FURTHER replay still changes nothing
+    FC.fold_once(part1, table, 1, _merge)
+    assert _read(spark, table) == want
+
+
+def test_crash_after_swap_before_marker_no_double_count(spark, seeded):
+    """Swap finished, crash before the applied marker: the sentinel still
+    exists, so the replay must recognize the batch as committed instead of
+    folding the partial a second time (the old double-count hole)."""
+    table, part1, want = seeded
+    merged = _merge(spark.read.parquet(table), part1)
+    staged = table + ".stage-1"
+    merged.write.parquet(staged)
+    open(table + ".done-1", "w").close()
+    os.rename(table, table + ".old-1")
+    os.rename(staged, table)  # swap complete; crash before marker
+
+    FC.fold_once(part1, table, 1, _merge)  # the replay
+    assert _read(spark, table) == want  # NOT b=22 / c=40
+    assert FC.is_applied(table, 1)
+
+
+def test_uncommitted_stage_is_discarded_and_refolded(spark, seeded):
+    """Crash mid-stage-write (no sentinel): the partial stage is residue,
+    not a commit — replay discards it and folds cleanly."""
+    table, part1, want = seeded
+    os.makedirs(table + ".stage-1")
+    open(os.path.join(table + ".stage-1", "part-junk"), "w").write("x")
+
+    FC.fold_once(part1, table, 1, _merge)
+    assert _read(spark, table) == want
+
+
+def test_legacy_half_swap_without_sentinel_restores_old(spark, seeded):
+    """Residue from the OLD recipe: table missing, .old present, no
+    sentinel.  recover() restores the newest .old so prior state survives,
+    then the fold proceeds normally."""
+    table, part1, want = seeded
+    os.rename(table, table + ".old-1")
+
+    FC.fold_once(part1, table, 1, _merge)
+    assert _read(spark, table) == want
+
+
+def test_idempotent_mode_refolds_same_batch_id(spark, tmp_path):
+    """idempotent=True skips the marker early-return: manual max-merge
+    callers may reuse a batch id and still fold new data."""
+    table = str(tmp_path / "t")
+
+    def merge_max(existing, part):
+        return (
+            existing.unionByName(part)
+            .groupBy("k")
+            .agg(F.max("cnt").cast("long").alias("cnt"))
+        )
+
+    FC.fold_once(_tbl(spark, [("a", 1)]), table, 0, merge_max, idempotent=True)
+    FC.fold_once(_tbl(spark, [("a", 5), ("b", 3)]), table, 0, merge_max,
+                 idempotent=True)
+    assert _read(spark, table) == {("a", 5), ("b", 3)}
+
+
+def test_recover_is_safe_on_clean_table(spark, tmp_path):
+    table = str(tmp_path / "t")
+    FC.fold_once(_tbl(spark, [("a", 1)]), table, 0, _merge)
+    FC.recover(table)
+    assert _read(spark, table) == {("a", 1)}
+    shutil.rmtree(table)
+    FC.recover(table)  # no table at all: still a no-op
+    assert not os.path.isdir(table)
