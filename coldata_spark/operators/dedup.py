@@ -350,6 +350,181 @@ def embedding_neardup_lsh(
     )
 
 
+def _idot(a, b):
+    """Integer dot product of two bigint arrays as a column expression."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def embedding_neardup_lsh_exact(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    thresh_num: int = 95,
+    thresh_den: int = 100,
+    n_planes: int = 16,
+    band_size: int = 4,
+    quant: int = 1000,
+    seed: int = 0,
+    dim: int = 64,
+) -> DataFrame:
+    """Banded hyperplane-LSH near-dup with a bit-exact cross-engine
+    contract (the hash-verified twin of embedding_neardup_lsh; pair with
+    ``lsh_exact_sql`` for the DuckDB oracle):
+
+      * vectors quantize to ``floor(x * quant)`` int64 components (floor,
+        not round — no tie-break divergence between engines);
+      * the hyperplanes derive from ``md5((j + seed) || '_' || i)`` —
+        the conv(substring(md5..)) twin family (ORACLE_PARITY.md) —
+        giving integer weights in [-1000, 1000]; ``seed`` selects an
+        independent plane family;
+      * signature bits are signs of INTEGER plane dots, banded into
+        ``band_size``-bit integer band keys; candidates pair on shared
+        band buckets (never all-pairs — quadratic only within buckets);
+      * ``cosine >= thresh_num/thresh_den`` is cross-multiplied into pure
+        integers: dot > 0 AND dot^2 * den^2 >= norm_a * norm_b * num^2,
+        evaluated in decimal(38,0) headroom — no sqrt, no float anywhere
+        after quantization.
+
+    Output (id_a, id_b, dot_q, norm_a, norm_b) is bit-exact on any
+    engine.  Scale shape: plane scoring broadcasts ``n_planes`` constant
+    rows, banding is one #vectors x (n_planes/band_size) shuffle, the
+    verify join touches only bucket-collided pairs.
+    """
+    from coldata_spark.functions import vector as V
+    from coldata_spark.tables import fan_out
+
+    spark = emb.sparkSession
+    qv = fan_out(emb).select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            V.as_double(F.col(vec_col)),
+            lambda x: F.floor(x * F.lit(quant)).cast("bigint"),
+        ).alias("q"),
+    )
+    planes = spark.range(n_planes).select(
+        F.col("id").cast("int").alias("j"),
+        F.expr(
+            f"transform(sequence(1, {dim}), i -> "
+            f"(cast(conv(substring(md5(concat(cast(id + {seed} as string), "
+            "'_', cast(i as string))), 1, 8), 16, 10) as bigint)"
+            " % 2001) - 1000)"
+        ).alias("w"),
+    )
+    bits = qv.join(F.broadcast(planes)).select(
+        "vec_id",
+        "j",
+        F.when(_idot(F.col("q"), F.col("w")) >= 0, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("bit"),
+    )
+    bands = (
+        bits.withColumn("band", (F.col("j") / band_size).cast("int"))
+        .groupBy("vec_id", "band")
+        .agg(
+            F.sum(
+                F.col("bit") * F.expr(f"shiftleft(1, j % {band_size})")
+            ).alias("band_key")
+        )
+    )
+    a = bands.select(F.col("vec_id").alias("id_a"), "band", "band_key")
+    b = bands.select(F.col("vec_id").alias("id_b"), "band", "band_key")
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    qa = qv.select(F.col("vec_id").alias("id_a"), F.col("q").alias("qa"))
+    qb = qv.select(F.col("vec_id").alias("id_b"), F.col("q").alias("qb"))
+    dec = "decimal(38,0)"
+    scored = (
+        cand.join(qa, "id_a")
+        .join(qb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            _idot(F.col("qa"), F.col("qb")).alias("dot_q"),
+            _idot(F.col("qa"), F.col("qa")).alias("norm_a"),
+            _idot(F.col("qb"), F.col("qb")).alias("norm_b"),
+        )
+    )
+    num2, den2 = thresh_num * thresh_num, thresh_den * thresh_den
+    return scored.filter(
+        (F.col("dot_q") > 0)
+        & (
+            F.col("dot_q").cast(dec) * F.col("dot_q").cast(dec) * den2
+            >= F.col("norm_a").cast(dec) * F.col("norm_b").cast(dec) * num2
+        )
+    ).select("id_a", "id_b", "dot_q", "norm_a", "norm_b")
+
+
+def lsh_exact_sql(
+    base_cte: str,
+    thresh_num: int = 95,
+    thresh_den: int = 100,
+    n_planes: int = 16,
+    band_size: int = 4,
+    quant: int = 1000,
+    seed: int = 0,
+    dim: int = 64,
+) -> str:
+    """DuckDB oracle for embedding_neardup_lsh_exact, generated from the
+    SAME parameters so the two engines cannot drift.  ``base_cte`` must
+    select (vec_id, e DOUBLE[])."""
+    num2, den2 = thresh_num * thresh_num, thresh_den * thresh_den
+    return f"""
+    WITH base AS ({base_cte}),
+    qv AS (
+        SELECT vec_id,
+               list_transform(e, x -> CAST(floor(x * {quant}) AS BIGINT)) AS q
+        FROM base
+    ),
+    planes AS (
+        SELECT j,
+               list_transform(generate_series(1, {dim}), i ->
+                   ((('0x' || substring(md5((j + {seed})::VARCHAR || '_'
+                                        || i::VARCHAR),
+                                        1, 8))::BIGINT % 2001) - 1000)
+               ) AS w
+        FROM generate_series(0, {n_planes - 1}) t(j)
+    ),
+    bits AS (
+        SELECT vec_id, j,
+               CASE WHEN CAST(list_dot_product(q, w) AS BIGINT) >= 0
+                    THEN 1 ELSE 0 END AS bit
+        FROM qv, planes
+    ),
+    bands AS (
+        SELECT vec_id, j // {band_size} AS band,
+               CAST(sum(bit * (1 << (j % {band_size}))) AS BIGINT) AS band_key
+        FROM bits GROUP BY vec_id, j // {band_size}
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM bands a JOIN bands b USING (band, band_key)
+        WHERE a.vec_id < b.vec_id
+    ),
+    scored AS (
+        SELECT id_a, id_b,
+               CAST(list_dot_product(qa.q, qb.q) AS BIGINT) AS dot_q,
+               CAST(list_dot_product(qa.q, qa.q) AS BIGINT) AS norm_a,
+               CAST(list_dot_product(qb.q, qb.q) AS BIGINT) AS norm_b
+        FROM cand
+        JOIN qv qa ON qa.vec_id = cand.id_a
+        JOIN qv qb ON qb.vec_id = cand.id_b
+    )
+    SELECT id_a, id_b, dot_q, norm_a, norm_b
+    FROM scored
+    WHERE dot_q > 0
+      AND CAST(dot_q AS HUGEINT) * dot_q * {den2}
+          >= CAST(norm_a AS HUGEINT) * norm_b * {num2}
+    """
+
+
 def simhash_signatures(
     df: DataFrame, text_col: str, id_col: str, bits: int = 32
 ) -> DataFrame:

@@ -186,7 +186,7 @@ def q44_asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> Dat
 
 
 @register(
-    "q45_events_sliding_window",
+    "q155_events_sliding_window",
     survey="R6,A5",
     sql="""
     SELECT (epoch_us(ts) // 1000000 - off) // 3600 * 3600 + off
@@ -198,7 +198,7 @@ def q44_asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> Dat
     GROUP BY 1, 2
     """,
 )
-def q45_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q155_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding 1-hour window, 30-minute step (batch form of
     window(ts, '1 hour', '30 minutes')): each event lands in 2 windows —
     expressed with integer epoch arithmetic so both engines agree exactly.

@@ -1645,7 +1645,7 @@ def q148_ship_latency_histogram(spark, sf_dir):
 
 
 @register(
-    "q153_promo_part_suppliers",
+    "q157_promo_part_suppliers",
     survey="J1,J4,A1,A5,P5",
     sql="""
     WITH shipped AS (
@@ -1674,7 +1674,7 @@ def q148_ship_latency_histogram(spark, sf_dir):
     WHERE n_name IN ('NATION_1', 'NATION_2')
     """,
 )
-def q153_promo_part_suppliers(spark, sf_dir):
+def q157_promo_part_suppliers(spark, sf_dir):
     """TPC-H Q20-shaped (completes all 22 TPC-H query shapes): suppliers
     who concentrated their shipments of a part class into the target year
     — Q20's correlated ``availqty > 0.5 * shipped-in-year`` threshold,

@@ -265,86 +265,70 @@ def q38_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q39_embedding_neardup_lsh", survey="V6,ext-embedding-dedup", sql=None)
-def q39_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale path for embedding near-dup (rows-only: random-hyperplane
-    signatures have no SQL twin; recall vs the exact path is asserted in
-    tests): LSH band blocking -> exact cosine only within buckets.
+# The planted-near-dup base both LSH queries share: the fixture's vectors
+# are random (near-orthogonal — real corpora have near-dups, random
+# fixtures may not), so every 50th vector re-enters scaled by 1.01 under
+# vec_id+1000000.  Scaling preserves direction, so each planted pair has
+# cosine ~1 and (near-)identical hyperplane signs.
+_PLANTED_BASE_SQL = """
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000,
+               list_transform(embedding::DOUBLE[], x -> x * 1.01)
+        FROM embeddings WHERE vec_id % 50 = 0
+"""
 
-    The fixture's vectors are random (near-orthogonal — real corpora have
-    near-dups, random fixtures may not), so the query PLANTS deterministic
-    near-duplicates: every 50th vector re-enters scaled by 1.01 under
-    vec_id+1000000.  Scaling preserves direction, so each planted pair has
-    cosine exactly 1.0 and identical hyperplane signs — the LSH path must
-    surface ALL of them (asserted in tests/test_dedup.py), plus any
-    genuine near-dups the fixture happens to contain."""
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+def _planted_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from coldata_spark.functions import vector as V
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", V.as_double(F.col("embedding")).alias("e")
+    )
     planted = emb.filter(F.expr("vec_id % 50 = 0")).select(
         (F.col("vec_id") + 1000000).alias("vec_id"),
-        F.transform(F.col("embedding"), lambda x: x * F.lit(1.01)).alias(
-            "embedding"
-        ),
+        F.transform(F.col("e"), lambda x: x * F.lit(1.01)).alias("e"),
     )
-    return DD.embedding_neardup_lsh(
-        emb.unionByName(planted), threshold=0.95
+    return emb.unionByName(planted)
+
+
+@register(
+    "q39_embedding_neardup_lsh",
+    survey="V6,ext-embedding-dedup",
+    sql=DD.lsh_exact_sql(
+        _PLANTED_BASE_SQL, thresh_num=90, thresh_den=100, seed=100
+    ),
+)
+def q39_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for embedding near-dup — the parametrized banded
+    hyperplane-LSH OPERATOR (operators/dedup.py embedding_neardup_lsh_exact)
+    at a second operating point: cosine >= 0.90, an independent plane
+    family (seed=100), same 4x4-bit banding.  q152 drives the identical
+    operator at the 0.95/seed=0 point, so together the two hash-checked
+    entries verify the operator across parameters, not one frozen
+    configuration.  (Formerly rows-only via the float-plane variant, which
+    remains as embedding_neardup_lsh for the recall-curve tests; this
+    integer-exact form has a full value-hash oracle generated by
+    lsh_exact_sql from the SAME parameters.)
+
+    Planted near-dups (see _PLANTED_BASE_SQL) guarantee results exist
+    regardless of fixture randomness; tests/test_dedup.py asserts every
+    planted pair survives the banding."""
+    return DD.embedding_neardup_lsh_exact(
+        _planted_base(spark, sf_dir),
+        vec_col="e",
+        thresh_num=90,
+        thresh_den=100,
+        seed=100,
     )
 
 
 @register(
     "q152_embedding_neardup_exact",
     survey="V6,ext-embedding-dedup",
-    sql="""
-    WITH base AS (
-        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
-        UNION ALL
-        SELECT vec_id + 1000000,
-               list_transform(embedding::DOUBLE[], x -> x * 1.01)
-        FROM embeddings WHERE vec_id % 50 = 0
+    sql=DD.lsh_exact_sql(
+        _PLANTED_BASE_SQL, thresh_num=95, thresh_den=100, seed=0
     ),
-    qv AS (
-        SELECT vec_id,
-               list_transform(e, x -> CAST(floor(x * 1000) AS BIGINT)) AS q
-        FROM base
-    ),
-    planes AS (
-        SELECT j,
-               list_transform(generate_series(1, 64), i ->
-                   ((('0x' || substring(md5(j::VARCHAR || '_' || i::VARCHAR),
-                                        1, 8))::BIGINT % 2001) - 1000)
-               ) AS w
-        FROM generate_series(0, 15) t(j)
-    ),
-    bits AS (
-        SELECT vec_id, j,
-               CASE WHEN CAST(list_dot_product(q, w) AS BIGINT) >= 0
-                    THEN 1 ELSE 0 END AS bit
-        FROM qv, planes
-    ),
-    bands AS (
-        SELECT vec_id, j // 4 AS band,
-               CAST(sum(bit * (1 << (j % 4))) AS BIGINT) AS band_key
-        FROM bits GROUP BY vec_id, j // 4
-    ),
-    cand AS (
-        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM bands a JOIN bands b USING (band, band_key)
-        WHERE a.vec_id < b.vec_id
-    ),
-    scored AS (
-        SELECT id_a, id_b,
-               CAST(list_dot_product(qa.q, qb.q) AS BIGINT) AS dot_q,
-               CAST(list_dot_product(qa.q, qa.q) AS BIGINT) AS norm_a,
-               CAST(list_dot_product(qb.q, qb.q) AS BIGINT) AS norm_b
-        FROM cand
-        JOIN qv qa ON qa.vec_id = cand.id_a
-        JOIN qv qb ON qb.vec_id = cand.id_b
-    )
-    SELECT id_a, id_b, dot_q, norm_a, norm_b
-    FROM scored
-    WHERE dot_q > 0
-      AND CAST(dot_q AS HUGEINT) * dot_q * 10000
-          >= CAST(norm_a AS HUGEINT) * norm_b * 9025
-    """,
 )
 def q152_embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup with a full value-hash oracle — the integer-exact
@@ -373,88 +357,18 @@ def q152_embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant rows, banding is one #vectors x 4 shuffle, and the verify join
     touches only bucket-collided pairs.  Reference basis: vdb.py:88-100
     similarity semantics; dedup ladder SURVEY §2.8 V6.
+
+    Implementation lives in operators/dedup.py embedding_neardup_lsh_exact
+    (shared with q39, which drives the 0.90/seed=100 operating point); the
+    oracle is generated by lsh_exact_sql from the SAME parameters.
     """
-    from coldata_spark.functions import vector as V
-    from coldata_spark.tables import fan_out
-
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", V.as_double(F.col("embedding")).alias("e")
+    return DD.embedding_neardup_lsh_exact(
+        _planted_base(spark, sf_dir),
+        vec_col="e",
+        thresh_num=95,
+        thresh_den=100,
+        seed=0,
     )
-    planted = emb.filter(F.expr("vec_id % 50 = 0")).select(
-        (F.col("vec_id") + 1000000).alias("vec_id"),
-        F.transform(F.col("e"), lambda x: x * F.lit(1.01)).alias("e"),
-    )
-    qv = (
-        fan_out(emb.unionByName(planted))
-        .select(
-            "vec_id",
-            F.transform(
-                F.col("e"), lambda x: F.floor(x * F.lit(1000)).cast("bigint")
-            ).alias("q"),
-        )
-    )
-
-    planes = spark.range(16).select(
-        F.col("id").cast("int").alias("j"),
-        F.expr(
-            "transform(sequence(1, 64), i -> "
-            "(cast(conv(substring(md5(concat(cast(id as string), '_', "
-            "cast(i as string))), 1, 8), 16, 10) as bigint) % 2001) - 1000)"
-        ).alias("w"),
-    )
-
-    def idot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        )
-
-    bits = qv.join(F.broadcast(planes)).select(
-        "vec_id",
-        "j",
-        F.when(idot(F.col("q"), F.col("w")) >= 0, F.lit(1))
-        .otherwise(F.lit(0))
-        .alias("bit"),
-    )
-    bands = (
-        bits.withColumn("band", (F.col("j") / 4).cast("int"))
-        .groupBy("vec_id", "band")
-        .agg(
-            F.sum(F.col("bit") * F.expr("shiftleft(1, j % 4)")).alias(
-                "band_key"
-            )
-        )
-    )
-    a = bands.select(F.col("vec_id").alias("id_a"), "band", "band_key")
-    b = bands.select(F.col("vec_id").alias("id_b"), "band", "band_key")
-    cand = (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    qa = qv.select(F.col("vec_id").alias("id_a"), F.col("q").alias("qa"))
-    qb = qv.select(F.col("vec_id").alias("id_b"), F.col("q").alias("qb"))
-    dec = "decimal(38,0)"
-    scored = (
-        cand.join(qa, "id_a")
-        .join(qb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            idot(F.col("qa"), F.col("qb")).alias("dot_q"),
-            idot(F.col("qa"), F.col("qa")).alias("norm_a"),
-            idot(F.col("qb"), F.col("qb")).alias("norm_b"),
-        )
-    )
-    return scored.filter(
-        (F.col("dot_q") > 0)
-        & (
-            F.col("dot_q").cast(dec) * F.col("dot_q").cast(dec) * 10000
-            >= F.col("norm_a").cast(dec) * F.col("norm_b").cast(dec) * 9025
-        )
-    ).select("id_a", "id_b", "dot_q", "norm_a", "norm_b")
 
 
 @register(
@@ -963,7 +877,7 @@ def q129_embedding_component_stats(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
-    "q152_hard_negative_mining",
+    "q156_hard_negative_mining",
     survey="J5,V5,W1,ext-curation",
     sql="""
     WITH q AS (
@@ -989,7 +903,7 @@ def q129_embedding_component_stats(spark: SparkSession, sf_dir: str) -> DataFram
     SELECT q_id, vec_id, score, rank FROM ranked WHERE rank <= 3
     """,
 )
-def q152_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q156_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for contrastive training: per anchor, the most
     similar items BELOW a near-duplicate ceiling — similar enough to be
     informative negatives, dissimilar enough not to be latent positives

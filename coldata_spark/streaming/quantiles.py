@@ -1,5 +1,5 @@
 """Continuous quantile maintenance — streaming twin of the histogram
-quantile sketch (operators/sketches.py hist_*, batch query q154), completing
+quantile sketch (operators/sketches.py hist_*, batch query q158), completing
 the per-sketch streaming set: additive rollup (rollup.py), HLL cardinality
 (cardinality.py), and now value quantiles.
 
@@ -26,7 +26,7 @@ from coldata_spark.operators import sketches as SK
 from coldata_spark.streaming.foldcommit import fold_once
 
 BUCKET_KEYS = ["hour_start"]
-# q154's fixed centi-unit value domain: [0, 51199] in 256 bins of width 200
+# q158's fixed centi-unit value domain: [0, 51199] in 256 bins of width 200
 LO, HI, N_BINS = 0, 51199, 256
 
 

@@ -121,8 +121,12 @@ def test_embedding_neardup_lsh_recall(spark, sf_dir):
 
 
 def test_q39_surfaces_planted_neardups(spark, sf_dir):
-    """q39 plants scaled copies (cosine exactly 1); the LSH path must
-    surface every planted pair regardless of fixture randomness."""
+    """q39 plants scaled copies (cosine ~1 after quantization); the
+    integer-exact LSH path must surface every planted pair regardless of
+    fixture randomness, and the integer dot/norms must reconstruct a
+    cosine that close to 1."""
+    import math
+
     from coldata_spark.queries.vector_queries import q39_embedding_neardup_lsh
     from coldata_spark.tables import load
 
@@ -134,12 +138,39 @@ def test_q39_surfaces_planted_neardups(spark, sf_dir):
         .collect()
     }
     got = {
-        (r.id_a, r.id_b): r.cos_sim
+        (r.id_a, r.id_b): (r.dot_q, r.norm_a, r.norm_b)
         for r in q39_embedding_neardup_lsh(spark, sf_dir).collect()
     }
     for vid in planted_ids:
         assert (vid, vid + 1000000) in got, f"planted pair for {vid} missing"
-        assert got[(vid, vid + 1000000)] >= 0.999999
+        dot_q, na, nb = got[(vid, vid + 1000000)]
+        assert dot_q / math.sqrt(na * nb) >= 0.999
+
+
+def test_lsh_exact_seeds_give_independent_plane_families(spark, sf_dir):
+    """q39 (seed=100) and q152 (seed=0) must exercise DIFFERENT hyperplane
+    families — otherwise the two window entries would verify one frozen
+    configuration twice.  Planted pairs survive both (cos ~1 collides
+    under any family); the distinguishing signal is the candidate sets of
+    *non-planted* bucket collisions differing between seeds at the same
+    threshold."""
+    from coldata_spark.operators import dedup as DD
+    from coldata_spark.queries.vector_queries import _planted_base
+
+    base = _planted_base(spark, sf_dir)
+    pairs_by_seed = [
+        {
+            (r.id_a, r.id_b)
+            for r in DD.embedding_neardup_lsh_exact(
+                base, vec_col="e", thresh_num=0, thresh_den=100, seed=s
+            ).collect()
+        }
+        for s in (0, 100)
+    ]
+    # threshold 0 keeps every positive-dot bucket collision, so the
+    # surviving set IS the candidate topology — different plane families
+    # must bucket differently
+    assert pairs_by_seed[0] != pairs_by_seed[1]
 
 
 def test_minhash_hot_bucket_cap_bounds_quadratic_join(spark):
