@@ -1,0 +1,69 @@
+"""tools/clustered.py — the co-clustered bench tier machinery, validated
+at test scale: the builder writes one file per bucket, a FRESH-style DDL
+re-registration yields zero-exchange plans, and the clustered query twins
+return exactly what the registered flat-layout queries return."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from coldata_spark import registry
+from tools import clustered as CL
+
+
+@pytest.fixture(scope="module")
+def clustered_dir(spark, sf_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("clus"))
+    CL.build_clustered_fixture(spark, sf_dir, out, buckets=4)
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    CL.register_clustered(spark, out, buckets=4)
+    yield out
+    for name in CL._SPECS:
+        spark.sql(f"DROP TABLE IF EXISTS {name}_c")
+    spark.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "false"
+    )
+
+
+def test_one_file_per_bucket(clustered_dir):
+    """The sorted-scan flag is only safe with single-file buckets; the
+    builder must guarantee it."""
+    for name in CL._SPECS:
+        files = [
+            f
+            for f in os.listdir(os.path.join(clustered_dir, name))
+            if f.endswith(".parquet") and not f.startswith(".")
+        ]
+        assert len(files) == 4, f"{name}: {len(files)} files for 4 buckets"
+
+
+def test_clustered_plans_have_no_shuffle_or_sort(spark, clustered_dir):
+    """q02: zero shuffle exchanges (broadcast of the dim is fine), zero
+    sorts (bucket sort feeds the SMJ); q116: zero exchanges entirely."""
+    import re
+
+    q02 = CL.q02_clustered(spark, clustered_dir)
+    plan = q02._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan
+    assert not re.search(r"\+- Sort ", plan), "bucket sort must be reused"
+
+    q116 = CL.q116_clustered(spark, clustered_dir)
+    plan = q116._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert not re.search(r"\+- Sort ", plan)
+
+
+def test_clustered_results_match_flat(spark, sf_dir, clustered_dir):
+    """Same rows as the registered flat-layout queries on the same data."""
+    specs = registry.specs()
+    for name, fn in CL.CLUSTERED_QUERIES.items():
+        got = sorted(map(tuple, fn(spark, clustered_dir).collect()))
+        want = sorted(map(tuple, specs[name].fn(spark, sf_dir).collect()))
+        assert got == want, f"{name} diverges from flat layout"
+
+
+def test_duck_views_cover_clustered_query_tables(clustered_dir):
+    for t in CL.DUCK_VIEWS:
+        assert os.path.isdir(os.path.join(clustered_dir, t))

@@ -1,0 +1,253 @@
+#!/usr/bin/env python
+"""Co-clustered bench tier: the storage layout the 100 TB design actually
+prescribes, benchmarked against DuckDB reading the SAME files.
+
+The flat replicated tiers measure queries against layout-oblivious parquet
+— the right worst-case probe, but three headline queries are bound there by
+exchanges the design itself says to remove with layout:
+
+  * q02: lineitem JOIN orders on orderkey — THE co-bucketing case.  Both
+    facts bucketed+sorted by orderkey => zero-exchange sort-merge join
+    (proven by tests/test_bucketing.py::test_bucketed_join_no_shuffle).
+  * q116/q83: per-user windows / time rollups over events — the hypertable
+    layout (bucketed by user_id, sorted by (user_id, ts, event_id)) makes
+    the q116 window exchange-AND-sort-free.
+
+Bucketed tables carry their spec in the catalog, not the files, so a fresh
+measuring session re-registers them with CREATE TABLE ... CLUSTERED BY ...
+LOCATION DDL over the already-written bucket files (bucket ids live in the
+file names, which the scan requires).  DuckDB reads the identical files
+through views — it benefits from the sorted layout too (delta-encoded
+keys), keeping the comparison symmetric.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BUCKETS = 32
+_MARKER = "_CLUSTERED_OK"
+
+# (table, bucket key, sort keys) — the clustering the 100 TB layout uses
+_SPECS = {
+    "lineitem": ("l_orderkey", ["l_orderkey"]),
+    "orders": ("o_orderkey", ["o_orderkey"]),
+    "events": ("user_id", ["user_id", "ts", "event_id"]),
+}
+_FLAT_COPY = ("customer",)  # small dims stay flat (broadcast-side anyway)
+
+
+def build_clustered_fixture(
+    spark: SparkSession, tier_dir: str, out_dir: str, buckets: int = BUCKETS
+) -> str:
+    """Rewrite the flat replicated tier into the clustered layout.
+    Idempotent per (tier_dir, buckets) via marker.  The repartition onto
+    the bucket key before bucketBy guarantees ONE file per bucket, which
+    is what lets the scan report sortedness (no re-sort before windows)."""
+    marker = os.path.join(out_dir, _MARKER)
+    stamp = f"{tier_dir}|{buckets}"
+    if os.path.exists(marker) and open(marker).read() == stamp:
+        return out_dir
+    from coldata_spark.tables import load
+
+    os.makedirs(out_dir, exist_ok=True)
+    for name, (key, sort_keys) in _SPECS.items():
+        # tables.load (not raw spark.read) so the events ts variants are
+        # normalized to TIMESTAMP_LTZ exactly like every query path does
+        df = load(spark, tier_dir, name)
+        tmp_tbl = f"_clus_build_{name}"
+        (
+            df.repartition(buckets, key)
+            .write.mode("overwrite")
+            .bucketBy(buckets, key)
+            .sortBy(*sort_keys)
+            .option("path", os.path.abspath(os.path.join(out_dir, name)))
+            .saveAsTable(tmp_tbl)
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")  # files stay (external)
+    for name in _FLAT_COPY:
+        load(spark, tier_dir, name).write.mode("overwrite").parquet(
+            os.path.join(out_dir, name)
+        )
+    with open(marker, "w") as f:
+        f.write(stamp)
+    return out_dir
+
+
+def register_clustered(
+    spark: SparkSession, out_dir: str, buckets: int = BUCKETS
+) -> None:
+    """Re-register the bucketed tables in THIS session's catalog via DDL
+    over the existing files (bucket spec is catalog metadata)."""
+    for name, (key, sort_keys) in _SPECS.items():
+        path = os.path.abspath(os.path.join(out_dir, name))
+        schema = spark.read.parquet(path).schema
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+        )
+        sort = ", ".join(sort_keys)
+        spark.sql(f"DROP TABLE IF EXISTS {name}_c")
+        spark.sql(
+            f"CREATE TABLE {name}_c ({cols}) USING parquet "
+            f"CLUSTERED BY ({key}) SORTED BY ({sort}) INTO {buckets} BUCKETS "
+            f"LOCATION '{path}'"
+        )
+
+
+# ---- Clustered twins of the three layout-bound headline queries ---------
+# Same semantics as the registered queries (the DuckDB oracle SQL of the
+# flat specs runs unchanged over views on these files); only the input
+# binding differs: catalog bucketed tables instead of flat parquet.
+
+
+def q02_clustered(spark: SparkSession, out_dir: str) -> DataFrame:
+    """q02_top_orders_by_revenue over co-bucketed facts: the customer
+    filter broadcasts onto the bucketed orders scan (broadcast preserves
+    bucket distribution), lineitem joins it as a ZERO-EXCHANGE sort-merge
+    join, and the aggregate reuses the join's orderkey partitioning — no
+    exchange anywhere before the final top-10."""
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    cust = (
+        spark.read.parquet(os.path.join(out_dir, "customer"))
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = spark.table("orders_c").filter(F.col("o_orderdate") < cutoff)
+    o = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = spark.table("lineitem_c").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(o, li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q116_clustered(spark: SparkSession, out_dir: str) -> DataFrame:
+    """q116_time_weighted_avg over the hypertable layout: the per-user
+    lead window runs exchange-free AND sort-free (scan reports the bucket
+    sort), and the per-user aggregate reuses the same distribution."""
+    from pyspark.sql import Window as W
+
+    ev = spark.table("events_c")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = ev.select(
+        "user_id",
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("v_c"),
+        (
+            F.lead(F.col("ts").cast("long")).over(w) - F.col("ts").cast("long")
+        ).alias("dur_s"),
+    ).filter(F.col("dur_s").isNotNull())
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count("dur_s").cast("long").alias("n_segments"),
+            F.sum("dur_s").cast("long").alias("total_s"),
+            F.expr(
+                "CAST((1000000 * sum(v_c * dur_s)) div sum(dur_s) AS BIGINT)"
+            ).alias("twa_centi_micro"),
+        )
+        .filter(F.col("total_s") > 0)
+    )
+
+
+def q83_clustered(spark: SparkSession, out_dir: str) -> DataFrame:
+    """q83_hypertable_rollup over the hypertable layout: same
+    hourly-before-rollup plan; the layout's win here is scan-side (sorted
+    ts delta-encodes; one 32-file table), the tiny combine exchange
+    remains — recorded to show which layout-bound queries the clustering
+    does and does NOT rescue."""
+    ev = spark.table("events_c")
+    hour_e = F.expr("(unix_micros(ts) div 3600000000) * 3600").alias("hour_e")
+    hourly = (
+        ev.select(hour_e, "value")
+        .groupBy("hour_e")
+        .agg(F.count("*").alias("_n"), F.sum("value").alias("_sv"))
+    )
+    day_e = (F.floor(F.col("hour_e") / 86400) * 86400).cast("long").alias("day_e")
+    return (
+        hourly.select(day_e, "hour_e", "_n", "_sv")
+        .rollup("day_e", "hour_e")
+        .agg(
+            F.sum("_n").alias("n_events"),
+            F.round(F.sum("_sv"), 2).alias("total_value"),
+        )
+        .select(
+            F.coalesce(F.col("day_e"), F.lit(-1)).alias("day_epoch"),
+            F.coalesce(F.col("hour_e"), F.lit(-1)).alias("hour_epoch"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+CLUSTERED_QUERIES = {
+    "q02_top_orders_by_revenue": q02_clustered,
+    "q83_hypertable_rollup": q83_clustered,
+    "q116_time_weighted_avg": q116_clustered,
+}
+
+# DuckDB view sources for the clustered files: bucketed tables are
+# directories of bucket files; flat copies are plain parquet dirs.
+DUCK_VIEWS = {
+    "lineitem": "lineitem/*.parquet",
+    "orders": "orders/*.parquet",
+    "events": "events/*.parquet",
+    "customer": "customer/*.parquet",
+}
+
+
+def build_events_1024x(
+    spark: SparkSession, tier256_dir: str, out_dir: str
+) -> str:
+    """Events-only 1024x fixture (4 shifted replicas of the 256x events
+    table, ~1.6 GB): the tier where q83's fixed per-stage cost finally
+    amortizes (at 256x, 4x more data costs Spark only +42% time — the
+    rollup is still floor-dominated there).  Events-only keeps the extra
+    disk bounded to the one table q83 reads."""
+    marker = os.path.join(out_dir, "_OK")
+    if os.path.exists(marker):
+        return out_dir
+    ev = spark.read.parquet(os.path.join(tier256_dir, "events.parquet"))
+    parts = [
+        ev.withColumn(
+            "event_id", F.col("event_id") + F.lit(i * 4_000_000_000)
+        ).withColumn("user_id", F.col("user_id") + F.lit(i * 40_000_000))
+        for i in range(4)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "events.parquet")
+    )
+    open(marker, "w").close()
+    return out_dir
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from coldata_spark.session import get_spark
+
+    tier = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.bench_cache/256x"
+    out = (
+        sys.argv[2]
+        if len(sys.argv) > 2
+        else "/root/repo/.bench_cache/256x_clustered"
+    )
+    spark = get_spark(app_name="clustered_build")
+    build_clustered_fixture(spark, tier, out)
+    print(out)
