@@ -94,6 +94,76 @@ def files_overlapping(path: str, col: str, lo: int, hi: int) -> tuple[int, int]:
     return hit, total
 
 
+def write_bucketed(
+    df: DataFrame,
+    path: str,
+    bucket_col: str,
+    sort_cols: list[str] | None = None,
+    buckets: int = 32,
+) -> None:
+    """Write ``df`` as a bucketed+sorted parquet table at ``path`` — the
+    co-located layout that turns every later join/window/agg on
+    ``bucket_col`` into a ZERO-EXCHANGE plan (and, with ``sort_cols``,
+    zero-sort: SMJ and window sorts ride the bucket files).  At 100 TB
+    this is the difference between shuffling the fact table per join and
+    never shuffling it.
+
+    The repartition onto the bucket column before bucketBy guarantees ONE
+    file per bucket (Spark's hash partitioner and bucket hasher agree),
+    which is the precondition for the scan to report sortedness — see
+    register_bucketed.  The transient catalog entry is dropped; the files
+    (bucket ids encoded in their names) are the durable artifact."""
+    import os
+
+    sort_cols = sort_cols or [bucket_col]
+    tmp = f"_bucketed_write_{abs(hash(os.path.abspath(path))) % 10**8}"
+    (
+        df.repartition(buckets, bucket_col)
+        .write.mode("overwrite")
+        .bucketBy(buckets, bucket_col)
+        .sortBy(*sort_cols)
+        .option("path", os.path.abspath(path))
+        .saveAsTable(tmp)
+    )
+    df.sparkSession.sql(f"DROP TABLE IF EXISTS {tmp}")
+
+
+def register_bucketed(
+    spark,
+    path: str,
+    table: str,
+    bucket_col: str,
+    sort_cols: list[str] | None = None,
+    buckets: int = 32,
+) -> None:
+    """Register an existing write_bucketed directory as catalog table
+    ``table`` in THIS session.  Bucket/sort specs are catalog metadata,
+    not file metadata, so a fresh session must re-declare them — a
+    CREATE TABLE ... CLUSTERED BY ... SORTED BY ... LOCATION DDL over the
+    existing files restores the zero-exchange property without rewriting
+    a byte.  The LOCATION must be absolute (a relative path silently
+    resolves under spark-warehouse and registers an EMPTY table).
+
+    For sort elision also set
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering=true`` — safe for
+    tables produced by write_bucketed, whose one-file-per-bucket layout is
+    the only case the flag reports ordering for."""
+    import os
+
+    abspath = os.path.abspath(path)
+    schema = spark.read.parquet(abspath).schema
+    cols = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+    )
+    sort = ", ".join(sort_cols or [bucket_col])
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(
+        f"CREATE TABLE {table} ({cols}) USING parquet "
+        f"CLUSTERED BY ({bucket_col}) SORTED BY ({sort}) "
+        f"INTO {buckets} BUCKETS LOCATION '{abspath}'"
+    )
+
+
 def compact_parquet_dir(
     spark,
     src: str,

@@ -51,23 +51,20 @@ def build_clustered_fixture(
     stamp = f"{tier_dir}|{buckets}"
     if os.path.exists(marker) and open(marker).read() == stamp:
         return out_dir
+    from coldata_spark.operators.layout import write_bucketed
     from coldata_spark.tables import load
 
     os.makedirs(out_dir, exist_ok=True)
     for name, (key, sort_keys) in _SPECS.items():
         # tables.load (not raw spark.read) so the events ts variants are
         # normalized to TIMESTAMP_LTZ exactly like every query path does
-        df = load(spark, tier_dir, name)
-        tmp_tbl = f"_clus_build_{name}"
-        (
-            df.repartition(buckets, key)
-            .write.mode("overwrite")
-            .bucketBy(buckets, key)
-            .sortBy(*sort_keys)
-            .option("path", os.path.abspath(os.path.join(out_dir, name)))
-            .saveAsTable(tmp_tbl)
+        write_bucketed(
+            load(spark, tier_dir, name),
+            os.path.join(out_dir, name),
+            bucket_col=key,
+            sort_cols=sort_keys,
+            buckets=buckets,
         )
-        spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")  # files stay (external)
     for name in _FLAT_COPY:
         load(spark, tier_dir, name).write.mode("overwrite").parquet(
             os.path.join(out_dir, name)
@@ -82,18 +79,16 @@ def register_clustered(
 ) -> None:
     """Re-register the bucketed tables in THIS session's catalog via DDL
     over the existing files (bucket spec is catalog metadata)."""
+    from coldata_spark.operators.layout import register_bucketed
+
     for name, (key, sort_keys) in _SPECS.items():
-        path = os.path.abspath(os.path.join(out_dir, name))
-        schema = spark.read.parquet(path).schema
-        cols = ", ".join(
-            f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
-        )
-        sort = ", ".join(sort_keys)
-        spark.sql(f"DROP TABLE IF EXISTS {name}_c")
-        spark.sql(
-            f"CREATE TABLE {name}_c ({cols}) USING parquet "
-            f"CLUSTERED BY ({key}) SORTED BY ({sort}) INTO {buckets} BUCKETS "
-            f"LOCATION '{path}'"
+        register_bucketed(
+            spark,
+            os.path.join(out_dir, name),
+            f"{name}_c",
+            bucket_col=key,
+            sort_cols=sort_keys,
+            buckets=buckets,
         )
 
 
