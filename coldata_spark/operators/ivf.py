@@ -50,6 +50,11 @@ def build_ivf(
         "_features", array_to_vector(V.as_double(F.col(vec_col)))
     )
     fit_df = ml_df.sample(sample_fraction, seed=seed) if sample_fraction < 1.0 else ml_df
+    # k must not exceed the training-point count (KMeans aborts otherwise);
+    # a config-sized nlist (e.g. the reference's 128) on a small fresh
+    # collection clamps to the data and grows on the next renew.  Index
+    # build is a batch maintenance job, so one count() here is fine.
+    nlist = max(1, min(nlist, fit_df.count()))
     model = KMeans(
         k=nlist, seed=seed, featuresCol="_features", predictionCol="centroid_id"
     ).fit(fit_df)
