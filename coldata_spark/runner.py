@@ -73,20 +73,18 @@ def run_once(
         new = C.crawl_all_sources(spark, urls, existing, fetcher_factory, configs)
     else:
         new = _empty_docs(spark)
-    merged = U.merge_append(new, existing, pk=pk)
+    # crash-safe swap of the merged store (foldcommit sentinel protocol;
+    # idempotent — re-merging the same crawl batch inserts nothing new)
+    from coldata_spark.streaming.foldcommit import fold_once
 
-    stage = path + ".stage"
-    merged.write.mode("overwrite").parquet(stage)
-    if os.path.isdir(path):
-        old = path + ".old"
-        os.rename(path, old)
-        os.rename(stage, path)
-        import shutil
-
-        shutil.rmtree(old, ignore_errors=True)
-    else:
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        os.rename(stage, path)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fold_once(
+        new.dropDuplicates([pk]),
+        path,
+        0,
+        lambda existing_df, part: U.merge_append(part, existing_df, pk=pk),
+        idempotent=True,
+    )
     docs = spark.read.parquet(path)
     n_total = docs.count()
 

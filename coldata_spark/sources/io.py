@@ -98,12 +98,17 @@ def compact(
     (upsert.write_run_partition) both produce them; compaction is the
     periodic repair.  Returns the new file count.
 
-    Staged rewrite + rename swap, same pattern as stream_merge_into: no
-    readers see a half-compacted table.
+    Staged rewrite swapped in via the fold_once sentinel protocol
+    (streaming/foldcommit.py): no readers see a half-compacted table, and
+    a crash between the swap renames can no longer lose the table (the
+    hole the old bare rename pair had).  idempotent=True — re-compacting
+    is harmless, so repeated calls under the same synthetic batch id
+    still run.
     """
     import math
     import os
-    import shutil
+
+    from coldata_spark.streaming.foldcommit import fold_once
 
     size = sum(
         os.path.getsize(os.path.join(r, f))
@@ -117,12 +122,7 @@ def compact(
         out = df.repartitionByRange(n_files, *sort_by).sortWithinPartitions(*sort_by)
     else:
         out = df.repartition(n_files)
-    stage = table_path.rstrip("/") + ".compact-stage"
-    out.write.mode("overwrite").parquet(stage)
-    old = table_path.rstrip("/") + ".compact-old"
-    os.rename(table_path, old)
-    os.rename(stage, table_path)
-    shutil.rmtree(old, ignore_errors=True)
+    fold_once(out, table_path, 0, lambda existing, part: part, idempotent=True)
     return len(
         [f for f in os.listdir(table_path) if f.endswith(".parquet")]
     )

@@ -194,34 +194,28 @@ def stream_merge_into(
     WHEN NOT MATCHED INSERT via operators.upsert.merge_upsert) inside
     foreachBatch — the streaming twin of q73.
 
-    Plain parquet has no transaction log, so the merged result is staged to
-    a sibling directory and swapped in with two renames (atomic on a real
-    filesystem; on object stores or with concurrent readers use Delta MERGE,
-    which is this exact plan plus a txn commit).  Checkpoint + availableNow
-    gives exactly-once across restarts: a replayed batch re-merges the same
-    updates, and merge is idempotent.
+    Plain parquet has no transaction log, so the merged result is staged
+    and swapped in via the fold_once sentinel protocol
+    (streaming/foldcommit.py — a bare rename pair leaves a torn-table
+    crash window between the two renames; idempotent=True because
+    re-merging a replayed batch is a no-op, so only the swap needs the
+    protection).  On object stores or with concurrent readers use Delta
+    MERGE, which is this exact plan plus a txn commit.  Checkpoint +
+    availableNow gives exactly-once across restarts.
 
     Returns the finished StreamingQuery.
     """
-    import os
-    import shutil
-
     from coldata_spark.operators.upsert import merge_upsert
+    from coldata_spark.streaming.foldcommit import fold_once
 
     def do_merge(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        if os.path.isdir(table_path):
-            existing = spark.read.parquet(table_path)
-            merged = merge_upsert(existing, batch_df, pk=pk)
-        else:
-            merged = batch_df.dropDuplicates([pk])
-        stage = f"{table_path}.stage-{batch_id}"
-        merged.write.mode("overwrite").parquet(stage)
-        old = f"{table_path}.old-{batch_id}"
-        if os.path.isdir(table_path):
-            os.rename(table_path, old)
-        os.rename(stage, table_path)
-        shutil.rmtree(old, ignore_errors=True)
+        fold_once(
+            batch_df.dropDuplicates([pk]),
+            table_path,
+            batch_id,
+            lambda existing, part: merge_upsert(existing, part, pk=pk),
+            idempotent=True,
+        )
 
     q = (
         stream_df.writeStream.foreachBatch(do_merge)
