@@ -288,7 +288,10 @@ def bench_clustered(spark, sf_dir: str, specs) -> dict:
         "duckdb_queries": duck_t,
         "note": (
             "same queries as the flat 256x tier, stored the way the 100 TB "
-            "design lays them out; DuckDB reads the identical sorted files"
+            "design lays them out; DuckDB reads the identical sorted files. "
+            "q83 is fixed-cost-bound at this size on ANY layout (Spark's "
+            "no-column scan floor ~= DuckDB's whole query) — its closing "
+            "measurement is the q83_amortization_1024x block"
         ),
     }
 
@@ -471,6 +474,10 @@ def bench_replicated(
     dst = _tier_dir(sf_dir, times)
     replicate_fixture(spark, sf_dir, dst, times=times)
     tune_for_input(spark, dir_bytes(dst))
+    # deeper tiers carry the headline claims (amortization curve), so they
+    # get more repeats — run-to-run JVM spread is ~20% and the min is the
+    # stable statistic
+    repeats = 5 if times >= 64 else 3
 
     # SYMMETRIC measurement: both engines materialize the full result set
     # into client Arrow/pandas (toPandas vs .df()) — a noop sink on one
@@ -483,7 +490,7 @@ def bench_replicated(
         # queries' shuffle/broadcast refs don't GC mid-measurement
         spark._jvm.System.gc()
         best = float("inf")
-        for _ in range(3):
+        for _ in range(repeats):
             t0 = time.perf_counter()
             specs[name].fn(spark, dst).toPandas()
             best = min(best, time.perf_counter() - t0)
@@ -499,7 +506,7 @@ def bench_replicated(
         sql = specs[name].sql
         con.execute(sql).df()  # warm
         best = float("inf")
-        for _ in range(3):
+        for _ in range(repeats):
             t0 = time.perf_counter()
             con.execute(sql).df()
             best = min(best, time.perf_counter() - t0)

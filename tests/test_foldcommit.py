@@ -136,6 +136,84 @@ def test_idempotent_mode_refolds_same_batch_id(spark, tmp_path):
     assert _read(spark, table) == {("a", 5), ("b", 3)}
 
 
+def test_crash_at_every_fs_operation_converges(spark, tmp_path, monkeypatch):
+    """Fault-injection sweep: kill the fold at its 1st, 2nd, ... Nth
+    filesystem mutation (rename/remove/rmtree/marker-write), then replay
+    with the SAME batch id.  Whatever the crash point, the replay must
+    land on exactly one of the two legal outcomes — batch applied once
+    (never twice), prior state never lost."""
+    import os as _os
+    import shutil as _shutil
+
+    table = str(tmp_path / "t")
+    FC.fold_once(_tbl(spark, [("a", 1), ("b", 2)]), table, 0, _merge)
+    before = {("a", 1), ("b", 2)}
+    applied = {("a", 1), ("b", 12), ("c", 20)}
+
+    real_rename, real_remove, real_rmtree = _os.rename, _os.remove, _shutil.rmtree
+
+    class Boom(RuntimeError):
+        pass
+
+    def run_with_crash_budget(budget: list[int]) -> bool:
+        """Returns True if the fold crashed (budget exhausted)."""
+
+        def gate():
+            if budget[0] == 0:
+                raise Boom()
+            budget[0] -= 1
+
+        def g_rename(a, b):
+            gate()
+            return real_rename(a, b)
+
+        def g_remove(p):
+            gate()
+            return real_remove(p)
+
+        def g_rmtree(p, **kw):
+            gate()
+            return real_rmtree(p, **kw)
+
+        monkeypatch.setattr(FC.os, "rename", g_rename)
+        monkeypatch.setattr(FC.os, "remove", g_remove)
+        monkeypatch.setattr(FC.shutil, "rmtree", g_rmtree)
+        try:
+            FC.fold_once(_tbl(spark, [("b", 10), ("c", 20)]), table, 1, _merge)
+            return False
+        except Boom:
+            return True
+        finally:
+            monkeypatch.setattr(FC.os, "rename", real_rename)
+            monkeypatch.setattr(FC.os, "remove", real_remove)
+            monkeypatch.setattr(FC.shutil, "rmtree", real_rmtree)
+
+    crash_point = 0
+    while True:
+        crashed = run_with_crash_budget([crash_point])
+        state = _read(spark, table) if _os.path.isdir(table) else None
+        # invariant at EVERY crash point: prior data is on disk or
+        # recoverable (never a silently-empty table with data loss)
+        if state is not None:
+            assert state in (before, applied), f"crash@{crash_point}: {state}"
+        # replay with no faults must converge to applied-exactly-once
+        FC.fold_once(_tbl(spark, [("b", 10), ("c", 20)]), table, 1, _merge)
+        assert _read(spark, table) == applied, f"replay after crash@{crash_point}"
+        assert FC.is_applied(table, 1)
+        if not crashed:
+            break  # budget exceeded the op count: clean run, sweep done
+        # reset for the next crash point: rebuild the pre-batch state
+        real_rmtree(table, ignore_errors=True)
+        real_rmtree(table + ".applied", ignore_errors=True)
+        for leftover in ("stage-1", "done-1", "old-1"):
+            p = f"{table}.{leftover}"
+            (real_rmtree(p, ignore_errors=True) if _os.path.isdir(p)
+             else (real_remove(p) if _os.path.exists(p) else None))
+        FC.fold_once(_tbl(spark, [("a", 1), ("b", 2)]), table, 0, _merge)
+        crash_point += 1
+        assert crash_point < 30, "sweep did not terminate"
+
+
 def test_recover_is_safe_on_clean_table(spark, tmp_path):
     table = str(tmp_path / "t")
     FC.fold_once(_tbl(spark, [("a", 1)]), table, 0, _merge)

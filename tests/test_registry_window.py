@@ -63,6 +63,7 @@ def test_window_oracle_density():
     rows_only = [n for n in registry._DRIVER_WINDOW if all_specs[n].sql is None]
     # Known budget: q36 (float-vector embedding output with no SQL twin);
     # don't grow it — q35/q86 gained exhaustive-configuration oracles and the
-    # ext-embedding-dedup slot swapped to integer-exact q152 in round 3
-    # (float-LSH q39 still registers and runs outside the window).
+    # ext-embedding-dedup slot swapped to integer-exact q152 in round 3;
+    # q39 itself became oracle-bearing in round 4 (same operator, second
+    # operating point) but stays outside the window by design.
     assert len(rows_only) <= 1, f"too many rows-only in window: {rows_only}"
