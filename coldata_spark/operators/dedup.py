@@ -80,6 +80,29 @@ def shingles(
     )
 
 
+def minhash_signatures_wide(
+    df: DataFrame, text_col: str, id_col: str, n_hashes: int = N_HASHES
+) -> DataFrame:
+    """(doc_id, h0..h{k-1}): one row per document with its k seeded
+    min-hashes as COLUMNS — the layout to PERSIST for incremental dedup:
+    band keys and signature-agreement verification both derive from it
+    map-side (concat / column compares), so matching a new batch against
+    a billion-document corpus never shuffles the corpus signatures."""
+    sh = shingles(df, text_col, id_col, distinct=True)
+    h1 = F.expr("cast(conv(substring(md5(shingle), 1, 8), 16, 10) as bigint)")
+    h2 = F.expr("cast(conv(substring(md5(shingle), 9, 8), 16, 10) as bigint)")
+    hashed = sh.select(
+        "doc_id",
+        *[
+            ((h1 + F.lit(s) * h2) % F.lit(4294967296)).alias(f"h{s}")
+            for s in range(n_hashes)
+        ],
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{s}").alias(f"h{s}") for s in range(n_hashes)]
+    )
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, n_hashes: int = N_HASHES
 ) -> DataFrame:
@@ -95,19 +118,7 @@ def minhash_signatures(
     # and the min-reduction runs over LONGS in k columns, map-side, so the
     # shuffle carries only #docs x k longs.  Engine-independent: DuckDB
     # reproduces h1/h2 with ('0x' || substr(md5, ..)) casts.
-    sh = shingles(df, text_col, id_col, distinct=True)
-    h1 = F.expr("cast(conv(substring(md5(shingle), 1, 8), 16, 10) as bigint)")
-    h2 = F.expr("cast(conv(substring(md5(shingle), 9, 8), 16, 10) as bigint)")
-    hashed = sh.select(
-        "doc_id",
-        *[
-            ((h1 + F.lit(s) * h2) % F.lit(4294967296)).alias(f"h{s}")
-            for s in range(n_hashes)
-        ],
-    )
-    mins = hashed.groupBy("doc_id").agg(
-        *[F.min(f"h{s}").alias(f"h{s}") for s in range(n_hashes)]
-    )
+    mins = minhash_signatures_wide(df, text_col, id_col, n_hashes)
     stack = ", ".join(f"{s}, h{s}" for s in range(n_hashes))
     return mins.select(
         "doc_id",
@@ -197,6 +208,120 @@ def minhash_neardup_pairs(
             ).alias("est_jaccard")
         )
     )
+
+
+def _banded_from_wide(
+    wide: DataFrame, n_hashes: int = N_HASHES, band_size: int = BAND_SIZE
+) -> DataFrame:
+    """(doc_id, band, band_key) derived from a wide signature frame with a
+    map-side explode — no shuffle, which is what lets incremental matching
+    read the persisted corpus signatures without re-aggregating them."""
+    n_bands = n_hashes // band_size
+    rows = ", ".join(
+        "{b}, concat_ws('|', {hs})".format(
+            b=b,
+            hs=", ".join(
+                f"h{s}" for s in range(b * band_size, (b + 1) * band_size)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return wide.select(
+        "doc_id", F.expr(f"stack({n_bands}, {rows}) AS (band, band_key)")
+    )
+
+
+def minhash_neardup_incremental(
+    new_docs: DataFrame,
+    corpus_wide: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = N_HASHES,
+    band_size: int = BAND_SIZE,
+    max_bucket_size: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental near-dup: match a NEW document batch against an
+    already-signed corpus without recomputing or reshuffling the corpus —
+    the shape periodic re-crawls actually need at 100 TB (the batch-global
+    minhash_neardup_pairs would re-pair the entire corpus every run).
+
+    ``corpus_wide`` is the persisted wide signature table
+    (minhash_signatures_wide output).  Returns ``(pairs, new_wide)``:
+
+      * ``pairs``: (doc_a, doc_b, est_jaccard, pair_type) where doc_a is
+        always the NEW doc; pair_type is 'new_corpus' or 'new_new'
+        (within-batch pairs use doc_a < doc_b so each appears once);
+      * ``new_wide``: the new batch's wide signatures — fold them into the
+        corpus table afterwards (streaming/neardup.py does this with the
+        crash-safe fold protocol) so the next batch matches against them.
+
+    Scale shape: new-batch signatures cost one shuffle of #new x k longs;
+    banding on BOTH sides is a map-side explode; the bucket join touches
+    only buckets the new batch collides with (the corpus side is filtered
+    by the join itself), and verification compares h-columns of the two
+    wide rows — no per-seed explode, no corpus aggregation anywhere.
+    ``max_bucket_size`` caps degenerate buckets by TOTAL population
+    (corpus + new), same contract as the batch operator."""
+    new_wide = minhash_signatures_wide(new_docs, text_col, id_col, n_hashes)
+    n_banded = _banded_from_wide(new_wide, n_hashes, band_size)
+    c_banded = _banded_from_wide(corpus_wide, n_hashes, band_size)
+    both = c_banded.withColumn("_new", F.lit(False)).unionByName(
+        n_banded.withColumn("_new", F.lit(True))
+    )
+    if max_bucket_size is not None:
+        from pyspark.sql import Window as W
+
+        wcnt = W.partitionBy("band", "band_key")
+        both = (
+            both.withColumn("_bucket_n", F.count("*").over(wcnt))
+            .filter(F.col("_bucket_n") <= max_bucket_size)
+            .drop("_bucket_n")
+        )
+    a = n_banded.alias("a")
+    b = both.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            # corpus partners always pair; new partners only once (a < b)
+            & (
+                (~F.col("b._new"))
+                | (F.col("a.doc_id") < F.col("b.doc_id"))
+            )
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b._new"),
+        )
+        .distinct()
+    )
+    wa = new_wide.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{s}").alias(f"a{s}") for s in range(n_hashes)],
+    )
+    wb = corpus_wide.unionByName(new_wide).select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{s}").alias(f"b{s}") for s in range(n_hashes)],
+    )
+    agree = sum(
+        (F.col(f"a{s}") == F.col(f"b{s}")).cast("int") for s in range(n_hashes)
+    )
+    pairs = (
+        cand.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(agree / F.lit(float(n_hashes)), 6).alias("est_jaccard"),
+            F.when(F.col("_new"), F.lit("new_new"))
+            .otherwise(F.lit("new_corpus"))
+            .alias("pair_type"),
+        )
+    )
+    return pairs, new_wide
 
 
 def connected_components(

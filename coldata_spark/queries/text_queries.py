@@ -659,6 +659,91 @@ def q26_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q159_incremental_neardup",
+    survey="V6,R2,ext-minhash-lsh",
+    sql="""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 9
+    ),
+    newb AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 10 = 9
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text
+        FROM documents WHERE doc_id % 20 = 3
+    ),
+    allb AS (
+        SELECT doc_id, text, FALSE AS is_new FROM corpus
+        UNION ALL
+        SELECT doc_id, text, TRUE AS is_new FROM newb
+    ),
+    sig AS (
+        SELECT doc_id, seed,
+               min((h1 + seed * h2) % 4294967296) AS minhash
+        FROM (
+            SELECT doc_id,
+                   ('0x' || substring(md5(shingle), 1, 8))::BIGINT AS h1,
+                   ('0x' || substring(md5(shingle), 9, 8))::BIGINT AS h2
+            FROM (
+                SELECT DISTINCT doc_id, substring(text, i, 5) AS shingle
+                FROM allb, unnest(generate_series(1,
+                     greatest(1, length(text) - 4))) AS t(i)
+            )
+        ), unnest(generate_series(0, 7)) AS s(seed)
+        GROUP BY doc_id, seed
+    ),
+    banded AS (
+        SELECT doc_id, cast(floor(seed / 2) AS INT) AS band,
+               string_agg(cast(minhash AS VARCHAR), '|' ORDER BY seed)
+                   AS band_key
+        FROM sig GROUP BY doc_id, cast(floor(seed / 2) AS INT)
+    ),
+    flags AS (SELECT doc_id, is_new FROM allb),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        fb.is_new AS b_new
+        FROM banded a
+        JOIN flags fa ON fa.doc_id = a.doc_id AND fa.is_new
+        JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+                      AND a.doc_id <> b.doc_id
+        JOIN flags fb ON fb.doc_id = b.doc_id
+        WHERE (NOT fb.is_new) OR a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           round(avg(CASE WHEN sa.minhash = sb.minhash
+                          THEN 1.0 ELSE 0.0 END), 6) AS est_jaccard,
+           CASE WHEN c.b_new THEN 'new_new' ELSE 'new_corpus' END
+               AS pair_type
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.doc_a
+    JOIN sig sb ON sb.doc_id = c.doc_b AND sb.seed = sa.seed
+    GROUP BY c.doc_a, c.doc_b, c.b_new
+    """,
+)
+def q159_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: a NEW crawl batch matched against the
+    already-signed corpus (operators/dedup.py minhash_neardup_incremental)
+    — the periodic-re-crawl shape: the corpus signatures are read, never
+    recomputed or reshuffled; only buckets the new batch collides with are
+    joined.  The batch here is the doc_id%10==9 slice plus planted exact
+    re-crawls of corpus docs (doc_id%20==3 under shifted ids), so
+    new-corpus pairs at est_jaccard 1.0 are guaranteed regardless of
+    fixture randomness; pair_type separates new-vs-corpus from
+    within-batch pairs.  Streaming maintainer: streaming/neardup.py."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.expr("doc_id % 10 <> 9"))
+    newb = docs.filter(F.expr("doc_id % 10 = 9")).unionByName(
+        docs.filter(F.expr("doc_id % 20 = 3")).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    corpus_wide = DD.minhash_signatures_wide(corpus, "text", "doc_id")
+    pairs, _new_wide = DD.minhash_neardup_incremental(
+        newb, corpus_wide, "text", "doc_id"
+    )
+    return pairs
+
+
+@register(
     "q79_bpe_token_estimate",
     survey="ext-langid,T1",
     sql="""

@@ -492,3 +492,60 @@ def test_stream_quantiles_hist_sketch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got_q == want_q and len(got_q) > 0
+
+
+def test_stream_incremental_neardup(spark, sf_dir, tmp_path):
+    """streaming/neardup.py: batch 1 seeds the signature table; batch 2
+    contains an exact re-crawl of a batch-1 doc (shifted id) and must
+    surface it as a new_corpus pair at est_jaccard 1.0 WITHOUT re-signing
+    batch 1; replaying a batch id is a no-op for the signature table and
+    rewrites (not duplicates) that batch's pairs."""
+    from pyspark.sql import functions as F
+
+    from coldata_spark.streaming import neardup as SN
+    from coldata_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    first = docs.filter("doc_id % 2 = 0")
+    # second batch: odd docs + one exact copy of an even (batch-1) doc
+    copy_src = first.orderBy("doc_id").limit(1)
+    planted_src = copy_src.first()["doc_id"]
+    second = docs.filter("doc_id % 2 = 1").unionByName(
+        copy_src.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+
+    in_dir = tmp_path / "nd_in"
+    in_dir.mkdir()
+    sig = str(tmp_path / "corpus_sigs")
+    pairs = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "nd_ckpt")
+
+    def src():
+        return spark.readStream.schema(first.schema).parquet(str(in_dir) + "/*")
+
+    first.write.parquet(str(in_dir / "drop0"))
+    SN.stream_neardup_maintain(src(), sig, pairs, ckpt)
+    n_sigs_1 = spark.read.parquet(sig).count()
+    assert n_sigs_1 == first.count()
+
+    second.write.parquet(str(in_dir / "drop1"))
+    SN.stream_neardup_maintain(src(), sig, pairs, ckpt)
+    assert spark.read.parquet(sig).count() == n_sigs_1 + second.count()
+
+    got = {
+        (r.doc_a, r.doc_b): (r.est_jaccard, r.pair_type)
+        for r in SN.read_pairs(spark, pairs).collect()
+    }
+    planted = (planted_src + 1000000, planted_src)
+    assert planted in got, f"planted re-crawl pair missing: {got.keys()}"
+    assert got[planted] == (1.0, "new_corpus")
+
+    # replay of batch 1 (same id, same data): sig table unchanged, pairs
+    # rewritten not duplicated
+    SN.process_batch(second, sig, pairs, batch_id=1)
+    assert spark.read.parquet(sig).count() == n_sigs_1 + second.count()
+    replay = {
+        (r.doc_a, r.doc_b)
+        for r in SN.read_pairs(spark, pairs).collect()
+    }
+    assert len(replay) == len(got)
