@@ -127,6 +127,7 @@ def main() -> None:
         tier256 = _tier_dir(sf_dir, 256)
         replicate_fixture(spark, sf_dir, tier256, times=256)
         build_clustered_fixture(spark, tier256, tier256 + "_clustered")
+    _write_detail(result)  # progressive: a killed run still leaves a record
     for times, queries, key, _ in wanted:
         spark.stop()
         spark = get_spark(app_name=f"coldata_spark_bench_{times}x")
@@ -141,18 +142,21 @@ def main() -> None:
                 "weak-at-16x subset only — aggregate ratio is worst-case; "
                 "see SCALE.md for the per-query amortization curve"
             )
+        _write_detail(result)
     if clustered_on:
         spark.stop()
         spark = get_spark(app_name="coldata_spark_bench_256c")
         result["replicated_256x_clustered"] = bench_clustered(
             spark, sf_dir, specs
         )
+        _write_detail(result)
     if os.environ.get("SPARK_GRAFT_BENCH_1024E", "1") != "0":
         spark.stop()
         spark = get_spark(app_name="coldata_spark_bench_1024e")
         result["q83_amortization_1024x"] = bench_q83_1024x(
             spark, sf_dir, specs
         )
+        _write_detail(result)
     spark.stop()
     spark = get_spark(
         app_name="coldata_spark_bench_concurrent",
@@ -171,15 +175,21 @@ def main() -> None:
     emit(result)
 
 
+def _write_detail(result: dict) -> None:
+    """Persist the full record so far — called after every tier so a
+    killed/timed-out run still leaves a usable partial record in-repo."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(result, f, indent=2)
+
+
 def emit(result: dict) -> None:
     """Write the FULL record to BENCH_DETAIL.json and print a COMPACT
     summary as the final stdout line.  The driver keeps only the tail of
     long stdout, which truncated round 3's record mid-object — the compact
     line (headline + per-tier ratios, no raw per-engine timing dicts) stays
     self-contained; the detail file carries everything."""
-    here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
-        json.dump(result, f, indent=2)
+    _write_detail(result)
 
     compact = {
         k: result[k] for k in ("metric", "value", "unit", "queries", "sf")
