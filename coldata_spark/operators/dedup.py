@@ -261,7 +261,13 @@ def minhash_neardup_incremental(
     by the join itself), and verification compares h-columns of the two
     wide rows — no per-seed explode, no corpus aggregation anywhere.
     ``max_bucket_size`` caps degenerate buckets by TOTAL population
-    (corpus + new), same contract as the batch operator."""
+    (corpus + new), same contract as the batch operator.
+
+    Precondition: new-batch ids are disjoint from the corpus (the crawl's
+    upsert-if-absent anti-join guarantees this; streaming/neardup.py also
+    anti-joins the corpus table defensively so replays after a completed
+    fold stay deterministic) — an id on both sides would duplicate its
+    verification rows."""
     new_wide = minhash_signatures_wide(new_docs, text_col, id_col, n_hashes)
     n_banded = _banded_from_wide(new_wide, n_hashes, band_size)
     c_banded = _banded_from_wide(corpus_wide, n_hashes, band_size)

@@ -266,3 +266,68 @@ def export_tar_shards(
 
     prepared.rdd.mapPartitions(write_shard).count()
     return len([f for f in os.listdir(path) if f.endswith(".tar")])
+
+
+def read_tar_shards(
+    spark: SparkSession, path: str, ext: str = "bin"
+) -> DataFrame:
+    """Re-ingest WebDataset-style tar shards (export_tar_shards output, or
+    any ``<key>.<ext>`` + ``<key>.json`` member convention) as rows
+    (key, payload binary, meta json-string, shard) — the return on-ramp
+    for training shards produced elsewhere.
+
+    Scale shape: one tar = one row via the binaryFile source (tars are not
+    splittable — WebDataset relies on many ~1 GB shards for parallelism,
+    which is exactly what the exporter produces), then an Arrow
+    ``mapInPandas`` untars each shard streamingly.  Member pairing uses a
+    dict keyed by member stem, so payload-before-json and json-before-
+    payload orderings both work."""
+    import io as _io
+    import os as _os
+    import tarfile
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    tars = spark.read.format("binaryFile").load(
+        _os.path.join(path, "shard-*.tar")
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("meta", T.StringType()),
+            T.StructField("shard", T.StringType()),
+        ]
+    )
+
+    def untar(batches):
+        for pdf in batches:
+            for p, content in zip(pdf["path"], pdf["content"]):
+                shard = _os.path.basename(p)
+                members: dict = {}
+                with tarfile.open(fileobj=_io.BytesIO(content)) as tar:
+                    for info in tar:
+                        stem, dot, kind = info.name.rpartition(".")
+                        data = tar.extractfile(info).read()
+                        entry = members.setdefault(stem, {})
+                        if kind == "json":
+                            entry["meta"] = data.decode()
+                        else:
+                            entry["payload"] = data
+                rows = {
+                    "key": [],
+                    "payload": [],
+                    "meta": [],
+                    "shard": [],
+                }
+                for key in sorted(members):
+                    rows["key"].append(key)
+                    rows["payload"].append(members[key].get("payload", b""))
+                    rows["meta"].append(members[key].get("meta", "{}"))
+                    rows["shard"].append(shard)
+                yield pd.DataFrame(rows)
+
+    return tars.select("path", "content").mapInPandas(untar, schema=schema)

@@ -207,3 +207,21 @@ def test_hist_quantile_one_sided_within_bin_width(spark):
         true_q = xs[rank - 1]
         assert e <= true_q, (etype, q_ppm, e, true_q)
         assert true_q - e < 200, (etype, q_ppm, e, true_q)
+
+
+def test_hist_build_clamps_out_of_domain(spark):
+    """Round-4 fix: values outside [lo, hi] clamp to the edge bins, so the
+    sketch stays bounded at n_bins rows per group under dirty data and
+    negative values cannot hit the Spark-div/DuckDB-floor divergence."""
+    df = spark.createDataFrame(
+        [("g", -500.0), ("g", -0.01), ("g", 0.0), ("g", 99.0),
+         ("g", 100.0), ("g", 100000.0)],
+        "grp string, v double",
+    )
+    rows = SK.hist_build(
+        df, ["grp"], "floor(v)", lo=0, hi=99, n_bins=10
+    ).collect()
+    bins = {r["bin"]: r["cnt"] for r in rows}
+    assert set(bins) <= set(range(10)), bins  # bounded, never bin>=n_bins
+    assert bins[0] == 3  # two negatives clamp down to bin 0, plus 0.0
+    assert bins[9] == 3  # 99 in-domain, 100 and 100000 clamp up

@@ -257,3 +257,44 @@ def test_export_tar_shards_roundtrip(spark, sf_dir, tmp_path):
         for sid in range(4)
     }
     assert digest1 == digest2
+
+
+def test_read_tar_shards_roundtrip(spark, sf_dir, tmp_path):
+    """read_tar_shards re-ingests export_tar_shards output losslessly:
+    every (key, payload, meta) row comes back byte-identical."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from coldata_spark.sources.io import export_tar_shards, read_tar_shards
+    from coldata_spark.tables import load
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .limit(40)
+        .select(
+            "doc_id",
+            F.encode(F.col("text"), "utf-8").alias("payload"),
+            "source",
+            "lang",
+        )
+    )
+    out = str(tmp_path / "rt_tars")
+    export_tar_shards(
+        docs, out, n_shards=4, payload_col="payload",
+        meta_cols=("source", "lang"), ext="txt",
+    )
+    back = {
+        r.key: (bytes(r.payload), json.loads(r.meta), r.shard)
+        for r in read_tar_shards(spark, out, ext="txt").collect()
+    }
+    want = {
+        str(r.doc_id): (bytes(r.payload), {"source": r.source, "lang": r.lang})
+        for r in docs.collect()
+    }
+    assert set(back) == set(want)
+    for k, (payload, meta) in want.items():
+        got_payload, got_meta, got_shard = back[k]
+        assert got_payload == payload
+        assert got_meta == meta
+        assert got_shard.startswith("shard-") and got_shard.endswith(".tar")
