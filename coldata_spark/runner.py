@@ -57,8 +57,11 @@ def run_once(
     """One main.py pass.  Returns a summary dict with row counts, the
     store/index paths, and (when ``search_queries``) the ranked result
     DataFrame under ``"search"``."""
+    from coldata_spark.streaming.foldcommit import recover
+
     path = store_path(cfg, root)
     pk = cfg.store.index_field
+    recover(path)  # heal crash residue before snapshotting the file listing
     existing = (
         spark.read.parquet(path) if os.path.isdir(path) else _empty_docs(spark)
     )

@@ -108,8 +108,11 @@ def compact(
     import math
     import os
 
-    from coldata_spark.streaming.foldcommit import fold_once
+    from coldata_spark.streaming.foldcommit import fold_once, recover
 
+    # heal any crash residue BEFORE reading: the read below snapshots the
+    # file listing, and a recovery swap inside fold_once would invalidate it
+    recover(table_path)
     size = sum(
         os.path.getsize(os.path.join(r, f))
         for r, _d, fs in os.walk(table_path)

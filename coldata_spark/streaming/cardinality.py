@@ -59,6 +59,9 @@ def merge_into_registers(
 
 def distinct_users_estimate(spark, table_path: str) -> DataFrame:
     """Read the sketch table and estimate distinct users per hour."""
+    from coldata_spark.streaming.foldcommit import recover
+
+    recover(table_path)  # a reader after a crash heals the table first
     return SK.hll_estimate(spark.read.parquet(table_path), BUCKET_KEYS)
 
 

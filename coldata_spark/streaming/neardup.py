@@ -40,7 +40,10 @@ def process_batch(
     excluded before matching (so a replay AFTER the fold landed computes
     the same pairs), pair output is per-batch overwrite, and the signature
     fold is the idempotent sentinel protocol."""
+    from coldata_spark.streaming.foldcommit import recover
+
     spark = new_docs.sparkSession
+    recover(sig_path)  # heal residue before snapshotting the file listing
     new_wide_probe = DD.minhash_signatures_wide(new_docs, text_col, id_col)
     if os.path.isdir(sig_path):
         corpus_wide = spark.read.parquet(sig_path).join(

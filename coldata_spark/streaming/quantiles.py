@@ -60,6 +60,9 @@ def read_quantiles(
 ) -> DataFrame:
     """Current per-hour quantile estimates from the persisted sketch —
     readable at any time, touches only (#hours x n_bins) rows."""
+    from coldata_spark.streaming.foldcommit import recover
+
+    recover(table_path)  # a reader after a crash heals the table first
     hist = spark.read.parquet(table_path)
     return SK.hist_quantile(
         hist,
