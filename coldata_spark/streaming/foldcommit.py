@@ -48,6 +48,13 @@ def _mark_applied(base: str, batch_id: int) -> None:
     open(_marker(base, batch_id), "w").close()
 
 
+def mark_applied(table_path: str, batch_id: int) -> None:
+    """Public marker write for sinks that implement their own idempotent
+    apply step (e.g. the deterministic-filename batch append in
+    streaming/vectors.py) and only need the applied-batch bookkeeping."""
+    _mark_applied(table_path.rstrip("/"), batch_id)
+
+
 def _complete(base: str, batch_id: int) -> None:
     """Epilogue for a committed batch (sentinel exists): finish the swap,
     drop the displaced table, write the applied marker, clear the sentinel.

@@ -41,6 +41,59 @@ def read_vectors_stream(
     )
 
 
+def append_batch_idempotent(
+    batch_df: DataFrame,
+    centroids: DataFrame,
+    index_path: str,
+    batch_id: int,
+    vec_col: str = "embedding",
+    metric: str = "COSINE",
+) -> None:
+    """Exactly-once incremental index append under foreachBatch's
+    at-least-once contract.  A bare ``mode("append")`` parquet write
+    duplicates the batch when a crash lands between the write and the
+    checkpoint commit; here the assigned batch is staged (overwrite per
+    batch id = rebuildable), then its files are moved into the live
+    centroid partitions under DETERMINISTIC names
+    (``batch-<id>-<seq>.parquet``, ``os.replace``) — a replay regenerates
+    the same names and overwrites in place instead of appending again —
+    and the applied marker finally makes replays pure no-ops.  Single
+    writer assumed (the availableNow scheduler cadence)."""
+    import glob
+    import os
+    import shutil
+
+    from coldata_spark.operators.ivf import assign_to_centroids
+    from coldata_spark.streaming import foldcommit as FC
+
+    base = index_path.rstrip("/")
+    if FC.is_applied(base, batch_id):
+        return
+    assigned = assign_to_centroids(batch_df, centroids, vec_col, metric)
+    stage = f"{base}.batchstage-{batch_id}"
+    (
+        assigned.repartition("centroid_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(stage)
+    )
+    for part_dir in sorted(glob.glob(os.path.join(stage, "centroid_id=*"))):
+        dst_dir = os.path.join(base, os.path.basename(part_dir))
+        os.makedirs(dst_dir, exist_ok=True)
+        files = sorted(
+            f for f in os.listdir(part_dir) if f.endswith(".parquet")
+        )
+        for i, f in enumerate(files):
+            os.replace(
+                os.path.join(part_dir, f),
+                os.path.join(
+                    dst_dir, f"batch-{batch_id:05d}-{i:04d}.parquet"
+                ),
+            )
+    shutil.rmtree(stage, ignore_errors=True)
+    FC.mark_applied(base, batch_id)
+
+
 def stream_vector_ingest(
     stream_df: DataFrame,
     centroids: DataFrame,
@@ -50,16 +103,18 @@ def stream_vector_ingest(
     metric: str = "COSINE",
 ):
     """Continuously grow the IVF index: every micro-batch is assigned to
-    the existing centroids and appended into their parquet partitions.
-    Runs with availableNow (process all new files, then stop) so a
-    scheduler can invoke it periodically exactly like the reference's
-    re-crawl loop.  Returns the finished StreamingQuery."""
-    from coldata_spark.operators.ivf import append_to_index
+    the existing centroids and appended into their parquet partitions
+    exactly once (append_batch_idempotent — a replayed batch cannot
+    duplicate vectors).  Runs with availableNow (process all new files,
+    then stop) so a scheduler can invoke it periodically exactly like the
+    reference's re-crawl loop.  Returns the finished StreamingQuery."""
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        append_to_index(batch_df, centroids, index_path, vec_col, metric)
+        append_batch_idempotent(
+            batch_df, centroids, index_path, batch_id, vec_col, metric
+        )
 
     q = (
         stream_df.writeStream.foreachBatch(ingest)

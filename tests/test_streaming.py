@@ -549,3 +549,47 @@ def test_stream_incremental_neardup(spark, sf_dir, tmp_path):
         for r in SN.read_pairs(spark, pairs).collect()
     }
     assert len(replay) == len(got)
+
+
+def test_vector_append_replay_does_not_duplicate(spark, sf_dir, tmp_path):
+    """append_batch_idempotent: re-running the SAME batch id (the crash
+    window between the parquet append and the checkpoint commit) appends
+    nothing — the hole a bare mode('append') write has under foreachBatch
+    at-least-once.  A partially-moved stage (crash mid-move) also replays
+    to the exact same file set."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from coldata_spark.operators import ivf
+    from coldata_spark.streaming import vectors as SV
+    from coldata_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    batch = emb.filter(F.col("vec_id") % 3 == 0)
+    assigned, centroids = ivf.build_ivf(base, nlist=4)
+    index = str(tmp_path / "idx")
+    ivf.write_ivf(assigned, index)
+    n0 = spark.read.parquet(index).count()
+
+    SV.append_batch_idempotent(batch, centroids, index, batch_id=7)
+    n1 = spark.read.parquet(index).count()
+    assert n1 == n0 + batch.count()
+
+    # full replay (marker present): pure no-op
+    SV.append_batch_idempotent(batch, centroids, index, batch_id=7)
+    assert spark.read.parquet(index).count() == n1
+
+    # crash-mid-move simulation: remove the marker and re-apply — the
+    # deterministic batch-file names overwrite in place, never duplicate
+    os.remove(os.path.join(index + ".applied", "batch-7"))
+    SV.append_batch_idempotent(batch, centroids, index, batch_id=7)
+    assert spark.read.parquet(index).count() == n1
+    batch_files = [
+        f
+        for root, _d, fs in os.walk(index)
+        for f in fs
+        if f.startswith("batch-00007-")
+    ]
+    assert len(batch_files) > 0
