@@ -113,10 +113,17 @@ def write_bucketed(
     which is the precondition for the scan to report sortedness — see
     register_bucketed.  The transient catalog entry is dropped; the files
     (bucket ids encoded in their names) are the durable artifact."""
+    import hashlib
     import os
 
     sort_cols = sort_cols or [bucket_col]
-    tmp = f"_bucketed_write_{abs(hash(os.path.abspath(path))) % 10**8}"
+    # deterministic name (md5, not per-process-randomized hash()): a
+    # crashed write's orphaned catalog entry gets reused/cleaned by the
+    # retry instead of accumulating under an unguessable name
+    tmp = (
+        "_bucketed_write_"
+        + hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:12]
+    )
     (
         df.repartition(buckets, bucket_col)
         .write.mode("overwrite")

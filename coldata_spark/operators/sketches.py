@@ -225,13 +225,18 @@ def hist_build(
     negative — Spark ``div`` truncates toward zero while DuckDB ``//``
     floors, so an unclamped negative value would diverge between the
     engines).  Edge-bin counts therefore absorb out-of-domain mass; pick
-    [lo, hi] to cover the real domain when tail quantiles matter.  Counts
-    are additive, so per-slice sketches merge by summing (the same
+    [lo, hi] to cover the real domain when tail quantiles matter.  NULL
+    values stay NULL (their own bin row, never a real bin) — the explicit
+    CASE matters because least/greatest SKIP nulls on both engines, which
+    would otherwise count every NULL as the top edge.  Counts are
+    additive, so per-slice sketches merge by summing (the same
     streaming/mergeable artifact contract as hll_registers/cms_build).
     """
     v = (
-        f"greatest(CAST({lo} AS BIGINT), least(CAST({hi} AS BIGINT), "
-        f"CAST({value_expr} AS BIGINT)))"
+        f"CASE WHEN CAST({value_expr} AS BIGINT) IS NULL "
+        "THEN CAST(NULL AS BIGINT) "
+        f"ELSE greatest(CAST({lo} AS BIGINT), least(CAST({hi} AS BIGINT), "
+        f"CAST({value_expr} AS BIGINT))) END"
     )
     return (
         df.select(

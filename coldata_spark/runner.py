@@ -77,14 +77,15 @@ def run_once(
     else:
         new = _empty_docs(spark)
     # crash-safe swap of the merged store (foldcommit sentinel protocol;
-    # idempotent — re-merging the same crawl batch inserts nothing new)
-    from coldata_spark.streaming.foldcommit import fold_once
+    # idempotent — re-merging the same crawl batch inserts nothing new;
+    # RESERVED id keeps the marker out of stream-checkpoint id space)
+    from coldata_spark.streaming.foldcommit import RESERVED_BATCH_ID, fold_once
 
     os.makedirs(os.path.dirname(path), exist_ok=True)
     fold_once(
         new.dropDuplicates([pk]),
         path,
-        0,
+        RESERVED_BATCH_ID,
         lambda existing_df, part: U.merge_append(part, existing_df, pk=pk),
         idempotent=True,
     )

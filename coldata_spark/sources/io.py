@@ -108,7 +108,11 @@ def compact(
     import math
     import os
 
-    from coldata_spark.streaming.foldcommit import fold_once, recover
+    from coldata_spark.streaming.foldcommit import (
+        RESERVED_BATCH_ID,
+        fold_once,
+        recover,
+    )
 
     # heal any crash residue BEFORE reading: the read below snapshots the
     # file listing, and a recovery swap inside fold_once would invalidate it
@@ -125,7 +129,15 @@ def compact(
         out = df.repartitionByRange(n_files, *sort_by).sortWithinPartitions(*sort_by)
     else:
         out = df.repartition(n_files)
-    fold_once(out, table_path, 0, lambda existing, part: part, idempotent=True)
+    # RESERVED id: a synthetic batch-0 marker would swallow a fresh
+    # stream's first micro-batch if this table is also fold-maintained
+    fold_once(
+        out,
+        table_path,
+        RESERVED_BATCH_ID,
+        lambda existing, part: part,
+        idempotent=True,
+    )
     return len(
         [f for f in os.listdir(table_path) if f.endswith(".parquet")]
     )
@@ -313,6 +325,9 @@ def read_tar_shards(
                 members: dict = {}
                 with tarfile.open(fileobj=_io.BytesIO(content)) as tar:
                     for info in tar:
+                        if not info.isreg():
+                            continue  # dirs/symlinks/PAX members in
+                            # foreign tars: extractfile returns None
                         stem, dot, kind = info.name.rpartition(".")
                         data = tar.extractfile(info).read()
                         entry = members.setdefault(stem, {})

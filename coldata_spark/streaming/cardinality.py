@@ -59,9 +59,14 @@ def merge_into_registers(
 
 def distinct_users_estimate(spark, table_path: str) -> DataFrame:
     """Read the sketch table and estimate distinct users per hour."""
+    import os
+
     from coldata_spark.streaming.foldcommit import recover
 
-    recover(table_path)  # a reader after a crash heals the table first
+    if not os.path.isdir(table_path):
+        # heal only the crashed-mid-swap case; recover on a PRESENT table
+        # would race a live writer's in-flight stage (see recover())
+        recover(table_path)
     return SK.hll_estimate(spark.read.parquet(table_path), BUCKET_KEYS)
 
 

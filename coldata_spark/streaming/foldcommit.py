@@ -74,11 +74,30 @@ def _complete(base: str, batch_id: int) -> None:
         pass
 
 
+RESERVED_BATCH_ID = 10**15
+"""Synthetic batch-id namespace for non-stream callers (compaction, the
+runner's store fold).  Stream checkpoints hand out small sequential ids
+starting at 0, so a synthetic fold marking ``batch-0`` would silently
+swallow a fresh stream's first micro-batch; reserved ids cannot collide."""
+
+
 def recover(table_path: str) -> None:
-    """Heal all crash residue around ``table_path`` before a fold decision."""
+    """Heal all crash residue around ``table_path`` before a fold decision.
+
+    MUTATING: discards uncommitted stages and finishes committed swaps.
+    Only the table's single writer may call this unconditionally; readers
+    must heal only when the table directory is actually missing (a live
+    writer's not-yet-sentineled stage would otherwise be destroyed, after
+    which its _complete would mark the batch applied without ever folding
+    it)."""
     base = table_path.rstrip("/")
-    for done in sorted(glob.glob(glob.escape(base) + ".done-*")):
-        _complete(base, int(done.rsplit("-", 1)[1]))
+    # numeric batch order (string sort would put done-10 before done-2 and
+    # let an older batch's swap clobber a newer one's committed state)
+    for _bid, done in sorted(
+        (int(p.rsplit("-", 1)[1]), p)
+        for p in glob.glob(glob.escape(base) + ".done-*")
+    ):
+        _complete(base, _bid)
     # No sentinel => the batch never committed: discard partial stages.
     for stage in glob.glob(glob.escape(base) + ".stage-*"):
         shutil.rmtree(stage, ignore_errors=True)

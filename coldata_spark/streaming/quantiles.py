@@ -60,9 +60,15 @@ def read_quantiles(
 ) -> DataFrame:
     """Current per-hour quantile estimates from the persisted sketch —
     readable at any time, touches only (#hours x n_bins) rows."""
+    import os
+
     from coldata_spark.streaming.foldcommit import recover
 
-    recover(table_path)  # a reader after a crash heals the table first
+    if not os.path.isdir(table_path):
+        # table missing = the writer crashed mid-swap (the swap itself is
+        # two renames); heal.  A PRESENT table must not trigger recover —
+        # a live writer's in-flight stage would be destroyed.
+        recover(table_path)
     hist = spark.read.parquet(table_path)
     return SK.hist_quantile(
         hist,

@@ -215,13 +215,16 @@ def test_hist_build_clamps_out_of_domain(spark):
     negative values cannot hit the Spark-div/DuckDB-floor divergence."""
     df = spark.createDataFrame(
         [("g", -500.0), ("g", -0.01), ("g", 0.0), ("g", 99.0),
-         ("g", 100.0), ("g", 100000.0)],
+         ("g", 100.0), ("g", 100000.0), ("g", None)],
         "grp string, v double",
     )
     rows = SK.hist_build(
         df, ["grp"], "floor(v)", lo=0, hi=99, n_bins=10
     ).collect()
     bins = {r["bin"]: r["cnt"] for r in rows}
-    assert set(bins) <= set(range(10)), bins  # bounded, never bin>=n_bins
+    assert set(bins) <= set(range(10)) | {None}, bins  # bounded
     assert bins[0] == 3  # two negatives clamp down to bin 0, plus 0.0
     assert bins[9] == 3  # 99 in-domain, 100 and 100000 clamp up
+    # NULL values stay in their own NULL-bin row (least/greatest skip
+    # nulls, so without the CASE guard they'd land in the top bin)
+    assert bins.get(None) == 1
