@@ -126,6 +126,36 @@ def run_once(
     return summary
 
 
+def run_on_schedule(
+    spark: SparkSession,
+    cfg: AppConfig,
+    root: str,
+    urls_by_source: dict[str, list[str]],
+    fetcher_factory: C.FetcherFactory,
+    max_runs: int | None = None,
+    now=None,
+    sleep=None,
+) -> int:
+    """The reference's scheduler entry (scheduler.py cadence loop driving
+    the main.py pass): fire run_once at the config's cadence
+    (``scheduler.period`` day|week|month, ``scheduler.init_run`` immediate
+    first pass).  ``now``/``sleep`` stay injectable for tests; returns
+    completed pass count."""
+    from datetime import datetime
+    from time import sleep as _sleep
+
+    from coldata_spark.scheduler import run_scheduled
+
+    return run_scheduled(
+        lambda: run_once(spark, cfg, root, urls_by_source, fetcher_factory),
+        period=cfg.scheduler.period,
+        init_run=cfg.scheduler.init_run,
+        max_runs=max_runs,
+        now=now or datetime.now,
+        sleep=sleep or _sleep,
+    )
+
+
 def main() -> None:
     """CLI: ``python -m coldata_spark.runner config.yml seeds.json out_dir``
     — seeds.json maps source name -> url list (discovery output; the

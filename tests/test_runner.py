@@ -68,3 +68,33 @@ def test_run_once_uncapped_and_search(spark, tmp_path):
     assert rows[0].rank == 1
     # ranked-display projection mirrors the reference demo fields
     assert {"q_text", "rank", "score", "preview"} <= set(res.columns)
+
+
+def test_run_on_schedule_drives_config_cadence(spark, tmp_path):
+    """The config's scheduler.period/init_run drive run_once on the
+    reference's cadence: init pass immediately, then one pass per day
+    boundary under a fake clock."""
+    from datetime import datetime, timedelta
+
+    fake_fetcher_factory = _make_factory()
+    cfg = CF.load(FIXTURE)
+    assert cfg.scheduler.init_run and cfg.scheduler.period == "day"
+    cfg.sources["BrainDataSciencePlatform"].crawl.num_attempts = 100
+
+    clock = {"t": datetime(2026, 3, 1, 12, 0)}
+
+    def now():
+        return clock["t"]
+
+    def sleep(s):
+        clock["t"] = clock["t"] + timedelta(seconds=s)
+
+    n = R.run_on_schedule(
+        spark, cfg, str(tmp_path), URLS, fake_fetcher_factory,
+        max_runs=3, now=now, sleep=sleep,
+    )
+    assert n == 3  # init pass + two day-boundary passes
+    assert clock["t"] >= datetime(2026, 3, 3)  # slept across 2 midnights
+    docs = spark.read.parquet(R.store_path(cfg, str(tmp_path)))
+    # idempotent cadence: repeated passes insert nothing new
+    assert docs.count() == 3
