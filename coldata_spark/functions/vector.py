@@ -35,7 +35,12 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # eps floor on the denominator: an all-zero vector scores ~0 instead
+    # of NaN (NaN sorts FIRST under desc in Spark, so zero embeddings
+    # ranked as best hits; the arrow scorer applies the same floor).  For
+    # every nonzero vector greatest(x, eps) == x, so oracle parity is
+    # untouched.
+    return dot(a, b) / F.greatest(norm(a) * norm(b), F.lit(1e-12))
 
 
 def l2_sq(a: Column) -> Column:

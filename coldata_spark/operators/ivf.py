@@ -81,9 +81,64 @@ def assign_to_centroids(
     centroids: DataFrame,
     vec_col: str = "embedding",
     metric: str = "COSINE",
+    max_literal_cells: int = 200_000,
 ) -> DataFrame:
-    """Assign each vector to its nearest FIXED centroid — pure DataFrame
-    op (broadcast centroid table + per-vector arg-best), no MLlib refit."""
+    """Assign each vector to its nearest FIXED centroid — a per-row
+    argmin over the centroid set embedded as a LITERAL array of structs:
+    one shuffle-free map-side projection, no join, no window, no
+    synthetic row ids.  (The previous cross-join + Window(partitionBy
+    monotonically_increasing_id) amplified every row nlist-fold and paid
+    a full exchange per ingest; it also keyed on a non-deterministic id,
+    which a stage retry can recompute differently.)
+
+    Per-pair arithmetic is the SAME score_expr as before, so assignments
+    (and the q33 oracle) are bit-identical.  Ties break toward the lowest
+    centroid_id, exactly like the old (score, _cid) ordering.  Beyond
+    ``max_literal_cells`` (= nlist x dim expression literals — far above
+    any sane IVF configuration) the broadcast-join fallback keeps very
+    large centroid sets workable."""
+    cents = sorted(
+        centroids.select("centroid_id", "cvec").collect(),
+        key=lambda r: r["centroid_id"],
+    )
+    dim = len(cents[0]["cvec"]) if cents else 0
+    if not cents or len(cents) * dim > max_literal_cells:
+        return _assign_via_join(vectors, centroids, vec_col, metric)
+    desc = V.METRIC_DESCENDING[metric.upper()]
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["centroid_id"])).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in r["cvec"]]).alias("cvec"),
+            )
+            for r in cents
+        ]
+    )
+    vec = V.as_double(F.col(vec_col))
+    # struct comparison orders by fields in sequence: (score, tiebreak) —
+    # for descending metrics array_max with tiebreak=-cid picks the
+    # highest score then the LOWEST cid, matching the old row_number order
+    scored = F.transform(
+        arr,
+        lambda c: F.struct(
+            V.score_expr(metric, vec, c["cvec"]).alias("s"),
+            (-c["cid"] if desc else c["cid"]).alias("t"),
+        ),
+    )
+    best = F.array_max(scored) if desc else F.array_min(scored)
+    cid = (-best["t"] if desc else best["t"]).cast("int")
+    return vectors.withColumn("centroid_id", cid)
+
+
+def _assign_via_join(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    metric: str = "COSINE",
+) -> DataFrame:
+    """Fallback for centroid sets too large to inline as literals:
+    broadcast join + per-row arg-best window (nlist-fold amplification +
+    one exchange — acceptable only at extreme nlist x dim)."""
     from pyspark.sql import Window as W
 
     desc = V.METRIC_DESCENDING[metric.upper()]
@@ -160,6 +215,12 @@ def search_ivf(
     the join probe path — whose contract is that NOTHING touches the
     driver, however large the batch — keeps the collect-free expr engine.
     """
+    if probe_strategy == "auto":
+        from coldata_spark.operators.similarity import _estimated_bytes
+
+        probe_strategy = (
+            "collect" if _estimated_bytes(queries) <= 1 * 1024 * 1024 else "join"
+        )
     probe = knn_join(
         queries,
         centroids.select(
@@ -168,14 +229,13 @@ def search_ivf(
         k=nprobe,
         metric=metric,
         score_decimals=None,
+        # the join-probe contract is that NOTHING touches the driver and no
+        # size gate applies, however large the query batch — so the probe
+        # scoring itself must take the collect-free expr engine (the arrow
+        # engine collects the query side and enforces the 64 MB gate)
+        strategy="expr" if probe_strategy == "join" else "auto",
+        force=probe_strategy == "join",
     ).select(F.col("q_id"), F.col("vec_id").alias("centroid_id"))
-
-    if probe_strategy == "auto":
-        from coldata_spark.operators.similarity import _estimated_bytes
-
-        probe_strategy = (
-            "collect" if _estimated_bytes(queries) <= 1 * 1024 * 1024 else "join"
-        )
     if probe_strategy == "collect":
         cells = [
             r.centroid_id for r in probe.select("centroid_id").distinct().collect()
@@ -371,9 +431,15 @@ def pq_train(
         [r[0] for r in vectors.select(vec_col).limit(sample_limit).collect()],
         dtype=np.float64,
     )
+    if sample.ndim != 2 or sample.shape[0] == 0:
+        raise ValueError("pq_train: no vectors to train on")
     n, d = sample.shape
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
+    # codes cannot exceed the training population (same clamp reason as
+    # build_ivf's k<=n): a fresh small collection trains a smaller
+    # codebook and re-trains bigger on the next renew
+    k = max(1, min(k, n))
     sub = d // m
     rng = np.random.default_rng(seed)
     codebook = np.zeros((m, k, sub))
@@ -417,7 +483,10 @@ def pq_encode(
                 codes[:, j] = d2.argmin(axis=1)
             yield pd.DataFrame({id_col: pdf[id_col], "pq_codes": list(codes)})
 
-    schema = f"{id_col} long, pq_codes array<long>"
+    # id type derived from the input (string/int32 ids are valid anywhere
+    # else in the vector stack; hardcoding long broke them here)
+    id_type = vectors.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, pq_codes array<long>"
     return vectors.select(id_col, vec_col).mapInPandas(run, schema=schema)
 
 
@@ -528,6 +597,12 @@ def search_ivf_pq(
         k=nprobe,
         metric=metric,
         score_decimals=None,
+        # the collect-free contract below requires the expr probe engine:
+        # the arrow engine collects the query side and enforces a 64 MB
+        # gate, which would cap/crash exactly the large batches this path
+        # exists for
+        strategy="expr",
+        force=True,
     ).select("q_id", F.col("vec_id").alias("centroid_id"))
 
     # Keep the probed cell set DISTRIBUTED: a broadcast semi-join prunes the
@@ -584,8 +659,12 @@ def search_ivf_pq(
                 {"q_id": pdf["q_id"], "vec_id": pdf["vec_id"], "approx": out}
             )
 
+    # id types derived from the inputs, like the arrow scorers do — a
+    # string/int32 q_id or vec_id must survive the Arrow stage unchanged
+    q_id_t = queries.schema["q_id"].dataType.simpleString()
+    vec_id_t = with_vec.schema["vec_id"].dataType.simpleString()
     scored = with_vec.select("q_id", "vec_id", "pq_codes", "q_vec").mapInPandas(
-        adc, schema="q_id long, vec_id long, approx double"
+        adc, schema=f"q_id {q_id_t}, vec_id {vec_id_t}, approx double"
     )
     order_a = [
         F.col("approx").desc() if desc else F.col("approx").asc(),

@@ -228,7 +228,12 @@ def _knn_scored_arrow(
         else np.zeros((0, 1))
     )
     nq = len(q_ids)
-    q_norm = np.linalg.norm(Q, axis=1) if nq else np.zeros(0)
+    # eps floor: an all-zero vector (missing/failed embedding) must score
+    # ~0 under COSINE, not NaN — NaN silently dropped a query's whole
+    # candidate batch here while ranking FIRST in the expr engine
+    q_norm = (
+        np.maximum(np.linalg.norm(Q, axis=1), 1e-12) if nq else np.zeros(0)
+    )
     q_id_arr = np.asarray(q_ids)
     # the exact band filter runs Spark-side on the rounded score; here the
     # slack-widened raw band only guards the partial top-k from cutting
@@ -265,7 +270,9 @@ def _knn_scored_arrow(
             vids = batch.column(0).to_numpy(zero_copy_only=False)
             if m == "COSINE":
                 S = X @ Q.T
-                S /= np.linalg.norm(X, axis=1, keepdims=True)
+                S /= np.maximum(
+                    np.linalg.norm(X, axis=1, keepdims=True), 1e-12
+                )
                 S /= q_norm[None, :]
             elif m == "IP":
                 S = X @ Q.T

@@ -130,10 +130,22 @@ class VersionedTable:
             ) from ex
         finally:
             os.unlink(tmp)
+        # durability of the PUBLICATION, not just the content: the link
+        # above creates a directory entry that only lives in the page
+        # cache until the directory itself is fsynced — without this a
+        # power loss after commit() returns could silently un-publish the
+        # version and let a later writer reuse its number
+        dirfd = os.open(os.path.dirname(final), os.O_RDONLY)
+        try:
+            os.fsync(dirfd)
+        finally:
+            os.close(dirfd)
         return version
 
     # -- read path -------------------------------------------------------
-    def commit_batch(self, df: DataFrame, batch_id: int) -> int | None:
+    def commit_batch(
+        self, df: DataFrame, batch_id: int, max_retries: int = 5
+    ) -> int | None:
         """Exactly-once streaming append: foreachBatch is at-least-once, so
         a replayed micro-batch must not append twice.  The manifest records
         which stream batch produced each version; a replay finds its
@@ -142,20 +154,38 @@ class VersionedTable:
 
             stream.writeStream.foreachBatch(
                 lambda b, i: table.commit_batch(b, i)).start()
-        """
-        latest = self.latest_version()
-        if latest is not None:
-            m = self._manifest(latest)
-            applied = set(m.get("applied_batches", []))
-            if "batch_id" in m:
-                applied.add(m["batch_id"])
-            if batch_id in applied:
-                return None
-        # batch_id rides the manifest itself (one atomic publish) — there
-        # is no window where the data is visible but the marker is not;
-        # commit() folds it into applied_batches so every later manifest
-        # (and therefore every post-vacuum latest) still rejects a replay
-        return self.commit(df, mode="append", extra={"batch_id": batch_id})
+
+        The membership check is made ATOMIC with the commit by pinning
+        expected_version to the manifest the check was read from: if a
+        concurrent writer (zombie driver replaying the same batch) lands
+        first, the os.link claim fails, and the retry re-checks membership
+        against the NEW latest — two replayers can never both append."""
+        for _ in range(max_retries):
+            latest = self.latest_version()
+            if latest is not None:
+                m = self._manifest(latest)
+                applied = set(m.get("applied_batches", []))
+                if "batch_id" in m:
+                    applied.add(m["batch_id"])
+                if batch_id in applied:
+                    return None
+            # batch_id rides the manifest itself (one atomic publish) —
+            # there is no window where the data is visible but the marker
+            # is not; commit() folds it into applied_batches so every
+            # later manifest (and therefore every post-vacuum latest)
+            # still rejects a replay
+            try:
+                return self.commit(
+                    df,
+                    mode="append",
+                    expected_version=0 if latest is None else latest + 1,
+                    extra={"batch_id": batch_id},
+                )
+            except VersionConflict:
+                continue
+        raise VersionConflict(
+            f"commit_batch({batch_id}) lost {max_retries} races; giving up"
+        )
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Snapshot read; ``version=None`` pins the latest at call time."""
@@ -178,10 +208,16 @@ class VersionedTable:
         spark = updates.sparkSession
         for _ in range(max_retries):
             base = self.latest_version()
-            if base is None:
-                return self.commit(updates.dropDuplicates([pk]))
-            merged = merge_upsert(self.read(spark, base), updates, pk=pk)
             try:
+                if base is None:
+                    # pin version 0: if a concurrent first writer lands v0
+                    # between our read and the link, the claim fails and
+                    # the retry re-plans as a MERGE against their data
+                    # (an unpinned commit here would overwrite it)
+                    return self.commit(
+                        updates.dropDuplicates([pk]), expected_version=0
+                    )
+                merged = merge_upsert(self.read(spark, base), updates, pk=pk)
                 return self.commit(merged, expected_version=base + 1)
             except VersionConflict:
                 continue
@@ -229,13 +265,24 @@ class VersionedTable:
             *[F.col(f"b.{c}").alias(f"new_{c}") for c in cols],
         )
 
-    def vacuum(self, retain_versions: int = 1) -> dict:
+    def vacuum(
+        self, retain_versions: int = 1, grace_seconds: float = 24 * 3600
+    ) -> dict:
         """Garbage-collect history: keep the newest ``retain_versions``
         manifests, delete older manifests and every data dir no surviving
         manifest references — both commit-race orphans and aged-out
         snapshots.  Readers of retained versions are unaffected (their
-        dirs are, by definition, referenced).  Returns an audit dict."""
+        dirs are, by definition, referenced).
+
+        ``grace_seconds`` protects IN-FLIGHT commits: a writer that has
+        finished its parquet write but not yet hard-linked its manifest
+        owns a directory no manifest references yet — deleting it would
+        corrupt the version about to publish.  Unreferenced dirs younger
+        than the grace window are skipped (the same reason Delta's VACUUM
+        has a retention check); pass 0 only when no writer can be active.
+        Returns an audit dict."""
         import shutil
+        import time
 
         if retain_versions < 1:
             raise ValueError("retain_versions must be >= 1")
@@ -246,11 +293,19 @@ class VersionedTable:
             referenced.update(self._manifest(v)["dirs"])
         removed_dirs = []
         data_root = os.path.join(self.path, "data")
+        now = time.time()
         for d in os.listdir(data_root):
             full = os.path.join(data_root, d)
-            if full not in referenced:
-                shutil.rmtree(full, ignore_errors=True)
-                removed_dirs.append(full)
+            if full in referenced:
+                continue
+            try:
+                age = now - os.path.getmtime(full)
+            except OSError:
+                continue
+            if age < grace_seconds:
+                continue  # possibly an in-flight commit's data dir
+            shutil.rmtree(full, ignore_errors=True)
+            removed_dirs.append(full)
         for v in drop:
             os.unlink(os.path.join(self.path, "manifest", f"v{v}.json"))
         return {

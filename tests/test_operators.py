@@ -255,3 +255,51 @@ def test_crawl_all_sources_dedups_across_sources(spark):
         ["http://x/a", "http://x/b", "http://x/c", "http://x/shared"]
     )
     assert all(r["info"] == f"content of {r['url']}" for r in rows)
+
+
+def test_knn_zero_vector_scores_zero_not_nan(spark):
+    """Round-4 review fix: an all-zero embedding under COSINE must score
+    ~0 on BOTH engines — previously NaN silently dropped the query's
+    candidates in the arrow path and ranked zero vectors FIRST in expr."""
+    from coldata_spark.operators.similarity import knn_join
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    qs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (9, [0.0, 0.0])],
+        "q_id long, q_vec array<double>",
+    )
+    for strategy in ("arrow", "expr"):
+        rows = knn_join(
+            qs, vecs, k=3, metric="COSINE", strategy=strategy
+        ).collect()
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r.q_id, []).append(r)
+        # the zero QUERY still gets its k candidates, all finite ~0 scores
+        assert len(by_q[9]) == 3, f"{strategy}: zero query lost candidates"
+        assert all(abs(r.score) < 1e-6 for r in by_q[9])
+        # the zero VECTOR never outranks real matches for a real query
+        best = sorted(by_q[0], key=lambda r: r.rank)[0]
+        assert best.vec_id == 1, f"{strategy}: zero vector outranked match"
+
+
+def test_assign_to_centroids_shuffle_free_and_deterministic(spark, sf_dir):
+    """Round-4 review fix: the literal-array argmin assign has NO exchange
+    and NO window in its plan, and agrees exactly with the join-fallback
+    path (same score expression, same lowest-cid tie-break)."""
+    from coldata_spark.operators import ivf
+
+    emb = load(spark, sf_dir, "embeddings").limit(200)
+    _assigned, centroids = ivf.build_ivf(emb, nlist=4)
+
+    fast = ivf.assign_to_centroids(emb, centroids)
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Window" not in plan
+
+    slow = ivf._assign_via_join(emb, centroids)
+    got = {r.vec_id: r.centroid_id for r in fast.collect()}
+    want = {r.vec_id: r.centroid_id for r in slow.collect()}
+    assert got == want

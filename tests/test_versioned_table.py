@@ -101,7 +101,7 @@ def test_batch_replay_rejected_after_vacuum(spark, tmp_path):
     assert t.commit_batch(spark.range(0, 10), batch_id=0) == 0
     assert t.commit_batch(spark.range(10, 20), batch_id=1) == 1
     assert t.commit_batch(spark.range(20, 30), batch_id=2) == 2
-    t.vacuum(retain_versions=1)  # drops the manifests recording batches 0,1
+    t.vacuum(retain_versions=1, grace_seconds=0)  # drops batches 0,1 manifests
     assert t.commit_batch(spark.range(0, 10), batch_id=0) is None
     assert t.commit_batch(spark.range(10, 20), batch_id=1) is None
     assert t.read(spark).count() == 30
@@ -137,7 +137,7 @@ def test_vacuum_removes_unreferenced_keeps_live(spark, tmp_path):
     t.commit(spark.range(10))                     # v0 (aged out below)
     t.commit(spark.range(20))                     # v1 (aged out below)
     t.commit(spark.range(5), mode="append")       # v2 references v1's dir
-    audit = t.vacuum(retain_versions=1)
+    audit = t.vacuum(retain_versions=1, grace_seconds=0)
     assert audit["kept_versions"] == [2]
     assert audit["dropped_versions"] == [0, 1]
     # v2 still fully readable: its manifest references v1's data dir,
