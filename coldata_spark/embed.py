@@ -146,11 +146,17 @@ def embed_documents(
     id_col: str = "doc_id",
     dim: int = DEFAULT_DIM,
     encoder_factory: EncoderFactory = _default_encoder_factory,
+    spread: bool = True,
 ) -> DataFrame:
     """(id, text) -> (id, embedding array<float>) via iterator mapInPandas.
 
     The encoder is constructed once per task and reused across all Arrow
     batches in that task — the executor-lifecycle pattern for model state.
+    ``dim`` reaches the DEFAULT hash encoder (a custom encoder_factory
+    owns its own output width); ``spread=False`` skips the fan_out
+    repartition for deliberately-tiny inputs (query batches), where
+    spreading 3 strings across the cluster would construct one model per
+    near-empty task.
     """
     schema = T.StructType(
         [
@@ -158,6 +164,14 @@ def embed_documents(
             T.StructField("embedding", T.ArrayType(T.FloatType())),
         ]
     )
+    if encoder_factory is _default_encoder_factory and dim != DEFAULT_DIM:
+        # thread the requested width into the default encoder — previously
+        # a non-default dim was accepted and silently ignored
+        def encoder_factory():  # noqa: F811 - deliberate rebind
+            base = _default_encoder_factory()
+            if base is hash_embed_texts:
+                return lambda texts: hash_embed_texts(texts, dim=dim)
+            return base
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         encode = encoder_factory()
@@ -169,7 +183,10 @@ def embed_documents(
 
     from coldata_spark.tables import fan_out
 
-    return fan_out(df.select(id_col, text_col)).mapInPandas(run, schema=schema)
+    src = df.select(id_col, text_col)
+    if spread:
+        src = fan_out(src)
+    return src.mapInPandas(run, schema=schema)
 
 
 def embed_queries(
@@ -186,7 +203,13 @@ def embed_queries(
         [(i, q) for i, q in enumerate(queries)], ["q_id", "q_text"]
     ).coalesce(1)  # query batches are tiny — one Arrow batch, one worker
     emb = embed_documents(
-        df, text_col="q_text", id_col="q_id", dim=dim, encoder_factory=encoder_factory
+        df,
+        text_col="q_text",
+        id_col="q_id",
+        dim=dim,
+        encoder_factory=encoder_factory,
+        spread=False,  # fan_out would undo the coalesce and build one
+        # encoder per near-empty task just to embed a handful of strings
     )
     return (
         df.join(emb, "q_id")

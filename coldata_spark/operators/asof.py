@@ -58,7 +58,11 @@ def asof_join(
             right.select(F.struct(*rpay_cols).alias("s")).schema["s"].dataType
         ).alias("_rpay"),
     )
-    r_tagged = right.select(
+    # a NULL-timestamp right row can never be "at or before" anything, but
+    # Spark's ascending sort puts NULL first, where the carry-forward
+    # window would hand its payload to every early left row — drop them
+    # (pandas merge_asof likewise never matches NaT rows)
+    r_tagged = right.filter(F.col(on).isNotNull()).select(
         *by_cols,
         F.col(on).alias("_on"),
         F.lit(0).alias("_tag"),

@@ -361,6 +361,7 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .cache()
     )
+    changed = -1
     for _ in range(max_iters):
         # neighbor labels: for each node, min label among itself + neighbors
         neighbor = (
@@ -385,15 +386,31 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        # silently returning half-propagated labels would make
+        # dedup_keepers keep several "keepers" per real group — fail loud
+        # (a >max_iters-diameter chain means raise max_iters, not trust
+        # whatever the last round produced)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            f"({changed} labels still moving) — the pair graph has a "
+            f"longer chain than max_iters; raise max_iters"
+        )
     return labels
 
 
 def dedup_keepers(
-    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
 ) -> DataFrame:
     """Collapse near-dup groups: every doc in a component except the min-id
-    keeper is dropped.  Docs in no component survive untouched."""
-    comp = connected_components(pairs)
+    keeper is dropped.  Docs in no component survive untouched.
+    ``a_col``/``b_col`` name the pair columns (doc_a/doc_b for the text
+    operators, id_a/id_b for the embedding ones)."""
+    comp = connected_components(pairs, a_col=a_col, b_col=b_col)
     drop = comp.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col)
     )
@@ -426,7 +443,15 @@ def embedding_neardup_lsh(
 
     rng = np.random.default_rng(seed)
     spark = emb.sparkSession
-    dim = len(emb.select(vec_col).first()[0])
+    first = emb.select(vec_col).first()
+    if first is None or first[0] is None:
+        # empty input (or null leading vector): no pairs, not a crash
+        return spark.createDataFrame(
+            [], f"id_a {emb.schema[id_col].dataType.simpleString()}, "
+            f"id_b {emb.schema[id_col].dataType.simpleString()}, "
+            "cos_sim double",
+        )
+    dim = len(first[0])
     planes = [
         (j, [float(x) for x in rng.standard_normal(dim)]) for j in range(n_planes)
     ]
@@ -529,12 +554,29 @@ def embedding_neardup_lsh_exact(
     from coldata_spark.tables import fan_out
 
     spark = emb.sparkSession
+    quantized = F.transform(
+        V.as_double(F.col(vec_col)),
+        lambda x: F.floor(x * F.lit(quant)).cast("bigint"),
+    )
     qv = fan_out(emb).select(
         F.col(id_col).alias("vec_id"),
-        F.transform(
-            V.as_double(F.col(vec_col)),
-            lambda x: F.floor(x * F.lit(quant)).cast("bigint"),
-        ).alias("q"),
+        # fail loud on a vector whose length differs from ``dim``: the
+        # plane dot would zip_with-pad with NULLs, silently turning every
+        # signature bit to 0 (one degenerate bucket) and every verify dot
+        # to NULL (zero pairs returned)
+        F.when(F.size(F.col(vec_col)) == dim, quantized)
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "embedding_neardup_lsh_exact: vector length "
+                    ),
+                    F.size(F.col(vec_col)).cast("string"),
+                    F.lit(f" != dim={dim}"),
+                )
+            )
+        )
+        .alias("q"),
     )
     planes = spark.range(n_planes).select(
         F.col("id").cast("int").alias("j"),

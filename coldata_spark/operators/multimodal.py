@@ -236,9 +236,15 @@ def frame_sample(video_meta: DataFrame, every_n: int = 10) -> DataFrame:
     pass through (fps, uri, ... ride along to the decode stage).  Decode
     itself is the NotImplementedError seam."""
     passthrough = [c for c in video_meta.columns if c != "n_frames"]
+    # zero-frame / corrupt / NULL-count rows contribute no frames (the
+    # same contract for all three) — an unguarded sequence(0, -1, n)
+    # throws 'illegal sequence boundaries' and fails the whole job on one
+    # bad row
+    idxs = F.when(
+        F.col("n_frames") > 0,
+        F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n)),
+    ).otherwise(F.array().cast("array<int>"))
     return video_meta.select(
         *passthrough,
-        F.explode(
-            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
-        ).alias("frame_idx"),
+        F.explode(idxs).alias("frame_idx"),
     )

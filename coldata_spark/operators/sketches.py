@@ -94,7 +94,10 @@ def hll_h32_sql(from_sql: str, select_cols: str, key_expr: str) -> str:
     fold = (
         f"xor(({key_expr}) % 4294967296, ({key_expr}) // 4294967296)"
     )
-    ctes = [f"m0 AS (SELECT {select_cols}, {fold} AS h FROM {from_sql})"]
+    ctes = [
+        f"m0 AS (SELECT {select_cols}, {fold} AS h FROM {from_sql}"
+        f" WHERE ({key_expr}) IS NOT NULL)"
+    ]
     for i, step in enumerate(_mix32_steps(_duck_xor, "//"), start=1):
         ctes.append(
             f"m{i} AS (SELECT * REPLACE ({step.format(h='h')} AS h)"
@@ -111,8 +114,13 @@ def hll_registers(
     One integer-mix hash + bit-split per row map-side, then a groupBy max
     whose shuffle carries at most groups x 256 rows regardless of input
     size.  The output is the sketch artifact — persistable, mergeable
-    (hll_merge)."""
-    b = df.select(*group_cols, F.expr(_spark_fold64(key_col)).alias("h32"))
+    (hll_merge).  NULL keys are excluded up front (count-distinct
+    semantics ignore NULLs; an un-filtered NULL would create a phantom
+    idx=NULL register that inflates n_used without adding to s_present —
+    the SQL twin filters identically)."""
+    b = df.filter(F.expr(f"({key_col}) IS NOT NULL")).select(
+        *group_cols, F.expr(_spark_fold64(key_col)).alias("h32")
+    )
     for step in _mix32_steps(_spark_xor, "div"):
         b = b.select(*group_cols, F.expr(step.format(h="h32")).alias("h32"))
     # rank = leading zeros in the 24-bit field + 1 = 24 - floor(log2(w)),
@@ -279,6 +287,11 @@ def hist_quantile(
     """
     from pyspark.sql import Window as W
 
+    # the NULL-bin row (hist_build's bucket for NULL values) must not
+    # enter the quantile read-out: it would inflate ranks AND sort first
+    # under the cumulative window (Spark asc = NULLS FIRST), skewing
+    # every estimate downward as phantom below-lo mass
+    hist = hist.filter(F.col("bin").isNotNull())
     total = hist.groupBy(*group_cols).agg(
         F.sum("cnt").cast("long").alias("_total")
     )

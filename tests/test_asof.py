@@ -96,3 +96,23 @@ def test_asof_on_events_matches_pandas(spark, sf_dir):
     assert (
         got["click_id"].fillna(-1).tolist() == want["click_id"].fillna(-1).tolist()
     )
+
+
+def test_asof_null_right_timestamps_never_match(spark):
+    """Round-4 review fix: a right row with NULL `on` sorts first under
+    the ascending carry-forward window and used to become the match for
+    every early left row; pandas merge_asof never matches NaT rows."""
+    left = spark.createDataFrame(
+        [(1, 100), (1, 200)], "user_id long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1, None, "ghost"), (1, 150, "real")],
+        "user_id long, ts long, tag string",
+    )
+    from coldata_spark.operators.asof import asof_join
+
+    rows = {r.ts: r.tag for r in asof_join(
+        left, right, on="ts", by="user_id"
+    ).collect()}
+    assert rows[100] is None  # nothing at-or-before 100 (NOT 'ghost')
+    assert rows[200] == "real"

@@ -141,3 +141,16 @@ def test_decode_seam_tries_pil_for_encoded_formats():
 
         with pytest.raises(NotImplementedError, match="PNG"):
             decode_image_stub(b"\x89PNG-not-really", meta)
+
+
+def test_frame_sample_zero_frames_yields_no_rows(spark):
+    """Round-4 review fix: a zero/NULL n_frames row contributes no frames
+    instead of crashing the job with illegal sequence boundaries."""
+    from coldata_spark.operators.multimodal import frame_sample
+
+    meta = spark.createDataFrame(
+        [(1, 25), (2, 0), (3, None)], "item_id long, n_frames int"
+    )
+    got = frame_sample(meta, every_n=10).groupBy("item_id").count().collect()
+    counts = {r.item_id: r["count"] for r in got}
+    assert counts == {1: 3}  # frames 0, 10, 20; items 2 and 3 absent

@@ -228,3 +228,19 @@ def test_hist_build_clamps_out_of_domain(spark):
     # NULL values stay in their own NULL-bin row (least/greatest skip
     # nulls, so without the CASE guard they'd land in the top bin)
     assert bins.get(None) == 1
+
+
+def test_hist_quantile_excludes_null_bin(spark):
+    """Round-4 review fix: NULL values (NULL-bin rows) must not count as
+    below-lo mass in the quantile read-out."""
+    rows = [("g", float(v)) for v in range(1, 101)] + [("g", None)] * 100
+    df = spark.createDataFrame(rows, "grp string, v double")
+    hist = SK.hist_build(df, ["grp"], "floor(v)", lo=1, hi=100, n_bins=100)
+    est = {
+        r["q_ppm"]: r["est"]
+        for r in SK.hist_quantile(
+            hist, ["grp"], [500000], lo=1, hi=100, n_bins=100
+        ).collect()
+    }
+    # true non-null median ~50; with the 100 NULLs counted it was ~1
+    assert 45 <= est[500000] <= 55, est
