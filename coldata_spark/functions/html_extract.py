@@ -104,6 +104,11 @@ class _Collector(HTMLParser):
             self._flush()
             if len(tag) == 2 and tag[0] == "h" and tag[1].isdigit():
                 self._heading = int(tag[1])
+            else:
+                # a new non-heading block ends any UNCLOSED heading — a
+                # leaked _heading would mark every later block as heading
+                # (bypassing the prose-length filter and mis-prefixing '#')
+                self._heading = 0
         if tag == "a":
             self._link += 1
         if tag in ("br", "hr"):  # void separators: no stack entry
@@ -119,16 +124,20 @@ class _Collector(HTMLParser):
     def handle_endtag(self, tag):
         if tag in _BLOCK_TAGS or tag in _BOILER_TAGS:
             self._flush()
-            if len(tag) == 2 and tag[0] == "h" and tag[1].isdigit():
-                self._heading = 0
-        if tag == "a" and self._link:
-            self._link -= 1
-        # pop to the matching open tag (tolerates unclosed children)
+        # pop to the matching open tag (tolerates unclosed children).
+        # ALL counters are restored from the popped entries — _link and
+        # _heading included: restoring only _boiler/_skip leaked the link
+        # counter on any unclosed <a>, after which every later block's
+        # link density hit 100% and the whole page extracted as empty
         for i in range(len(self._stack) - 1, -1, -1):
             if self._stack[i][0] == tag:
-                for _, b, s in self._stack[i:]:
+                for t, b, s in self._stack[i:]:
                     self._boiler -= b
                     self._skip -= s
+                    if t == "a" and self._link:
+                        self._link -= 1
+                    if len(t) == 2 and t[0] == "h" and t[1].isdigit():
+                        self._heading = 0
                 del self._stack[i:]
                 break
 

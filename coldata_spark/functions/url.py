@@ -25,17 +25,20 @@ def canonicalize_url(url: Column) -> Column:
     """Canonical form of an absolute http(s) URL:
 
     * scheme and host lowercased (path case is preserved — it is significant)
-    * default ports (``:80``, ``:443``) stripped
+    * the scheme's OWN default port stripped (``:80`` for http, ``:443``
+      for https — stripping either from either scheme conflated
+      genuinely different origins like ``http://host:443``)
     * fragment dropped
     * tracking query parameters (utm_*, fbclid, gclid, ref) dropped
     * remaining query parameters sorted byte-wise
     * trailing slashes collapsed (``/a/`` == ``/a``; bare host keeps ``/``)
     """
     scheme = F.lower(F.regexp_extract(url, "^([A-Za-z]+)://", 1))
-    host = F.regexp_replace(
-        F.lower(F.regexp_extract(url, "^[A-Za-z]+://([^/?#]+)", 1)),
-        ":443$|:80$",
-        "",
+    host_raw = F.lower(F.regexp_extract(url, "^[A-Za-z]+://([^/?#]+)", 1))
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host_raw, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host_raw, ":443$", ""))
+        .otherwise(host_raw)
     )
     raw_path = F.regexp_extract(url, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
     stripped = F.regexp_replace(raw_path, "/+$", "")
@@ -61,9 +64,15 @@ def canonicalize_url_sql(u: str) -> str:
     return f"""
         concat(
             lower(regexp_extract({u}, '^([A-Za-z]+)://', 1)), '://',
-            regexp_replace(
-                lower(regexp_extract({u}, '^[A-Za-z]+://([^/?#]+)', 1)),
-                ':443$|:80$', ''),
+            CASE lower(regexp_extract({u}, '^([A-Za-z]+)://', 1))
+                 WHEN 'http' THEN regexp_replace(
+                     lower(regexp_extract({u}, '^[A-Za-z]+://([^/?#]+)', 1)),
+                     ':80$', '')
+                 WHEN 'https' THEN regexp_replace(
+                     lower(regexp_extract({u}, '^[A-Za-z]+://([^/?#]+)', 1)),
+                     ':443$', '')
+                 ELSE lower(regexp_extract({u}, '^[A-Za-z]+://([^/?#]+)', 1))
+            END,
             CASE WHEN regexp_replace(
                      regexp_extract({u}, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
                      '/+$', '') = ''

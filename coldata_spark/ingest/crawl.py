@@ -81,7 +81,11 @@ def fetch_documents(
         for pdf in batches:
             out = {"website": [], "index": [], "url": [], "info": []}
             for website, url, pk in zip(pdf["website"], pdf["url"], pdf["index"]):
-                interval = cfg.query_interval
+                # aggregate politeness: n parallel workers each sleeping
+                # n*t request at the same 1/t rate as the reference's one
+                # thread at t (a verbatim per-worker t would hammer the
+                # site at n times the agreed rate)
+                interval = cfg.query_interval * max(1, cfg.fetch_parallelism)
                 info = None
                 for _ in range(cfg.max_retries):
                     try:
@@ -138,8 +142,9 @@ def crawl(
 # knobs /root/reference/src/config.yml:3-57).  query_interval carries the
 # reference's politeness values verbatim; fetch_parallelism is the Spark-side
 # concurrency cap standing in for single-threaded-ness (1 worker at interval
-# t == n workers at interval n*t of aggregate politeness — we keep aggregate
-# request rate equal to the reference's by scaling the interval).
+# t == n workers at interval n*t of aggregate politeness — fetch_documents
+# multiplies the per-worker sleep by fetch_parallelism, keeping the
+# AGGREGATE request rate equal to the reference's single thread).
 REFERENCE_SOURCES: dict[str, CrawlConfig] = {
     "UCI": CrawlConfig(query_interval=0.1),
     "Kaggle": CrawlConfig(query_interval=1.0),
@@ -169,6 +174,10 @@ def crawl_all_sources(
     for source, urls in urls_by_source.items():
         cfg = configs.get(source, CrawlConfig())
         parts.append(crawl(spark, {source: urls}, existing, fetcher_factory, cfg))
+    if not parts:
+        # a discovery run that found nothing (or all sources disabled) is
+        # a normal empty pass, not an IndexError for the scheduler to eat
+        return spark.createDataFrame([], DOCUMENT_SCHEMA)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

@@ -433,7 +433,9 @@ def ieee_discover(
             if num_attempts is not None and attempts >= num_attempts:
                 break
             page += 1
-        if num_attempts and attempts >= num_attempts:
+        # `is not None`, not truthiness: a ZERO budget must stop the outer
+        # category loop too, not fetch one page per category
+        if num_attempts is not None and attempts >= num_attempts:
             break
     return sorted(datasets, key=lambda x: x.split("/")[-1])
 

@@ -52,7 +52,13 @@ def read_events_stream(spark: SparkSession, dir_path: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    nanos = dict(spark.read.parquet(dir_path).dtypes).get("ts") == "bigint"
+    try:
+        nanos = dict(spark.read.parquet(dir_path).dtypes).get("ts") == "bigint"
+    except Exception:
+        # empty landing directory — the NORMAL initial state of a file
+        # stream; default to the microsecond-timestamp variant (the probe
+        # pins the variant from the first files once any exist)
+        nanos = False
     raw = (
         spark.readStream.schema(
             _events_schema(T.LongType() if nanos else T.TimestampType())
@@ -171,13 +177,22 @@ def running_user_stats(events: DataFrame) -> DataFrame:
     )
 
 
-def run_available_now(stream_df: DataFrame, checkpoint: str, out_table: str):
+def run_available_now(
+    stream_df: DataFrame, checkpoint: str, out_table: str, mode: str = "update"
+):
     """R1: process-everything-new-then-stop refresh (the scheduler.py loop
-    re-expressed).  Returns the finished StreamingQuery."""
+    re-expressed).  Returns the finished StreamingQuery.
+
+    ``mode`` must match the stream's own semantics: ``update`` for
+    watermarked aggregations and applyInPandasWithState (the default —
+    state stays watermark-bounded), ``append`` for row streams like the
+    watermark dedup.  The old hardcoded ``complete`` threw for
+    non-aggregation streams and retained every window's state forever for
+    the rest, defeating the watermark's state bound."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(out_table)
-        .outputMode("complete")
+        .outputMode(mode)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

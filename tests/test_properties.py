@@ -195,7 +195,12 @@ class TestUrlCanonicalize:
         scheme = (m_scheme.group(1) if m_scheme else "").lower()
         m_host = re.match(r"^[A-Za-z]+://([^/?#]+)", url)
         host = (m_host.group(1) if m_host else "").lower()
-        host = re.sub(r":443$|:80$", "", host)
+        # scheme-aware default-port strip (round-4 fix: :443 on http is a
+        # DIFFERENT origin and must survive canonicalization)
+        if scheme == "http":
+            host = re.sub(r":80$", "", host)
+        elif scheme == "https":
+            host = re.sub(r":443$", "", host)
         m_path = re.match(r"^[A-Za-z]+://[^/?#]+([^?#]*)", url)
         path = re.sub(r"/+$", "", m_path.group(1) if m_path else "") or "/"
         m_qs = re.search(r"\?([^#]*)", url)
