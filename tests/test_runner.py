@@ -34,6 +34,7 @@ def _make_factory():
 def test_run_once_crawls_enabled_sources_only(spark, tmp_path):
     fake_fetcher_factory = _make_factory()
     cfg = CF.load(FIXTURE)
+    cfg.sources["BrainDataSciencePlatform"].crawl.query_interval = 0.0
     out = R.run_once(
         spark, cfg, str(tmp_path), URLS, fake_fetcher_factory
     )
@@ -53,6 +54,7 @@ def test_run_once_uncapped_and_search(spark, tmp_path):
     fake_fetcher_factory = _make_factory()
     cfg = CF.load(FIXTURE)
     cfg.sources["BrainDataSciencePlatform"].crawl.num_attempts = 100
+    cfg.sources["BrainDataSciencePlatform"].crawl.query_interval = 0.0
     out = R.run_once(
         spark,
         cfg,
@@ -80,6 +82,7 @@ def test_run_on_schedule_drives_config_cadence(spark, tmp_path):
     cfg = CF.load(FIXTURE)
     assert cfg.scheduler.init_run and cfg.scheduler.period == "day"
     cfg.sources["BrainDataSciencePlatform"].crawl.num_attempts = 100
+    cfg.sources["BrainDataSciencePlatform"].crawl.query_interval = 0.0
 
     clock = {"t": datetime(2026, 3, 1, 12, 0)}
 
