@@ -718,17 +718,18 @@ def q116_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     ),
     changes AS (
-        SELECT user_id, event_type, ts
+        SELECT user_id, event_type, ts, event_id
         FROM ordered
         WHERE prev_type IS NULL OR event_type <> prev_type
     )
     SELECT user_id, event_type,
            ts AS valid_from,
-           coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts),
+           coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
                     TIMESTAMP '2100-01-01 00:00:00') AS valid_to,
-           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT)
-               AS version,
-           CASE WHEN lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS BIGINT) AS version,
+           CASE WHEN lead(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) IS NULL
                 THEN 1 ELSE 0 END AS is_current
     FROM changes
     """,
@@ -754,11 +755,15 @@ def q117_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "event_type",
             "ts",
+            "event_id",
             F.lag("event_type").over(w).alias("prev_type"),
         )
         .filter(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
     )
-    w2 = W.partitionBy("user_id").orderBy("ts")
+    # event_id rides along so the second window is TOTALLY ordered — two
+    # change rows sharing an exact ts would otherwise get version/valid_to
+    # assigned engine-arbitrarily (every other query here tie-breaks so)
+    w2 = W.partitionBy("user_id").orderBy("ts", "event_id")
     return changes.select(
         "user_id",
         "event_type",
@@ -1023,7 +1028,7 @@ def q125_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     ),
     flagged AS (
-        SELECT user_id, s, e,
+        SELECT user_id, s, e, event_id,
                CASE WHEN s > coalesce(max(e) OVER (PARTITION BY user_id
                         ORDER BY s, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
@@ -1034,7 +1039,7 @@ def q125_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     islands AS (
         SELECT user_id, s, e,
                CAST(sum(new_island) OVER (PARTITION BY user_id
-                    ORDER BY s, e
+                    ORDER BY s, event_id
                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island_id
         FROM flagged
     )
@@ -1073,11 +1078,16 @@ def q126_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "s",
         "e",
+        "event_id",
         F.when(F.col("s") > F.coalesce(prev_max_e, F.lit(-(1 << 63))), 1)
         .otherwise(0)
         .alias("new_island"),
     )
-    w2 = W.partitionBy("user_id").orderBy("s", "e")
+    # the cumsum window must use the SAME total order as the flag window:
+    # (s, e) alone is not total when a user has two events in one epoch
+    # second, and a tie resolved differently would attach the un-flagged
+    # twin to the previous island, stretching it across the quiet gap
+    w2 = W.partitionBy("user_id").orderBy("s", "event_id")
     islands = flagged.select(
         "user_id",
         "s",
@@ -1181,11 +1191,16 @@ def q131_conversion_delay_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     result is an actual observed integer delay, identical on both engines
     with zero float involvement.
 
-    Plan: per-purchase last-click delay via a user-keyed join + max (the
-    q44 as-of shape), then the ranking runs over #conversions rows.  The
-    global order is bounded by conversions, not events — and if even that
-    is too large, the same middle-pick works per group after a salt-free
-    two-pass count."""
+    Plan: per-purchase last-click delay via the linear as-of join
+    (operators/asof.py union-stream window — the same primitive q107/q139
+    use; the previous user-keyed inequality join materialized clicks x
+    purchases candidate rows per user, exactly the range-join explosion
+    this module's own docstrings warn against), then the ranking runs
+    over #conversions rows.  The global order is bounded by conversions,
+    not events — and if even that is too large, the same middle-pick
+    works per group after a salt-free two-pass count."""
+    from coldata_spark.operators.asof import asof_join
+
     ev = load(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"), "user_id", "ts"
@@ -1195,20 +1210,14 @@ def q131_conversion_delay_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "ts")
         .agg(F.max("event_id").alias("click_id"))
     )
-    delays = (
-        purchases.alias("p")
-        .join(
-            clicks.alias("c"),
-            (F.col("c.user_id") == F.col("p.user_id"))
-            & (F.col("c.ts") < F.col("p.ts")),
-        )
-        .groupBy("p.purchase_id")
-        .agg(
-            (
-                F.first(F.col("p.ts").cast("long"))
-                - F.max(F.col("c.ts").cast("long"))
-            ).alias("delay_s")
-        )
+    matched = asof_join(
+        purchases, clicks, on="ts", by="user_id", strict=True
+    )
+    delays = matched.filter(F.col("ts_right").isNotNull()).select(
+        "purchase_id",
+        (
+            F.col("ts").cast("long") - F.col("ts_right").cast("long")
+        ).alias("delay_s"),
     )
     w = W.orderBy("delay_s", "purchase_id")
     ranked = delays.select(
@@ -1243,7 +1252,8 @@ def q131_conversion_delay_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q135_weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekday x hour activity heatmap (the ops-dashboard staple).  Both
     axes come from pure integer epoch arithmetic — dow = (epoch_days + 4)
-    % 7 with Monday=0 (1970-01-01 was a Thursday), hour = seconds-of-day
+    % 7 with SUNDAY=0 (1970-01-01 was a Thursday: (0+4)%7 = 4 = Thursday
+    under Sunday-first numbering), hour = seconds-of-day
     div 3600 — because the engines' calendar functions DISAGREE on
     weekday numbering (Spark dayofweek is 1=Sunday, DuckDB dayofweek is
     0=Sunday): portable epoch math instead of dialect-dependent calendars.

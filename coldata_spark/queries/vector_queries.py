@@ -25,10 +25,15 @@ N_QUERIES = 8
 TOP_K = 4
 
 
-def _queries_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _queries_df(
+    spark: SparkSession, sf_dir: str, n: int = N_QUERIES
+) -> DataFrame:
+    """First-``n`` vectors as the query batch.  Reused by every search
+    query (q30/q31/q34/q35/q37/q86/q89/q90/q150/q151/q156) so the
+    limit-for-optimizer-bound trick below lives in exactly one place."""
     emb = load(spark, sf_dir, "embeddings")
     return (
-        emb.filter(F.col("vec_id") < N_QUERIES)
+        emb.filter(F.col("vec_id") < n)
         # the filter already bounds this to N_QUERIES rows, but Catalyst
         # can't see that (no CBO stats on raw parquet: a Filter inherits
         # its child's full scan size), so a huge embeddings table would
@@ -36,7 +41,7 @@ def _queries_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         # The explicit limit is a semantic no-op that gives the optimizer
         # a hard row bound — the general pattern for bounding query-batch
         # sides of similarity joins.
-        .limit(N_QUERIES)
+        .limit(n)
         .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
     )
 
@@ -119,9 +124,7 @@ def q31_search_group_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         metric="COSINE",
         exclude_self=True,
     ).withColumn("parent_id", (F.floor(F.col("vec_id") / 2)).cast("bigint"))
-    best = group_best(hits, "parent_id", metric="COSINE").withColumnRenamed(
-        "best_score", "best_score"
-    )
+    best = group_best(hits, "parent_id", metric="COSINE")
     docs = load(spark, sf_dir, "documents")
     return (
         best.join(docs, best.parent_id == docs.doc_id)
@@ -371,6 +374,34 @@ def q152_embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_index_cached(spark: SparkSession, sf_dir: str, nlist: int = 8):
+    """Build-or-reuse the IVF index for a fixture dir: the build is
+    deterministic (fixed KMeans seed over a fixed fixture), so one cached
+    copy per (sf_dir, nlist) serves every q35/q150 invocation — the old
+    per-invocation tempfile.mkdtemp left a full index copy behind on
+    EVERY driver/bench run and rebuilt identical KMeans each time."""
+    import hashlib
+    import os
+    import tempfile
+
+    from coldata_spark.operators import ivf
+
+    key = hashlib.md5(f"{os.path.abspath(sf_dir)}|{nlist}".encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), "coldata_ivf_cache", key)
+    path = os.path.join(root, "index")
+    cpath = os.path.join(root, "centroids")
+    if os.path.exists(os.path.join(root, "_OK")):
+        centroids = spark.read.parquet(cpath)
+        return path, centroids
+    emb = load(spark, sf_dir, "embeddings")
+    assigned, centroids = ivf.build_ivf(emb, nlist=nlist)
+    os.makedirs(root, exist_ok=True)
+    ivf.write_ivf(assigned, path)
+    centroids.write.mode("overwrite").parquet(cpath)
+    open(os.path.join(root, "_OK"), "w").close()
+    return path, spark.read.parquet(cpath)
+
+
 @register(
     "q35_ann_ivf_search",
     survey="V3,V4,W1",
@@ -404,14 +435,9 @@ def q35_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the brute-force SQL.  The pruned configuration (nprobe <
     nlist, the scale path) runs as q150_ann_ivf_pruned plus the
     IVF_SWEEP.md recall curve."""
-    import tempfile
-
     from coldata_spark.operators import ivf
 
-    emb = load(spark, sf_dir, "embeddings")
-    assigned, centroids = ivf.build_ivf(emb, nlist=8)
-    path = tempfile.mkdtemp(prefix="coldata_ivf_") + "/index"
-    ivf.write_ivf(assigned, path)
+    path, centroids = _ivf_index_cached(spark, sf_dir, nlist=8)
     return ivf.search_ivf(
         spark, path, _queries_df(spark, sf_dir), centroids, k=4, nprobe=8
     )
@@ -422,14 +448,9 @@ def q150_ann_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production IVF configuration: nprobe = nlist/2, partition
     pruning skips half the cells (rows-only — recall vs exact is the
     measured IVF_SWEEP.md curve, not a fixed value set)."""
-    import tempfile
-
     from coldata_spark.operators import ivf
 
-    emb = load(spark, sf_dir, "embeddings")
-    assigned, centroids = ivf.build_ivf(emb, nlist=8)
-    path = tempfile.mkdtemp(prefix="coldata_ivf_") + "/index"
-    ivf.write_ivf(assigned, path)
+    path, centroids = _ivf_index_cached(spark, sf_dir, nlist=8)
     return ivf.search_ivf(
         spark, path, _queries_df(spark, sf_dir), centroids, k=4, nprobe=4
     )
@@ -516,8 +537,6 @@ def q33_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(V.dot(F.col("v"), F.col("cvec")), 6).alias("dot"),
         )
     )
-    from pyspark.sql import Window as W
-
     w = W.partitionBy("vec_id").orderBy(F.col("dot").desc(), F.col("cand_label"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
@@ -589,9 +608,7 @@ def q86_ivf_pq_search(spark, sf_dir):
     from coldata_spark.tables import load as _load
 
     emb = _load(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5).limit(5).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
-    )
+    queries = _queries_df(spark, sf_dir, n=5)
     index, centroids, codebook = ivf.build_ivf_pq(emb, nlist=8, m=8, k_codes=16)
     k = 4
     # cover-all overfetch: ceil(n/k) keeps every candidate through the ADC
@@ -612,9 +629,7 @@ def q151_ivf_pq_ann(spark, sf_dir):
     from coldata_spark.tables import load as _load
 
     emb = _load(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5).limit(5).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
-    )
+    queries = _queries_df(spark, sf_dir, n=5)
     index, centroids, codebook = ivf.build_ivf_pq(emb, nlist=8, m=8, k_codes=16)
     return ivf.search_ivf_pq(
         index, queries, centroids, codebook, k=4, nprobe=4, overfetch=8
@@ -663,9 +678,7 @@ def q89_filtered_knn(spark, sf_dir):
     with partition pruning.
     """
     emb = load(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 4).limit(4).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
-    )
+    queries = _queries_df(spark, sf_dir, n=4)
     cand = emb.filter(F.col("label").isin(0, 1, 2))
     hits = knn_join(queries, cand.select("vec_id", "embedding"), k=5, metric="COSINE")
     return (
@@ -916,9 +929,7 @@ def q156_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle of the vector table, merge window over ~tasks x anchors x 3
     rows.  At 100 TB this is the same single-pass scan as q30."""
     emb = load(spark, sf_dir, "embeddings")
-    anchors = emb.filter(F.col("vec_id") < 6).limit(6).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
-    )
+    anchors = _queries_df(spark, sf_dir, n=6)
     return knn_join(
         anchors,
         emb.select("vec_id", "embedding"),
