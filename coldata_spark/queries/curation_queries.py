@@ -681,10 +681,10 @@ def q110_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     avail AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
     base AS (
-        SELECT a.lang, a.n_docs, w.w,
+        SELECT w.lang, coalesce(a.n_docs, 0) AS n_docs, w.w,
                (10000 * w.w) // (SELECT sum(w) FROM weights) AS floor_alloc,
                (10000 * w.w) % (SELECT sum(w) FROM weights) AS rem
-        FROM avail a JOIN weights w USING (lang)
+        FROM weights w LEFT JOIN avail a USING (lang)
     ),
     ranked AS (
         SELECT *, row_number() OVER (ORDER BY rem DESC, lang) AS rk,
@@ -696,8 +696,10 @@ def q110_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(w AS BIGINT) AS weight,
            CAST(floor_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
                 AS BIGINT) AS allocation,
-           CAST(((floor_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)
-                 + n_docs - 1) // n_docs AS BIGINT) AS epochs_needed
+           CAST(CASE WHEN n_docs = 0 THEN NULL
+                ELSE ((floor_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0
+                       END) + n_docs - 1) // n_docs END
+                AS BIGINT) AS epochs_needed
     FROM ranked
     """,
 )
@@ -717,8 +719,6 @@ def q154_mixture_allocation(spark, sf_dir):
     corpus again."""
     from pyspark.sql import Window as W
 
-    from coldata_spark.tables import load
-
     BUDGET = 10_000
     weights = [("en", 50), ("zh", 20), ("es", 15), ("fr", 10), ("de", 5)]
     total_w = sum(w for _, w in weights)
@@ -728,8 +728,13 @@ def q154_mixture_allocation(spark, sf_dir):
         .groupBy("lang")
         .agg(F.count("*").alias("n_docs"))
     )
+    # drive from the WEIGHTS: an inner join silently dropped any weighted
+    # language absent from the corpus, under-allocating the budget (the
+    # docstring's sums-exactly guarantee); a missing language allocates
+    # its full share with epochs_needed NULL (nothing to up-sample)
     base = (
-        avail.join(F.broadcast(wdf), "lang")
+        wdf.join(avail, "lang", "left")
+        .withColumn("n_docs", F.coalesce("n_docs", F.lit(0)))
         .withColumn("floor_alloc", F.expr(f"({BUDGET} * w) div {total_w}"))
         .withColumn("rem", F.expr(f"({BUDGET} * w) % {total_w}"))
     )
@@ -747,7 +752,10 @@ def q154_mixture_allocation(spark, sf_dir):
         F.col("n_docs").cast("long").alias("n_docs"),
         F.col("w").cast("long").alias("weight"),
         F.col("allocation").cast("long").alias("allocation"),
-        F.expr("(allocation + n_docs - 1) div n_docs")
+        F.expr(
+            "CASE WHEN n_docs = 0 THEN NULL"
+            " ELSE (allocation + n_docs - 1) div n_docs END"
+        )
         .cast("long")
         .alias("epochs_needed"),
     )

@@ -184,8 +184,6 @@ def q28_join_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2 (crawler/utils.py:21-36 join_content): clean fragments, append a
     terminal period when missing, space-join — per source over its first
     three documents (deterministic order)."""
-    from pyspark.sql import Window as W
-
     docs = load(spark, sf_dir, "documents")
     w = W.partitionBy("source").orderBy("doc_id")
     frag = F.substring("text", 1, 40)
@@ -530,8 +528,6 @@ def q63_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus term frequencies, global top-20 — the canonical wordcount:
     token explode (flatMap) -> count with map-side partials -> global top-k
     via TakeOrdered on the (tiny) distinct-term aggregate."""
-    from pyspark.sql import Window as W
-
     from coldata_spark.tables import fan_out
 
     docs = fan_out(load(spark, sf_dir, "documents")).filter(
@@ -1489,8 +1485,11 @@ def q141_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").cast("long").alias("n_common"))
     )
+    # plain key join, NOT broadcast: sizes is one row per corpus document
+    # (unbounded), unlike q29's capped probe side — broadcasting it would
+    # OOM at the scale this query documents
     out = inter.join(
-        F.broadcast(sizes.withColumnRenamed("doc_id", "doc_a")), "doc_a"
+        sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a"
     ).select(
         "doc_a",
         "doc_b",
@@ -1613,8 +1612,6 @@ def q153_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation reuses nothing exotic.  Top-k via TakeOrdered.  Float
     parity note: ln() is the one libm call in the oracle surface; the
     4 dp round makes cross-engine ulp drift a ~1e-9 event per row."""
-    from pyspark.sql import Window as W
-
     from coldata_spark.tables import fan_out
 
     docs = fan_out(load(spark, sf_dir, "documents")).filter(

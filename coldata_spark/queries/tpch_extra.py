@@ -674,8 +674,12 @@ def q77_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q78_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17-shaped: lines whose quantity is below 20% of their part's
     average — a correlated AVG subquery decorrelated into aggregate-then-
-    join (one shuffle on l_partkey to build per-part averages, broadcast
-    back against the brand-filtered probe).
+    join.  The per-part average is built only over lineitem rows of the
+    BRAND'S parts (broadcast semi-join before the agg — the correlation
+    restricts the subquery to exactly those parts, so pre-filtering is
+    value-identical and shrinks the agg input ~25x), then joined back to
+    the probe on l_partkey (a key shuffle join: the per-part aggregate
+    grows with the part dimension, so it is not broadcast-safe at scale).
 
     The 0.2*avg threshold comparison is fp-identical across engines: same
     doubles, same multiply, strict <.  Quantities are integers-valued, far
@@ -683,11 +687,14 @@ def q78_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11")
-    per_part_avg = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
-        (F.lit(0.2) * F.avg("l_quantity")).alias("_threshold")
+    brand_keys = F.broadcast(part.select("p_partkey"))
+    per_part_avg = (
+        li.join(brand_keys, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy(F.col("l_partkey").alias("_pk"))
+        .agg((F.lit(0.2) * F.avg("l_quantity")).alias("_threshold"))
     )
     return (
-        li.join(F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(brand_keys, F.col("l_partkey") == F.col("p_partkey"))
         .join(per_part_avg, F.col("l_partkey") == F.col("_pk"))
         .filter(F.col("l_quantity") < F.col("_threshold"))
         .agg(

@@ -67,7 +67,10 @@ def build_index(
     )
     assigned, centroids = ivf.build_ivf(vectors, nlist=nlist)
     ivf.write_ivf(assigned, path)
-    return SearchIndex(path=path, centroids=centroids, nlist=nlist)
+    # EFFECTIVE nlist: build_ivf clamps k to the training-point count, so
+    # a small fresh collection gets fewer cells than requested — callers
+    # reasoning about nprobe fractions need the real number
+    return SearchIndex(path=path, centroids=centroids, nlist=centroids.count())
 
 
 def search(
@@ -86,26 +89,44 @@ def search(
     the parent document's fields, best chunk score, and a text preview —
     the reference's OrderedDict-of-records result (vdb.py:101-122,
     main.py:48-58) as a DataFrame."""
-    nprobe = nprobe or index.nlist  # reference default: probe ALL cells
-    qdf = E.embed_queries(spark, queries, encoder_factory=encoder_factory)
+    from coldata_spark.functions import vector as V
+
+    # `is None`, not truthiness: an explicit nprobe=0 must not silently
+    # become probe-all
+    nprobe = index.nlist if nprobe is None else nprobe
+    # cache: the embed stage (per-task encoder construction) would
+    # otherwise re-run for the probe, the in-cell scoring AND the final
+    # q_text join — three model loads per search with a real transformer
+    qdf = E.embed_queries(
+        spark, queries, encoder_factory=encoder_factory
+    ).cache()
     hits = ivf.search_ivf(
         spark,
         index.path,
         qdf.select("q_id", "q_vec"),
         index.centroids,
-        k=max(k * 4, k),  # over-fetch chunks; parents collapse below
+        k=k * 4,  # over-fetch chunks so the parent collapse below can
+        # still fill k parents; if top hits concentrate on few many-chunk
+        # documents fewer than k parents can come back (raise the factor
+        # for chunk-heavy corpora)
         nprobe=nprobe,
         metric=metric,
     )
-    parents = hits.join(
-        spark.read.parquet(index.path).select("vec_id", "parent_id"), "vec_id"
+    # parent_id = the chunk id's prefix (build_index writes chunk ids as
+    # "<parent>_<i>") — recovering it from the already-scanned hits avoids
+    # a SECOND, unpruned full scan of the index just to re-join one column
+    parents = hits.withColumn(
+        "parent_id", F.expr("substring_index(vec_id, '_', 1)")
     )
     best = group_best(parents, "parent_id", metric=metric)
     from pyspark.sql import Window as W
 
-    desc = F.col("best_score").desc() if metric.upper() != "L2" else F.col(
-        "best_score"
-    ).asc()
+    # one source of truth for sort direction (group_best uses the same map)
+    desc = (
+        F.col("best_score").desc()
+        if V.METRIC_DESCENDING[metric.upper()]
+        else F.col("best_score").asc()
+    )
     w = W.partitionBy("q_id").orderBy(desc, F.col("parent_id"))
     ranked = (
         best.withColumn("rank", F.row_number().over(w))
