@@ -191,46 +191,62 @@ def emit(result: dict) -> None:
     self-contained; the detail file carries everything."""
     _write_detail(result)
 
-    compact = {
-        k: result[k] for k in ("metric", "value", "unit", "queries", "sf")
-    }
+    print(json.dumps(compact_record(result)))
+
+
+def compact_record(result: dict) -> dict:
+    """The driver-facing summary: headline + per-tier aggregate numbers
+    ONLY.  Rounds 3 and 4 both lost their driver bench record because this
+    line carried the per-query `queries` dict and `per_query_ratio` maps
+    (~3.4 KB) and the driver's 2 KB stdout tail truncated it mid-object —
+    those maps live exclusively in BENCH_DETAIL.json now.
+    tests/test_bench_compact.py asserts the emitted line stays <1500 bytes
+    even with every tier block present."""
+    def _r(v):  # 3-decimal rounding keeps the line compact; full
+        # precision lives in BENCH_DETAIL.json
+        if isinstance(v, float):
+            return round(v, 3)
+        if isinstance(v, list):
+            return [_r(x) for x in v]
+        return v
+
+    compact = {k: _r(result[k]) for k in ("metric", "value", "unit", "sf")}
     for key in (
         "replicated_16x",
         "replicated_64x",
         "replicated_256x",
         "replicated_256x_clustered",
         "q83_amortization_1024x",
+        "q83_amortization_4096x",
     ):
         if key in result:
             compact[key] = {
-                k: result[key][k]
+                k: _r(result[key][k])
                 for k in (
                     "times",
-                    "layout",
                     "spark_sec",
                     "duckdb_sec",
                     "ratio",
-                    "per_query_ratio",
-                    "note",
+                    "spark_spread",
+                    "duckdb_spread",
                 )
                 if k in result[key]
             }
     if "concurrent_batch" in result:
         cb = result["concurrent_batch"]
         compact["concurrent_batch"] = {
-            k: cb[k]
+            k: _r(cb[k])
             for k in (
                 "spark_sec",
                 "duckdb_sec",
                 "ratio",
-                "spark_mode",
                 "spark_cold_sec",
                 "cold_ratio",
             )
             if k in cb
         }
     compact["detail_file"] = "BENCH_DETAIL.json"
-    print(json.dumps(compact))
+    return compact
 
 
 def bench_clustered(spark, sf_dir: str, specs) -> dict:

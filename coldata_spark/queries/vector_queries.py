@@ -380,13 +380,35 @@ def _ivf_index_cached(spark: SparkSession, sf_dir: str, nlist: int = 8):
     copy per (sf_dir, nlist) serves every q35/q150 invocation — the old
     per-invocation tempfile.mkdtemp left a full index copy behind on
     EVERY driver/bench run and rebuilt identical KMeans each time."""
+    import glob
     import hashlib
     import os
     import tempfile
 
     from coldata_spark.operators import ivf
 
-    key = hashlib.md5(f"{os.path.abspath(sf_dir)}|{nlist}".encode()).hexdigest()[:12]
+    # Fold a content fingerprint of the embeddings fixture (file names,
+    # sizes, mtimes) into the cache key: a regenerated fixture at the SAME
+    # path must not serve the previous fixture's index/centroids.
+    emb_path = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    if os.path.isdir(emb_path):  # multi-file parquet directory
+        parts = sorted(
+            p
+            for p in glob.glob(
+                os.path.join(glob.escape(emb_path), "**"), recursive=True
+            )
+            if os.path.isfile(p)
+        )
+    else:
+        parts = [emb_path] if os.path.isfile(emb_path) else []
+    stamp = "|".join(
+        f"{p}:{st.st_size}:{st.st_mtime_ns}"
+        for p in parts
+        for st in [os.stat(p)]
+    )
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{nlist}|{stamp}".encode()
+    ).hexdigest()[:12]
     root = os.path.join(tempfile.gettempdir(), "coldata_ivf_cache", key)
     path = os.path.join(root, "index")
     cpath = os.path.join(root, "centroids")

@@ -60,6 +60,11 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q29_ngram_jaccard",
     "q47_simhash",
     "q59_dedup_groups",
+    # Incremental near-dup vs a persisted corpus — the daily production
+    # dedup op (round-4 verdict ask #5: driver-check it; it displaced
+    # q57_shipmode_priority_matrix, whose J1/A5 tags stay covered by
+    # q01/q02/q06)
+    "q159_incremental_neardup",
     # Text / LLM-pipeline layer
     "q20_chunk_documents",
     "q21_text_stats",
@@ -93,7 +98,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q05_customers_with_urgent_orders",
     "q06_kaggle_style_left_joins",
     "q13_scalar_functions",
-    "q57_shipmode_priority_matrix",
     "q73_merge_upsert",
     "q92_bag_set_ops",
 )

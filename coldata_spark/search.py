@@ -112,11 +112,16 @@ def search(
         nprobe=nprobe,
         metric=metric,
     )
-    # parent_id = the chunk id's prefix (build_index writes chunk ids as
-    # "<parent>_<i>") — recovering it from the already-scanned hits avoids
-    # a SECOND, unpruned full scan of the index just to re-join one column
+    # parent_id = the chunk id minus its TRAILING "_<ordinal>" (build_index
+    # writes chunk ids as "<parent>_<i>") — recovering it from the
+    # already-scanned hits avoids a SECOND, unpruned full scan of the index
+    # just to re-join one column.  Stripping only the trailing ordinal keeps
+    # arbitrary caller-supplied parent ids intact: substring_index(_, '_', 1)
+    # would truncate any parent containing '_' at its first segment, merging
+    # unrelated parents (the reference shares that split('_')[0] quirk but
+    # only ever sees sha256 hex ids — vdb.py:101-122).
     parents = hits.withColumn(
-        "parent_id", F.expr("substring_index(vec_id, '_', 1)")
+        "parent_id", F.regexp_replace("vec_id", "_[0-9]+$", "")
     )
     best = group_best(parents, "parent_id", metric=metric)
     from pyspark.sql import Window as W

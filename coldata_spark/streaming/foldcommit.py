@@ -35,6 +35,23 @@ from typing import Callable
 from pyspark.sql import DataFrame
 
 
+def _fsync_path(path: str) -> None:
+    """fsync a file or directory so a completed commit survives power loss,
+    not just a process crash (VersionedTable.commit sets the precedent).
+    Missing paths and filesystems that refuse directory fsync are ignored —
+    durability degrades to process-crash-only there, never to corruption."""
+    try:
+        fd = os.open(path, os.O_RDONLY)
+    except OSError:
+        return
+    try:
+        os.fsync(fd)
+    except OSError:
+        pass
+    finally:
+        os.close(fd)
+
+
 def _marker(base: str, batch_id: int) -> str:
     return os.path.join(base + ".applied", f"batch-{batch_id}")
 
@@ -45,7 +62,15 @@ def is_applied(table_path: str, batch_id: int) -> bool:
 
 def _mark_applied(base: str, batch_id: int) -> None:
     os.makedirs(base + ".applied", exist_ok=True)
-    open(_marker(base, batch_id), "w").close()
+    marker = _marker(base, batch_id)
+    fd = os.open(marker, os.O_CREAT | os.O_WRONLY, 0o644)
+    try:
+        os.fsync(fd)
+    except OSError:
+        pass
+    finally:
+        os.close(fd)
+    _fsync_path(base + ".applied")
 
 
 def mark_applied(table_path: str, batch_id: int) -> None:
@@ -58,20 +83,33 @@ def mark_applied(table_path: str, batch_id: int) -> None:
 def _complete(base: str, batch_id: int) -> None:
     """Epilogue for a committed batch (sentinel exists): finish the swap,
     drop the displaced table, write the applied marker, clear the sentinel.
-    Every step is idempotent, so this can resume from any crash point."""
+    Every step is idempotent, so this can resume from any crash point.
+
+    The renames tolerate ENOENT: a reader that found the table momentarily
+    missing mid-swap may heal the SAME committed batch concurrently
+    (recover() is reader-legal exactly then), and its _complete can win the
+    rename race — the loser must treat the finished swap as a no-op, not
+    crash the micro-batch."""
     stage = f"{base}.stage-{batch_id}"
     done = f"{base}.done-{batch_id}"
     old = f"{base}.old-{batch_id}"
     if os.path.isdir(stage):
-        if os.path.isdir(base):
-            os.rename(base, old)
-        os.rename(stage, base)
+        try:
+            if os.path.isdir(base):
+                os.rename(base, old)
+            os.rename(stage, base)
+        except FileNotFoundError:
+            pass  # a concurrent healer finished this swap between our
+            # isdir probe and the rename — the committed state is in place
     shutil.rmtree(old, ignore_errors=True)
+    # make the swap durable before the applied marker references it
+    _fsync_path(os.path.dirname(base) or ".")
     _mark_applied(base, batch_id)
     try:
         os.remove(done)
     except FileNotFoundError:
         pass
+    _fsync_path(os.path.dirname(base) or ".")
 
 
 RESERVED_BATCH_ID = 10**15
@@ -141,5 +179,14 @@ def fold_once(
     stage = f"{base}.stage-{batch_id}"
     merged.write.mode("overwrite").parquet(stage)
     # COMMIT POINT: the sentinel makes the completed stage authoritative.
-    open(f"{base}.done-{batch_id}", "w").close()
+    # fsync the sentinel AND its directory so the commit survives power
+    # loss, not just process death (the docstring's "crash at any point").
+    fd = os.open(f"{base}.done-{batch_id}", os.O_CREAT | os.O_WRONLY, 0o644)
+    try:
+        os.fsync(fd)
+    except OSError:
+        pass
+    finally:
+        os.close(fd)
+    _fsync_path(os.path.dirname(base) or ".")
     _complete(base, batch_id)

@@ -1,0 +1,83 @@
+"""Gate on the driver-facing bench line size.
+
+Rounds 3 AND 4 both lost their BENCH_r{N}.json record (`parsed: null`)
+because bench.py's final stdout line exceeded the driver's 2 KB tail and
+truncated mid-object.  This test feeds compact_record a worst-case result —
+every tier present, maximal realistic float widths, the per-query maps that
+must NOT survive into the line — and asserts the emitted line stays under
+1500 bytes with comfortable margin below the 2 KB truncation point.
+"""
+
+import json
+
+import bench
+
+
+def _fat_tier(times: int) -> dict:
+    return {
+        "times": times,
+        "layout": "lineitem/orders bucketed+sorted by orderkey, one file/bucket",
+        "spark_sec": 123.456789,
+        "duckdb_sec": 98.7654321,
+        "ratio": 1.2345678,
+        "spark_spread": [120.111111, 123.456789, 129.999999],
+        "duckdb_spread": [95.555555, 98.765432, 101.111111],
+        # the fields that caused the round-3/4 truncations — must be dropped
+        "per_query_ratio": {f"q{i:02d}_some_query_name": 1.234567 for i in range(19)},
+        "spark_queries": {f"q{i:02d}_some_query_name": 12.345678 for i in range(19)},
+        "duckdb_queries": {f"q{i:02d}_some_query_name": 9.876543 for i in range(19)},
+        "note": "x" * 300,
+    }
+
+
+def test_compact_line_under_1500_bytes():
+    result = {
+        "metric": "headline_total_sec",
+        "value": 4.4217,
+        "unit": "sec",
+        "sf": 0.1,
+        "queries": {f"q{i:03d}_some_long_query_name": 0.123456 for i in range(19)},
+        "replicated_16x": _fat_tier(16),
+        "replicated_64x": _fat_tier(64),
+        "replicated_256x": _fat_tier(256),
+        "replicated_256x_clustered": _fat_tier(256),
+        "q83_amortization_1024x": _fat_tier(1024),
+        "q83_amortization_4096x": _fat_tier(4096),
+        "concurrent_batch": {
+            "spark_sec": 1.234567,
+            "duckdb_sec": 6.543210,
+            "ratio": 0.188888,
+            "spark_mode": "prepared plans, FAIR scheduler, 8 workers",
+            "spark_cold_sec": 8.765432,
+            "cold_ratio": 1.339999,
+            "spark_workers": 8,
+            "duckdb_workers": 4,
+            "spark_cold_by_workers": {str(w): 9.9 for w in (1, 2, 4, 8)},
+            "spark_prepared_by_workers": {str(w): 1.1 for w in (1, 2, 4, 8)},
+            "duckdb_by_workers": {str(w): 6.6 for w in (1, 2, 4)},
+        },
+    }
+    line = json.dumps(bench.compact_record(result))
+    assert len(line) < 1500, f"compact line is {len(line)} bytes"
+    parsed = json.loads(line)
+    # the headline and every tier ratio must survive into the parsed record
+    assert parsed["value"] == 4.422  # 3-decimal rounding applied
+    for tier in (
+        "replicated_16x",
+        "replicated_64x",
+        "replicated_256x",
+        "replicated_256x_clustered",
+        "q83_amortization_1024x",
+        "q83_amortization_4096x",
+    ):
+        assert "ratio" in parsed[tier]
+        assert "per_query_ratio" not in parsed[tier]
+        assert "spark_queries" not in parsed[tier]
+    assert "queries" not in parsed
+    assert "ratio" in parsed["concurrent_batch"]
+
+
+def test_compact_tolerates_missing_tiers():
+    result = {"metric": "headline_total_sec", "value": 1.0, "unit": "sec", "sf": 0.1}
+    parsed = json.loads(json.dumps(bench.compact_record(result)))
+    assert parsed["value"] == 1.0

@@ -162,3 +162,33 @@ def test_ivf_pq_end_to_end_recall(spark, sf_dir):
         key = (r["q_id"], r["vec_id"])
         if key in got_scores:
             assert abs(got_scores[key] - r["score"]) < 1e-9
+
+
+def test_search_parent_ids_with_underscores(spark, sf_dir, tmp_path):
+    """Round-4 ADVICE (medium): parent recovery used
+    substring_index(vec_id, '_', 1), truncating any caller-supplied parent
+    id at its FIRST underscore — "web_001" and "web_002" merged into "web"
+    and their rows vanished at the documents join.  Only the trailing chunk
+    ordinal may be stripped."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(6)
+        .select(
+            F.concat(F.lit("web_00"), F.col("doc_id")).alias("doc_id"),
+            "text",
+        )
+    )
+    idx = S.build_index(docs, str(tmp_path / "us_idx"), nlist=4)
+    targets = docs.orderBy("doc_id").limit(2).collect()
+    queries = [t.text[:128] for t in targets]
+    rows = S.search(spark, idx, docs, queries, k=3).collect()
+    assert rows, "underscored parents dropped every result"
+    ids = {r.doc_id for r in rows}
+    # every returned id must be a REAL document id, not a truncated prefix
+    real = {r.doc_id for r in docs.collect()}
+    assert ids <= real, f"truncated parent ids leaked: {ids - real}"
+    # and each query's own parent must be findable
+    for qid, t in enumerate(targets):
+        got = [r.doc_id for r in rows if r.q_id == qid]
+        assert t.doc_id in got, f"query {qid}: {t.doc_id} not in {got}"

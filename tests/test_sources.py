@@ -298,3 +298,13 @@ def test_read_tar_shards_roundtrip(spark, sf_dir, tmp_path):
         assert got_payload == payload
         assert got_meta == meta
         assert got_shard.startswith("shard-") and got_shard.endswith(".tar")
+    # the streaming pairing path: batch_records smaller than a shard's
+    # record count forces mid-shard pandas-batch yields (each shard holds
+    # 10 records here) — the result must be identical
+    streamed = {
+        r.key: (bytes(r.payload), json.loads(r.meta), r.shard)
+        for r in read_tar_shards(
+            spark, out, ext="txt", batch_records=3
+        ).collect()
+    }
+    assert streamed == back
