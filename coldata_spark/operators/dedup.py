@@ -267,8 +267,22 @@ def minhash_neardup_incremental(
     upsert-if-absent anti-join guarantees this; streaming/neardup.py also
     anti-joins the corpus table defensively so replays after a completed
     fold stay deterministic) — an id on both sides would duplicate its
-    verification rows."""
-    new_wide = minhash_signatures_wide(new_docs, text_col, id_col, n_hashes)
+    verification rows.
+
+    The new/candidate sides carry EXPLICIT broadcast hints: without them
+    Spark's size estimate at fixture scale happily broadcasts the
+    corpus∪new verification table — the side that is a billion rows in
+    production — and at real scale the same join would degrade to a
+    sort-merge that hashes the whole corpus by doc id, the exact shuffle
+    this operator exists to avoid.  The hinted sides are bounded by the
+    batch contract (a batch ≪ corpus, collision pairs capped by
+    max_bucket_size); tests/test_plans.py gates that no corpus scan has an
+    Exchange between it and its consuming join."""
+    new_wide = minhash_signatures_wide(
+        new_docs, text_col, id_col, n_hashes
+    ).cache()  # referenced 3x below (banding, verify-a, verify-b union);
+    # uncached, the shingle explode + signature aggregation of the batch
+    # would run three times per fold
     n_banded = _banded_from_wide(new_wide, n_hashes, band_size)
     c_banded = _banded_from_wide(corpus_wide, n_hashes, band_size)
     both = c_banded.withColumn("_new", F.lit(False)).unionByName(
@@ -277,13 +291,25 @@ def minhash_neardup_incremental(
     if max_bucket_size is not None:
         from pyspark.sql import Window as W
 
+        # Candidates need a collision with the NEW batch, so only buckets
+        # the batch touches can matter: semi-join to the (broadcast) new
+        # band keys FIRST, then count populations inside those buckets
+        # only.  The previous shape windowed over ALL corpus band rows —
+        # an Exchange of the entire corpus per fold, exactly what this
+        # operator promises not to do.  Bucket populations are unchanged
+        # (every member of a touched bucket passes the semi-join), so
+        # results are identical.
+        touched = n_banded.select("band", "band_key").distinct()
+        both = both.join(
+            F.broadcast(touched), ["band", "band_key"], "left_semi"
+        )
         wcnt = W.partitionBy("band", "band_key")
         both = (
             both.withColumn("_bucket_n", F.count("*").over(wcnt))
             .filter(F.col("_bucket_n") <= max_bucket_size)
             .drop("_bucket_n")
         )
-    a = n_banded.alias("a")
+    a = F.broadcast(n_banded).alias("a")
     b = both.alias("b")
     cand = (
         a.join(
@@ -316,7 +342,7 @@ def minhash_neardup_incremental(
         (F.col(f"a{s}") == F.col(f"b{s}")).cast("int") for s in range(n_hashes)
     )
     pairs = (
-        cand.join(wa, "doc_a")
+        F.broadcast(cand.join(wa, "doc_a"))
         .join(wb, "doc_b")
         .select(
             "doc_a",

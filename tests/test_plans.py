@@ -250,3 +250,72 @@ def test_q83_aggregates_hourly_before_rollup(spark, sf_dir):
     expand_idx = next(i for i, l in enumerate(lines) if "Expand" in l)
     below = "\n".join(lines[expand_idx:])
     assert "HashAggregate" in below, "hourly aggregate missing below Expand"
+
+
+def _node_depth(line: str) -> int:
+    """Depth of a formatted-explain tree line = offset of the node label
+    (first char that is not tree-drawing punctuation or the codegen *)."""
+    import re
+
+    m = re.search(r"[A-Za-z]", line.replace("* ", "  "))
+    return m.start() if m else -1
+
+
+def test_incremental_neardup_corpus_never_shuffles(spark, sf_dir, tmp_path):
+    """The incremental near-dup contract (dedup.py minhash_signatures_wide
+    docstring): matching a new batch against the persisted corpus signature
+    table must not exchange the corpus — band keys derive map-side and
+    every corpus-touching join broadcasts the batch/candidate side.  This
+    walks each corpus scan's ancestors in the formatted plan tree and
+    asserts NO Exchange (hash, range, OR broadcast — the corpus must not be
+    broadcast either) appears before the first consuming join.  Gated for
+    both the default path and the max_bucket_size cap path (which once
+    windowed over every corpus band row)."""
+    from coldata_spark.operators import dedup as DD
+
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 450)
+    new = docs.filter(F.col("doc_id") >= 450).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    cpath = str(tmp_path / "corpus_wide")
+    DD.minhash_signatures_wide(corpus, "text", "doc_id").write.parquet(cpath)
+    corpus_wide = spark.read.parquet(cpath)
+
+    for cap in (None, 256):
+        pairs, _ = DD.minhash_neardup_incremental(
+            new, corpus_wide, "text", "doc_id", max_bucket_size=cap
+        )
+        plan = plan_of(pairs)
+        assert "SortMergeJoin" not in plan, f"cap={cap}"
+        tree = plan.split("\n\n")[0].splitlines()
+        # map scan node ids -> location, keep the corpus ones
+        import re
+
+        # detail blocks are blank-line separated; match Location within the
+        # SAME scan's block (a multiline regex would leak into the next one)
+        corpus_ids = {
+            m.group(1)
+            for block in plan.split("\n\n")
+            for m in [re.match(r"\((\d+)\) Scan parquet", block)]
+            if m and "corpus_wide" in block.split("Location:")[-1].splitlines()[0]
+        }
+        assert corpus_ids, "corpus scan not found in plan"
+        for sid in corpus_ids:
+            idx = next(
+                i for i, l in enumerate(tree) if f"Scan parquet  ({sid})" in l
+                or (f"({sid})" in l and "Scan parquet" in l)
+            )
+            depth = _node_depth(tree[idx])
+            # walk ancestors upward until the first join
+            for i in range(idx - 1, -1, -1):
+                d = _node_depth(tree[i])
+                if d < depth:
+                    depth = d
+                    node = tree[i]
+                    if "Join" in node:
+                        break
+                    assert "Exchange" not in node, (
+                        f"cap={cap}: corpus scan ({sid}) is exchanged "
+                        f"before its join: {node.strip()}"
+                    )
