@@ -153,8 +153,15 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_BENCH_1024E", "1") != "0":
         spark.stop()
         spark = get_spark(app_name="coldata_spark_bench_1024e")
-        result["q83_amortization_1024x"] = bench_q83_1024x(
-            spark, sf_dir, specs
+        result["q83_amortization_1024x"] = bench_q83_events_tier(
+            spark, sf_dir, specs, times=1024
+        )
+        _write_detail(result)
+    if os.environ.get("SPARK_GRAFT_BENCH_4096E", "1") != "0":
+        spark.stop()
+        spark = get_spark(app_name="coldata_spark_bench_4096e")
+        result["q83_amortization_4096x"] = bench_q83_events_tier(
+            spark, sf_dir, specs, times=4096
         )
         _write_detail(result)
     spark.stop()
@@ -269,16 +276,17 @@ def bench_clustered(spark, sf_dir: str, specs) -> dict:
     tune_for_input(spark, dir_bytes(out))
     register_clustered(spark, out)
 
-    spark_t: dict[str, float] = {}
+    repeats = 5
+    spark_runs: dict[str, list[float]] = {}
     for name, fn in CLUSTERED_QUERIES.items():
         fn(spark, out).toPandas()  # warm
         spark._jvm.System.gc()
-        best = float("inf")
-        for _ in range(3):
+        runs = []
+        for _ in range(repeats):
             t0 = time.perf_counter()
             fn(spark, out).toPandas()
-            best = min(best, time.perf_counter() - t0)
-        spark_t[name] = round(best, 3)
+            runs.append(round(time.perf_counter() - t0, 3))
+        spark_runs[name] = runs
 
     con = duckdb.connect()
     for t, glob in DUCK_VIEWS.items():
@@ -286,65 +294,79 @@ def bench_clustered(spark, sf_dir: str, specs) -> dict:
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{os.path.abspath(out)}/{glob}')"
         )
-    duck_t: dict[str, float] = {}
+    duck_runs: dict[str, list[float]] = {}
     for name in CLUSTERED_QUERIES:
         sql = specs[name].sql
         con.execute(sql).df()  # warm
-        best = float("inf")
-        for _ in range(3):
+        runs = []
+        for _ in range(repeats):
             t0 = time.perf_counter()
             con.execute(sql).df()
-            best = min(best, time.perf_counter() - t0)
-        duck_t[name] = round(best, 3)
+            runs.append(round(time.perf_counter() - t0, 3))
+        duck_runs[name] = runs
     con.close()
 
-    s_total = round(sum(spark_t.values()), 3)
-    d_total = round(sum(duck_t.values()), 3)
-    return {
-        "times": 256,
-        "layout": "co-clustered (orderkey-bucketed facts, hypertable events)",
-        "spark_sec": s_total,
-        "duckdb_sec": d_total,
-        "ratio": round(s_total / d_total, 2) if d_total else None,
-        "per_query_ratio": {
-            n: round(spark_t[n] / duck_t[n], 2) if duck_t[n] else None
-            for n in spark_t
-        },
-        "spark_queries": spark_t,
-        "duckdb_queries": duck_t,
-        "note": (
-            "same queries as the flat 256x tier, stored the way the 100 TB "
-            "design lays them out; DuckDB reads the identical sorted files. "
-            "q83 is fixed-cost-bound at this size on ANY layout (Spark's "
-            "no-column scan floor ~= DuckDB's whole query) — its closing "
-            "measurement is the q83_amortization_1024x block"
-        ),
-    }
+    rec = _tier_record(256, list(CLUSTERED_QUERIES), spark_runs, duck_runs)
+    rec["layout"] = "co-clustered (orderkey-bucketed facts, hypertable events)"
+    rec["note"] = (
+        "same queries as the flat 256x tier, stored the way the 100 TB "
+        "design lays them out; DuckDB reads the identical sorted files. "
+        "q83 is fixed-cost-bound at this size on ANY layout (Spark's "
+        "no-column scan floor ~= DuckDB's whole query) — its closing "
+        "measurement is the q83_amortization blocks"
+    )
+    return rec
 
 
-def bench_q83_1024x(spark, sf_dir: str, specs) -> dict:
-    """q83's closing datapoint: at 256x the rollup is still fixed-cost
+def bench_q83_events_tier(spark, sf_dir: str, specs, times: int = 1024) -> dict:
+    """q83's closing datapoints: at 256x the rollup is still fixed-cost
     dominated on BOTH layouts (4x more data costs Spark only +42% time),
     so the ratio there measures Spark's per-stage floor, not the plan.
-    An events-only 1024x tier (~1.6 GB) is the first size where per-row
-    work dominates — the measured ratio, not an extrapolation."""
+    Events-only 1024x (~1.6 GB) and 4096x (~6.5 GB) tiers are where
+    per-row work progressively dominates — measured ratios, not
+    extrapolations.  Alongside the full query, each engine also times a
+    SCAN-ONLY pass over q83's exact ReadSchema (ts, value — reduced to
+    one aggregate row, no grouping, no rollup) so
+    the ratio can be decomposed into scan floor vs rollup work (round-4
+    verdict ask #3)."""
     import duckdb
 
-    from tools.clustered import build_events_1024x
+    from tools.clustered import build_events_tier
 
     dst = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), ".bench_cache", "events_1024x"
+        os.path.dirname(os.path.abspath(__file__)),
+        ".bench_cache",
+        f"events_{times}x",
     )
-    build_events_1024x(spark, _tier_dir(sf_dir, 256), dst)
+    build_events_tier(spark, _tier_dir(sf_dir, 256), dst, replicas=times // 256)
     tune_for_input(spark, dir_bytes(dst))
+    repeats = 5
     fn = specs["q83_hypertable_rollup"].fn
+
+    def spark_scan_only():
+        # q83's exact ReadSchema (ts, value), one aggregate row out:
+        # isolates parquet scan + decode cost from the rollup's work
+        return (
+            spark.read.parquet(os.path.join(dst, "events.parquet"))
+            .agg(
+                F_sum_expr("sum(cast(unix_micros(ts) as double))"),
+                F_sum_expr("sum(value)"),
+            )
+            .toPandas()
+        )
+
     fn(spark, dst).toPandas()  # warm
     spark._jvm.System.gc()
-    s_best = float("inf")
-    for _ in range(3):
+    s_runs, s_scan = [], []
+    for _ in range(repeats):
         t0 = time.perf_counter()
         fn(spark, dst).toPandas()
-        s_best = min(s_best, time.perf_counter() - t0)
+        s_runs.append(round(time.perf_counter() - t0, 3))
+    spark_scan_only()  # warm
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        spark_scan_only()
+        s_scan.append(round(time.perf_counter() - t0, 3))
 
     con = duckdb.connect()
     con.execute(
@@ -352,21 +374,42 @@ def bench_q83_1024x(spark, sf_dir: str, specs) -> dict:
         f"read_parquet('{os.path.abspath(dst)}/events.parquet/*.parquet')"
     )
     sql = specs["q83_hypertable_rollup"].sql
+    scan_sql = (
+        "SELECT sum(epoch_us(ts)::DOUBLE), sum(value) FROM events"
+    )
     con.execute(sql).df()  # warm
-    d_best = float("inf")
-    for _ in range(3):
+    d_runs, d_scan = [], []
+    for _ in range(repeats):
         t0 = time.perf_counter()
         con.execute(sql).df()
-        d_best = min(d_best, time.perf_counter() - t0)
+        d_runs.append(round(time.perf_counter() - t0, 3))
+    con.execute(scan_sql).df()  # warm
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        con.execute(scan_sql).df()
+        d_scan.append(round(time.perf_counter() - t0, 3))
     con.close()
+
+    s_best, d_best = min(s_runs), min(d_runs)
     return {
-        "times": 1024,
+        "times": times,
         "spark_sec": round(s_best, 3),
         "duckdb_sec": round(d_best, 3),
         "ratio": round(s_best / d_best, 2),
-        "note": "events-only tier; first size where q83's per-row work "
-        "dominates both engines' fixed costs",
+        "spark_spread": [min(s_runs), round(_median(s_runs), 3), max(s_runs)],
+        "duckdb_spread": [min(d_runs), round(_median(d_runs), 3), max(d_runs)],
+        "spark_scan_only_sec": min(s_scan),
+        "duckdb_scan_only_sec": min(d_scan),
+        "scan_runs": {"spark": s_scan, "duckdb": d_scan},
+        "note": "events-only tier; scan_only = same columns, one aggregate "
+        "row (decomposes the ratio into scan floor vs rollup work)",
     }
+
+
+def F_sum_expr(e: str):
+    from pyspark.sql import functions as F
+
+    return F.expr(e)
 
 
 def bench_concurrent(spark, sf_dir: str, specs) -> dict:
@@ -509,45 +552,97 @@ def bench_replicated(
     # into client Arrow/pandas (toPandas vs .df()) — a noop sink on one
     # side and client fetch on the other would skew, and row-at-a-time
     # py4j collect would penalize Spark for the transport, not the plan.
-    spark_t: dict[str, float] = {}
+    spark_runs: dict[str, list[float]] = {}
     for name in queries:
         specs[name].fn(spark, dst).toPandas()  # warm (codegen + FS cache)
         # collect garbage from the warmup OUTSIDE the timing loop so prior
         # queries' shuffle/broadcast refs don't GC mid-measurement
         spark._jvm.System.gc()
-        best = float("inf")
+        runs = []
         for _ in range(repeats):
             t0 = time.perf_counter()
             specs[name].fn(spark, dst).toPandas()
-            best = min(best, time.perf_counter() - t0)
-        spark_t[name] = round(best, 3)
+            runs.append(round(time.perf_counter() - t0, 3))
+        spark_runs[name] = runs
 
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{dst}/{t}.parquet/*.parquet')"
         )
-    duck_t: dict[str, float] = {}
+    duck_runs: dict[str, list[float]] = {}
     for name in queries:
         sql = specs[name].sql
         con.execute(sql).df()  # warm
-        best = float("inf")
+        runs = []
         for _ in range(repeats):
             t0 = time.perf_counter()
             con.execute(sql).df()
-            best = min(best, time.perf_counter() - t0)
-        duck_t[name] = round(best, 3)
+            runs.append(round(time.perf_counter() - t0, 3))
+        duck_runs[name] = runs
     con.close()
 
+    return _tier_record(times, queries, spark_runs, duck_runs)
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
+def _tier_record(
+    times: int,
+    queries: list[str],
+    spark_runs: dict[str, list[float]],
+    duck_runs: dict[str, list[float]],
+) -> dict:
+    """Tier summary with per-query AND per-tier medians + spreads (round-4
+    verdict ask #2: single-run tiers made a 4.1x->6.2x q02 swing
+    undiagnosable as noise vs regression).  Headline stats stay min-based
+    (the steady-state statistic the earlier rounds report); the median and
+    [min, median, max] spreads sit alongside so any swing can be read
+    against the measured run-to-run variance.  Full run lists land in
+    BENCH_DETAIL.json only; compact_record forwards just the per-tier
+    spreads."""
+    spark_t = {n: round(min(r), 3) for n, r in spark_runs.items()}
+    duck_t = {n: round(min(r), 3) for n, r in duck_runs.items()}
     s_total = round(sum(spark_t.values()), 3)
     d_total = round(sum(duck_t.values()), 3)
+
+    def _spread(per_query: dict[str, list[float]]) -> list[float]:
+        # totals per run index: run i of every query summed — the tier
+        # total's run-to-run spread under one JVM/process
+        k = min(len(r) for r in per_query.values())
+        totals = [
+            round(sum(per_query[n][i] for n in per_query), 3)
+            for i in range(k)
+        ]
+        return [min(totals), round(_median(totals), 3), max(totals)]
+
+    s_med = {n: round(_median(r), 3) for n, r in spark_runs.items()}
+    d_med = {n: round(_median(r), 3) for n, r in duck_runs.items()}
     return {
         "times": times,
         "spark_sec": s_total,
         "duckdb_sec": d_total,
         "ratio": round(s_total / d_total, 2) if d_total else None,
+        "ratio_median": (
+            round(sum(s_med.values()) / sum(d_med.values()), 2)
+            if sum(d_med.values())
+            else None
+        ),
+        "spark_spread": _spread(spark_runs),
+        "duckdb_spread": _spread(duck_runs),
         "per_query_ratio": {
             n: round(spark_t[n] / duck_t[n], 2) if duck_t[n] else None
+            for n in queries
+        },
+        "per_query_median_spread": {
+            n: {
+                "spark": [min(spark_runs[n]), s_med[n], max(spark_runs[n])],
+                "duckdb": [min(duck_runs[n]), d_med[n], max(duck_runs[n])],
+            }
             for n in queries
         },
         "spark_queries": spark_t,

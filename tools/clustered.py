@@ -203,14 +203,14 @@ DUCK_VIEWS = {
 }
 
 
-def build_events_1024x(
-    spark: SparkSession, tier256_dir: str, out_dir: str
+def build_events_tier(
+    spark: SparkSession, tier256_dir: str, out_dir: str, replicas: int = 4
 ) -> str:
-    """Events-only 1024x fixture (4 shifted replicas of the 256x events
-    table, ~1.6 GB): the tier where q83's fixed per-stage cost finally
-    amortizes (at 256x, 4x more data costs Spark only +42% time — the
-    rollup is still floor-dominated there).  Events-only keeps the extra
-    disk bounded to the one table q83 reads."""
+    """Events-only deep fixture: ``replicas`` shifted copies of the 256x
+    events table (4 -> 1024x ~1.6 GB, 16 -> 4096x ~6.5 GB) — the tiers
+    where q83's fixed per-stage cost amortizes (at 256x, 4x more data costs
+    Spark only +42% time — the rollup is still floor-dominated there).
+    Events-only keeps the extra disk bounded to the one table q83 reads."""
     marker = os.path.join(out_dir, "_OK")
     if os.path.exists(marker):
         return out_dir
@@ -219,16 +219,22 @@ def build_events_1024x(
         ev.withColumn(
             "event_id", F.col("event_id") + F.lit(i * 4_000_000_000)
         ).withColumn("user_id", F.col("user_id") + F.lit(i * 40_000_000))
-        for i in range(4)
+        for i in range(replicas)
     ]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    out.repartition(32).write.mode("overwrite").parquet(
+    out.repartition(32 * max(1, replicas // 4)).write.mode("overwrite").parquet(
         os.path.join(out_dir, "events.parquet")
     )
     open(marker, "w").close()
     return out_dir
+
+
+def build_events_1024x(
+    spark: SparkSession, tier256_dir: str, out_dir: str
+) -> str:
+    return build_events_tier(spark, tier256_dir, out_dir, replicas=4)
 
 
 if __name__ == "__main__":
