@@ -179,6 +179,10 @@ def main() -> None:
     # the sequential per-query timings above remain the primary metric.
     result["concurrent_batch"] = bench_concurrent(spark, sf_dir, specs)
 
+    # stop the JVM BEFORE printing the driver line: the JVM writes GC/alloc
+    # warnings straight to fd 1, and one landing after (or inside) the JSON
+    # line would corrupt the driver's stdout-tail parse
+    spark.stop()
     emit(result)
 
 

@@ -81,3 +81,15 @@ def test_compact_tolerates_missing_tiers():
     result = {"metric": "headline_total_sec", "value": 1.0, "unit": "sec", "sf": 0.1}
     parsed = json.loads(json.dumps(bench.compact_record(result)))
     assert parsed["value"] == 1.0
+
+
+def test_compact_of_committed_detail_under_1500_bytes():
+    """The synthetic worst case above could drift from reality — also gate
+    the line produced from the committed BENCH_DETAIL.json."""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)), "BENCH_DETAIL.json")
+    detail = json.load(open(path))
+    line = json.dumps(bench.compact_record(detail))
+    assert len(line) < 1500, f"compact of real detail is {len(line)} bytes"
+    assert json.loads(line)["value"] == round(detail["value"], 3)
