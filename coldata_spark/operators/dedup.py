@@ -254,6 +254,8 @@ def minhash_neardup_incremental(
       * ``new_wide``: the new batch's wide signatures — fold them into the
         corpus table afterwards (streaming/neardup.py does this with the
         crash-safe fold protocol) so the next batch matches against them.
+        It comes back CACHED (referenced three times inside the fold);
+        long-running callers should ``unpersist()`` it once folded.
 
     Scale shape: new-batch signatures cost one shuffle of #new x k longs;
     banding on BOTH sides is a map-side explode; the bucket join touches

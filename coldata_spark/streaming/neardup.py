@@ -72,6 +72,10 @@ def process_batch(
         ),
         idempotent=True,
     )
+    # the operator caches the batch signatures (used 3x inside one fold);
+    # a long-running maintainer would otherwise accumulate one cached
+    # relation per micro-batch in executor storage
+    new_wide.unpersist()
 
 
 def read_pairs(spark, pairs_path: str) -> DataFrame:
