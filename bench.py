@@ -347,14 +347,16 @@ def bench_q83_events_tier(spark, sf_dir: str, specs, times: int = 1024) -> dict:
     repeats = 5
     fn = specs["q83_hypertable_rollup"].fn
 
+    from pyspark.sql import functions as F
+
     def spark_scan_only():
         # q83's exact ReadSchema (ts, value), one aggregate row out:
         # isolates parquet scan + decode cost from the rollup's work
         return (
             spark.read.parquet(os.path.join(dst, "events.parquet"))
             .agg(
-                F_sum_expr("sum(cast(unix_micros(ts) as double))"),
-                F_sum_expr("sum(value)"),
+                F.expr("sum(cast(unix_micros(ts) as double))"),
+                F.expr("sum(value)"),
             )
             .toPandas()
         )
@@ -408,12 +410,6 @@ def bench_q83_events_tier(spark, sf_dir: str, specs, times: int = 1024) -> dict:
         "note": "events-only tier; scan_only = same columns, one aggregate "
         "row (decomposes the ratio into scan floor vs rollup work)",
     }
-
-
-def F_sum_expr(e: str):
-    from pyspark.sql import functions as F
-
-    return F.expr(e)
 
 
 def bench_concurrent(spark, sf_dir: str, specs) -> dict:

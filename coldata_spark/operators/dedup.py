@@ -211,11 +211,18 @@ def minhash_neardup_pairs(
 
 
 def _banded_from_wide(
-    wide: DataFrame, n_hashes: int = N_HASHES, band_size: int = BAND_SIZE
+    wide: DataFrame,
+    n_hashes: int = N_HASHES,
+    band_size: int = BAND_SIZE,
+    carry_sigs: bool = False,
 ) -> DataFrame:
     """(doc_id, band, band_key) derived from a wide signature frame with a
     map-side explode — no shuffle, which is what lets incremental matching
-    read the persisted corpus signatures without re-aggregating them."""
+    read the persisted corpus signatures without re-aggregating them.
+    ``carry_sigs`` keeps the h0..h{k-1} columns alongside each banded row
+    (map-side column copies, no extra scan or shuffle) so signature
+    verification can happen IN the band join itself instead of a second
+    join back to the wide table."""
     n_bands = n_hashes // band_size
     rows = ", ".join(
         "{b}, concat_ws('|', {hs})".format(
@@ -226,8 +233,11 @@ def _banded_from_wide(
         )
         for b in range(n_bands)
     )
+    extra = [f"h{s}" for s in range(n_hashes)] if carry_sigs else []
     return wide.select(
-        "doc_id", F.expr(f"stack({n_bands}, {rows}) AS (band, band_key)")
+        "doc_id",
+        *extra,
+        F.expr(f"stack({n_bands}, {rows}) AS (band, band_key)"),
     )
 
 
@@ -271,24 +281,28 @@ def minhash_neardup_incremental(
     fold stay deterministic) — an id on both sides would duplicate its
     verification rows.
 
-    The new/candidate sides carry EXPLICIT broadcast hints: without them
-    Spark's size estimate at fixture scale happily broadcasts the
-    corpus∪new verification table — the side that is a billion rows in
-    production — and at real scale the same join would degrade to a
-    sort-merge that hashes the whole corpus by doc id, the exact shuffle
-    this operator exists to avoid.  The hinted sides are bounded by the
-    batch contract (a batch ≪ corpus, collision pairs capped by
-    max_bucket_size); tests/test_plans.py gates that no corpus scan has an
-    Exchange between it and its consuming join."""
+    Scale discipline: the ONLY broadcast side is the new batch's banded
+    signatures (bounded by the batch contract — a batch ≪ corpus), and
+    signature verification happens IN the band join itself: both banded
+    streams carry their h-columns map-side (carry_sigs), so the corpus is
+    scanned exactly once per fold and there is no join back to the
+    corpus∪new wide table (the earlier shape let Spark broadcast that
+    billion-row side at fixture scale, and at real scale the same join
+    would degrade to a corpus-hashing sort-merge).  tests/test_plans.py
+    gates that no corpus scan has an Exchange between it and its consuming
+    join."""
     new_wide = minhash_signatures_wide(
         new_docs, text_col, id_col, n_hashes
-    ).cache()  # referenced 3x below (banding, verify-a, verify-b union);
-    # uncached, the shingle explode + signature aggregation of the batch
-    # would run three times per fold
+    ).cache()  # referenced below (banded broadcast, touched-bucket keys)
+    # and returned for the caller's fold; uncached, the shingle explode +
+    # signature aggregation of the batch would run per reference
     n_banded = _banded_from_wide(new_wide, n_hashes, band_size)
-    c_banded = _banded_from_wide(corpus_wide, n_hashes, band_size)
-    both = c_banded.withColumn("_new", F.lit(False)).unionByName(
-        n_banded.withColumn("_new", F.lit(True))
+    both = _banded_from_wide(
+        corpus_wide, n_hashes, band_size, carry_sigs=True
+    ).withColumn("_new", F.lit(False)).unionByName(
+        _banded_from_wide(
+            new_wide, n_hashes, band_size, carry_sigs=True
+        ).withColumn("_new", F.lit(True))
     )
     if max_bucket_size is not None:
         from pyspark.sql import Window as W
@@ -311,9 +325,17 @@ def minhash_neardup_incremental(
             .filter(F.col("_bucket_n") <= max_bucket_size)
             .drop("_bucket_n")
         )
-    a = F.broadcast(n_banded).alias("a")
+    a = F.broadcast(
+        _banded_from_wide(new_wide, n_hashes, band_size, carry_sigs=True)
+    ).alias("a")
     b = both.alias("b")
-    cand = (
+    # signature agreement straight off the joined banded rows: map-side
+    # column compares, no second join, no broadcast of anything unbounded
+    agree = sum(
+        (F.col(f"a.h{s}") == F.col(f"b.h{s}")).cast("int")
+        for s in range(n_hashes)
+    )
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -328,28 +350,16 @@ def minhash_neardup_incremental(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
+            F.round(agree / F.lit(float(n_hashes)), 6).alias("est_jaccard"),
             F.col("b._new"),
         )
-        .distinct()
-    )
-    wa = new_wide.select(
-        F.col("doc_id").alias("doc_a"),
-        *[F.col(f"h{s}").alias(f"a{s}") for s in range(n_hashes)],
-    )
-    wb = corpus_wide.unionByName(new_wide).select(
-        F.col("doc_id").alias("doc_b"),
-        *[F.col(f"h{s}").alias(f"b{s}") for s in range(n_hashes)],
-    )
-    agree = sum(
-        (F.col(f"a{s}") == F.col(f"b{s}")).cast("int") for s in range(n_hashes)
-    )
-    pairs = (
-        F.broadcast(cand.join(wa, "doc_a"))
-        .join(wb, "doc_b")
+        # one row per pair regardless of how many bands collided; the
+        # shuffle carries only (ids, est, flag) — collision-bounded
+        .dropDuplicates(["doc_a", "doc_b"])
         .select(
             "doc_a",
             "doc_b",
-            F.round(agree / F.lit(float(n_hashes)), 6).alias("est_jaccard"),
+            "est_jaccard",
             F.when(F.col("_new"), F.lit("new_new"))
             .otherwise(F.lit("new_corpus"))
             .alias("pair_type"),

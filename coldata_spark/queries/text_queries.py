@@ -733,9 +733,14 @@ def q159_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     corpus_wide = DD.minhash_signatures_wide(corpus, "text", "doc_id")
-    pairs, _new_wide = DD.minhash_neardup_incremental(
+    pairs, new_wide = DD.minhash_neardup_incremental(
         newb, corpus_wide, "text", "doc_id"
     )
+    # drop the operator's cache hint right away: this query path never
+    # folds new_wide, and driver/oracle harnesses run it repeatedly — an
+    # orphaned cached relation per run would pile up in executor storage
+    # (the plan simply recomputes the batch signatures where referenced)
+    new_wide.unpersist()
     return pairs
 
 

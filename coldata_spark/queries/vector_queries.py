@@ -406,10 +406,23 @@ def _ivf_index_cached(spark: SparkSession, sf_dir: str, nlist: int = 8):
         for p in parts
         for st in [os.stat(p)]
     )
-    key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{nlist}|{stamp}".encode()
+    # two-level key: <fixture-key>/<content-key>.  A regenerated fixture
+    # mints a new content key; pruning the fixture-key's OTHER content
+    # dirs keeps at most one live index per (sf_dir, nlist) — otherwise
+    # every regeneration would strand a full index copy in /tmp (the exact
+    # leak this cache was introduced to stop).
+    fix_key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{nlist}".encode()
     ).hexdigest()[:12]
-    root = os.path.join(tempfile.gettempdir(), "coldata_ivf_cache", key)
+    key = hashlib.md5(stamp.encode()).hexdigest()[:12]
+    group = os.path.join(tempfile.gettempdir(), "coldata_ivf_cache", fix_key)
+    root = os.path.join(group, key)
+    if os.path.isdir(group):
+        import shutil
+
+        for sibling in os.listdir(group):
+            if sibling != key:
+                shutil.rmtree(os.path.join(group, sibling), ignore_errors=True)
     path = os.path.join(root, "index")
     cpath = os.path.join(root, "centroids")
     if os.path.exists(os.path.join(root, "_OK")):

@@ -27,12 +27,39 @@ see (at cluster scale: a Delta/Iceberg MERGE replaces this whole file).
 
 from __future__ import annotations
 
+import contextlib
+import fcntl
 import glob
 import os
 import shutil
 from typing import Callable
 
 from pyspark.sql import DataFrame
+
+
+@contextlib.contextmanager
+def _locked(base: str):
+    """Serialize healers/committers on ``base`` with an advisory flock.
+
+    The reader-vs-writer race (round-4 ADVICE): between the writer's
+    rename(base -> old) and rename(stage -> base) the table is momentarily
+    missing, which is exactly the reader-side healing trigger — an
+    unserialized concurrent _complete could then observe half-swapped
+    state, mis-resolve it, and delete the only copy of the table.  ENOENT
+    tolerance on individual renames cannot distinguish "the other healer
+    finished" from "the other healer crashed mid-swap", so the swap
+    epilogue is made MUTUALLY EXCLUSIVE instead: every recover()/
+    _complete() holds this lock.  flock is released automatically on
+    process death, so a crash while holding it never wedges the table —
+    the next locker heals.  All paths are driver-local by module contract,
+    so one host's flock is sufficient."""
+    os.makedirs(os.path.dirname(base) or ".", exist_ok=True)
+    with open(base + ".lock", "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        try:
+            yield
+        finally:
+            fcntl.flock(lk, fcntl.LOCK_UN)
 
 
 def _fsync_path(path: str) -> None:
@@ -81,26 +108,23 @@ def mark_applied(table_path: str, batch_id: int) -> None:
 
 
 def _complete(base: str, batch_id: int) -> None:
-    """Epilogue for a committed batch (sentinel exists): finish the swap,
-    drop the displaced table, write the applied marker, clear the sentinel.
-    Every step is idempotent, so this can resume from any crash point.
+    with _locked(base):
+        _complete_unlocked(base, batch_id)
 
-    The renames tolerate ENOENT: a reader that found the table momentarily
-    missing mid-swap may heal the SAME committed batch concurrently
-    (recover() is reader-legal exactly then), and its _complete can win the
-    rename race — the loser must treat the finished swap as a no-op, not
-    crash the micro-batch."""
+
+def _complete_unlocked(base: str, batch_id: int) -> None:
+    """Epilogue for a committed batch (sentinel exists): finish the swap,
+    drop the displaced table, write the applied marker, clear the
+    sentinel.  Every step is idempotent, so this can resume from any crash
+    point; the caller holds the table lock, so no concurrent healer can
+    interleave with the renames (see _locked)."""
     stage = f"{base}.stage-{batch_id}"
     done = f"{base}.done-{batch_id}"
     old = f"{base}.old-{batch_id}"
     if os.path.isdir(stage):
-        try:
-            if os.path.isdir(base):
-                os.rename(base, old)
-            os.rename(stage, base)
-        except FileNotFoundError:
-            pass  # a concurrent healer finished this swap between our
-            # isdir probe and the rename — the committed state is in place
+        if os.path.isdir(base):
+            os.rename(base, old)
+        os.rename(stage, base)
     shutil.rmtree(old, ignore_errors=True)
     # make the swap durable before the applied marker references it
     _fsync_path(os.path.dirname(base) or ".")
@@ -127,28 +151,33 @@ def recover(table_path: str) -> None:
     must heal only when the table directory is actually missing (a live
     writer's not-yet-sentineled stage would otherwise be destroyed, after
     which its _complete would mark the batch applied without ever folding
-    it)."""
+    it).  The whole healing pass holds the table lock, so a reader healing
+    a momentarily-missing table and a writer finishing its own swap can
+    never interleave (see _locked)."""
     base = table_path.rstrip("/")
-    # numeric batch order (string sort would put done-10 before done-2 and
-    # let an older batch's swap clobber a newer one's committed state)
-    for _bid, done in sorted(
-        (int(p.rsplit("-", 1)[1]), p)
-        for p in glob.glob(glob.escape(base) + ".done-*")
-    ):
-        _complete(base, _bid)
-    # No sentinel => the batch never committed: discard partial stages.
-    for stage in glob.glob(glob.escape(base) + ".stage-*"):
-        shutil.rmtree(stage, ignore_errors=True)
-    # A lone .old with the table missing is a half-swap from the OLD recipe
-    # (pre-sentinel); restore the newest so no prior state is lost.
-    olds = sorted(
-        glob.glob(glob.escape(base) + ".old-*"),
-        key=lambda p: int(p.rsplit("-", 1)[1]),
-    )
-    if olds and not os.path.isdir(base):
-        os.rename(olds[-1], base)
-    for old in olds:
-        shutil.rmtree(old, ignore_errors=True)
+    with _locked(base):
+        # numeric batch order (string sort would put done-10 before done-2
+        # and let an older batch's swap clobber a newer one's committed
+        # state)
+        for _bid, _done in sorted(
+            (int(p.rsplit("-", 1)[1]), p)
+            for p in glob.glob(glob.escape(base) + ".done-*")
+        ):
+            _complete_unlocked(base, _bid)
+        # No sentinel => the batch never committed: discard partial stages.
+        for stage in glob.glob(glob.escape(base) + ".stage-*"):
+            shutil.rmtree(stage, ignore_errors=True)
+        # A lone .old with the table missing is a half-swap from the OLD
+        # recipe (pre-sentinel); restore the newest so no prior state is
+        # lost.
+        olds = sorted(
+            glob.glob(glob.escape(base) + ".old-*"),
+            key=lambda p: int(p.rsplit("-", 1)[1]),
+        )
+        if olds and not os.path.isdir(base):
+            os.rename(olds[-1], base)
+        for old in olds:
+            shutil.rmtree(old, ignore_errors=True)
 
 
 def fold_once(
@@ -178,6 +207,16 @@ def fold_once(
         merged = partial
     stage = f"{base}.stage-{batch_id}"
     merged.write.mode("overwrite").parquet(stage)
+    # Durability order matters: the staged DATA must reach disk BEFORE the
+    # sentinel that declares it authoritative — Spark's local committer
+    # does not fsync file contents on close, so without this a power loss
+    # could leave a durable sentinel pointing at torn page-cache-only
+    # parquet, which recover() would then promote over the table.  Sketch/
+    # rollup stages are small, so the walk is cheap.
+    for root, dirs, files in os.walk(stage, topdown=False):
+        for name in files:
+            _fsync_path(os.path.join(root, name))
+        _fsync_path(root)
     # COMMIT POINT: the sentinel makes the completed stage authoritative.
     # fsync the sentinel AND its directory so the commit survives power
     # loss, not just process death (the docstring's "crash at any point").

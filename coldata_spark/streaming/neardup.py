@@ -60,22 +60,25 @@ def process_batch(
         id_col,
         max_bucket_size=max_bucket_size,
     )
-    pairs.write.mode("overwrite").parquet(
-        os.path.join(pairs_path, f"batch={batch_id}")
-    )
-    fold_once(
-        new_wide,
-        sig_path,
-        batch_id,
-        lambda existing, part: existing.unionByName(part).dropDuplicates(
-            ["doc_id"]
-        ),
-        idempotent=True,
-    )
-    # the operator caches the batch signatures (used 3x inside one fold);
-    # a long-running maintainer would otherwise accumulate one cached
-    # relation per micro-batch in executor storage
-    new_wide.unpersist()
+    try:
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(pairs_path, f"batch={batch_id}")
+        )
+        fold_once(
+            new_wide,
+            sig_path,
+            batch_id,
+            lambda existing, part: existing.unionByName(part).dropDuplicates(
+                ["doc_id"]
+            ),
+            idempotent=True,
+        )
+    finally:
+        # the operator caches the batch signatures (reused inside one
+        # fold); a long-running maintainer would otherwise accumulate one
+        # cached relation per micro-batch — including per FAILED attempt,
+        # hence the finally
+        new_wide.unpersist()
 
 
 def read_pairs(spark, pairs_path: str) -> DataFrame:

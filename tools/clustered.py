@@ -231,10 +231,6 @@ def build_events_tier(
     return out_dir
 
 
-def build_events_1024x(
-    spark: SparkSession, tier256_dir: str, out_dir: str
-) -> str:
-    return build_events_tier(spark, tier256_dir, out_dir, replicas=4)
 
 
 if __name__ == "__main__":
