@@ -194,3 +194,41 @@ def test_minhash_hot_bucket_cap_bounds_quadratic_join(spark):
     got = {(r.doc_a, r.doc_b) for r in capped}
     assert (100, 101) in got          # normal bucket survives
     assert all(a >= 100 for a, _ in got)  # hot clique fully skipped
+
+
+def test_incremental_agrees_with_batch_global(spark, sf_dir):
+    """Consistency across the two near-dup entry points: folding a batch
+    against a pre-signed corpus must surface EXACTLY the batch-global
+    operator's pairs that touch the batch, with identical est_jaccard —
+    the incremental path is an optimization, never a semantic fork.
+    (Uncapped on both sides so no bucket-cap asymmetry can hide drift.)"""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0).unionByName(
+        # planted near-dups of corpus texts under fresh ids
+        corpus.filter(F.col("doc_id") % 7 == 1).select(
+            (F.col("doc_id") + 500000).alias("doc_id"),
+            F.concat("text", F.lit(" tail")).alias("text"),
+        )
+    )
+    full = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in DD.minhash_neardup_pairs(
+            corpus.unionByName(batch), "text", "doc_id"
+        ).collect()
+    }
+    corpus_wide = DD.minhash_signatures_wide(corpus, "text", "doc_id")
+    pairs, new_wide = DD.minhash_neardup_incremental(
+        batch, corpus_wide, "text", "doc_id"
+    )
+    inc = {
+        (min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b)): r.est_jaccard
+        for r in pairs.collect()
+    }
+    new_wide.unpersist()
+    batch_ids = {r.doc_id for r in batch.select("doc_id").collect()}
+    touching = {
+        k: v for k, v in full.items() if k[0] in batch_ids or k[1] in batch_ids
+    }
+    assert inc == touching
+    assert len(inc) > 0  # the planted dups guarantee a non-trivial check
