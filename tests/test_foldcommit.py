@@ -222,3 +222,49 @@ def test_recover_is_safe_on_clean_table(spark, tmp_path):
     shutil.rmtree(table)
     FC.recover(table)  # no table at all: still a no-op
     assert not os.path.isdir(table)
+
+
+def test_concurrent_reader_healing_never_loses_table(spark, tmp_path):
+    """The round-4 ADVICE race, driven hard: reader threads hammer
+    recover() exactly when the table directory is missing (the mid-swap
+    window) while the single writer folds a sequence of batches.  With the
+    flock serialization neither side may crash, lose the table, or deviate
+    from the expected fold result — and every intermediate read sees
+    either the pre- or post-fold table, never a partial."""
+    import threading
+
+    table = str(tmp_path / "race")
+    FC.fold_once(_tbl(spark, [("a", 1)]), table, 0, _merge)
+
+    stop = threading.Event()
+    errors: list[BaseException] = []
+
+    def reader():
+        while not stop.is_set():
+            try:
+                if not os.path.isdir(table):
+                    # the reader-side healing trigger: table missing
+                    FC.recover(table)
+            except BaseException as e:  # noqa: BLE001 - collected for assert
+                errors.append(e)
+                return
+
+    threads = [threading.Thread(target=reader) for _ in range(4)]
+    for t in threads:
+        t.start()
+    try:
+        for b in range(1, 6):
+            FC.fold_once(_tbl(spark, [("a", 1)]), table, b, _merge)
+    finally:
+        stop.set()
+        for t in threads:
+            t.join()
+    assert not errors, f"concurrent healer crashed: {errors[:1]}"
+    assert _read(spark, table) == {("a", 6)}
+    # no residue: every stage/old/sentinel consumed
+    residue = [
+        p
+        for p in os.listdir(tmp_path)
+        if p.startswith("race.") and not p.endswith((".applied", ".lock"))
+    ]
+    assert residue == [], residue
