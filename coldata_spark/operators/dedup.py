@@ -368,6 +368,60 @@ def minhash_neardup_incremental(
     return pairs, new_wide
 
 
+def repeated_ngram_windows(
+    df: DataFrame, text_col: str, id_col: str, window: int = 8
+) -> DataFrame:
+    """Cross-document EXACT-SUBSTRING duplication at n-token granularity —
+    the remaining rung of the dedup ladder (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", which removes repeated
+    ~50-token spans; the public suffix-array recipe is single-node, this is
+    the distributed n-gram-anchor equivalent).
+
+    Every ``window``-token sliding window is hashed (md5 of the
+    space-joined tokens — engine-portable, oracle-checkable); a window is
+    DUPLICATED when its exact token sequence appears in more than one
+    document.  Returns one row per window:
+
+        (doc_id, pos, gram_hash, dup)    pos = 1-based token offset
+
+    so callers can either clip the flagged spans (pos..pos+window-1) or
+    aggregate a per-document duplication ratio to filter on (q160 does the
+    latter).
+
+    Scale shape: the window explode is a flatMap (~1 row per token, no
+    shuffle); the duplicate decision is ONE hash-groupBy over window
+    hashes with map-side partial distinct — linear shuffle in corpus
+    token count, which is the accepted distributed cost of exact-substring
+    dedup (a suffix array would be cheaper per query but needs global
+    sorted construction).  The mark-back join is a plain equi-join on the
+    hash, co-partitioned with the groupBy's own exchange."""
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(F.col(id_col).alias("doc_id"), w.alias("w")).filter(
+        F.size("w") >= window
+    )
+    grams = base.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(w) - {window - 1}), "
+                f"i -> md5(array_join(slice(w, i, {window}), ' ')))"
+            )
+        ).alias("pos0", "gram_hash"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram_hash")
+    rep = (
+        grams.groupBy("gram_hash")
+        .agg(F.count_distinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") > 1)
+        .select("gram_hash", F.lit(True).alias("_dup"))
+    )
+    return grams.join(rep, "gram_hash", "left").select(
+        "doc_id",
+        "pos",
+        "gram_hash",
+        F.coalesce(F.col("_dup"), F.lit(False)).alias("dup"),
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",

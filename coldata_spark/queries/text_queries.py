@@ -1642,3 +1642,61 @@ def q153_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rk") <= 25)
         .drop("_rk")
     )
+
+
+@register(
+    "q160_repeated_ngram_spans",
+    survey="V6,T1",
+    sql=r"""
+    WITH words AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, i AS pos,
+               md5(array_to_string(list_slice(w, i, i + 7), ' ')) AS h
+        FROM words, LATERAL unnest(generate_series(1, len(w) - 7)) AS t(i)
+        WHERE len(w) >= 8
+    ),
+    rep AS (
+        SELECT h FROM grams GROUP BY h HAVING count(DISTINCT doc_id) > 1
+    )
+    SELECT g.doc_id,
+           count(*) AS n_windows,
+           CAST(count(*) FILTER (WHERE r.h IS NOT NULL) AS BIGINT)
+               AS n_dup_windows,
+           round(count(*) FILTER (WHERE r.h IS NOT NULL) * 1.0 / count(*), 6)
+               AS dup_ratio
+    FROM grams g LEFT JOIN rep r ON g.h = r.h
+    GROUP BY g.doc_id
+    ORDER BY g.doc_id
+    """,
+)
+def q160_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-substring duplication report: per document, how
+    many of its 8-token sliding windows appear verbatim in ANOTHER document
+    (operators/dedup.py repeated_ngram_windows — the distributed n-gram
+    form of Lee et al. 2022's repeated-span removal; the reference dedups
+    on primary key only, crawler.py:39-50).  ``dup_ratio`` is the signal a
+    curation pipeline thresholds to drop boilerplate-heavy documents, and
+    the window-level operator output carries the exact positions for span
+    CLIPPING instead of whole-doc dropping."""
+    wins = DD.repeated_ngram_windows(
+        load(spark, sf_dir, "documents"), "text", "doc_id"
+    )
+    return (
+        wins.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(F.when(F.col("dup"), 1).otherwise(0)).alias("n_dup_windows"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_dup_windows",
+            F.round(F.col("n_dup_windows") / F.col("n_windows"), 6).alias(
+                "dup_ratio"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -232,3 +232,34 @@ def test_incremental_agrees_with_batch_global(spark, sf_dir):
     }
     assert inc == touching
     assert len(inc) > 0  # the planted dups guarantee a non-trivial check
+
+
+def test_repeated_ngram_windows_marks_planted_span(spark):
+    """A paragraph shared verbatim by two docs must flag exactly its
+    windows (with positions usable for clipping); unique text stays
+    unflagged."""
+    shared = "the quick brown fox jumps over the lazy dog"  # 9 tokens
+    df = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma delta {shared} omega unique tail one"),
+            (2, f"{shared} totally different continuation words here now"),
+            (3, "no overlap with anything else in this tiny corpus at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = DD.repeated_ngram_windows(df, "text", "doc_id").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 2: the shared 9 tokens start at pos 1 -> windows 1 and 2 dup
+    dup2 = sorted(r.pos for r in by_doc[2] if r.dup)
+    assert dup2 == [1, 2]
+    # doc 1: shared span starts at token 5 -> windows 5 and 6 dup
+    dup1 = sorted(r.pos for r in by_doc[1] if r.dup)
+    assert dup1 == [5, 6]
+    # doc 3: nothing flagged
+    assert not any(r.dup for r in by_doc[3])
+    # flagged windows agree across docs by hash
+    h1 = {r.gram_hash for r in by_doc[1] if r.dup}
+    h2 = {r.gram_hash for r in by_doc[2] if r.dup}
+    assert h1 == h2
