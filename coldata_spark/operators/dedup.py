@@ -296,13 +296,13 @@ def minhash_neardup_incremental(
     ).cache()  # referenced below (banded broadcast, touched-bucket keys)
     # and returned for the caller's fold; uncached, the shingle explode +
     # signature aggregation of the batch would run per reference
-    n_banded = _banded_from_wide(new_wide, n_hashes, band_size)
+    new_banded = _banded_from_wide(
+        new_wide, n_hashes, band_size, carry_sigs=True
+    )
     both = _banded_from_wide(
         corpus_wide, n_hashes, band_size, carry_sigs=True
     ).withColumn("_new", F.lit(False)).unionByName(
-        _banded_from_wide(
-            new_wide, n_hashes, band_size, carry_sigs=True
-        ).withColumn("_new", F.lit(True))
+        new_banded.withColumn("_new", F.lit(True))
     )
     if max_bucket_size is not None:
         from pyspark.sql import Window as W
@@ -315,7 +315,7 @@ def minhash_neardup_incremental(
         # operator promises not to do.  Bucket populations are unchanged
         # (every member of a touched bucket passes the semi-join), so
         # results are identical.
-        touched = n_banded.select("band", "band_key").distinct()
+        touched = new_banded.select("band", "band_key").distinct()
         both = both.join(
             F.broadcast(touched), ["band", "band_key"], "left_semi"
         )
@@ -325,9 +325,7 @@ def minhash_neardup_incremental(
             .filter(F.col("_bucket_n") <= max_bucket_size)
             .drop("_bucket_n")
         )
-    a = F.broadcast(
-        _banded_from_wide(new_wide, n_hashes, band_size, carry_sigs=True)
-    ).alias("a")
+    a = F.broadcast(new_banded).alias("a")
     b = both.alias("b")
     # signature agreement straight off the joined banded rows: map-side
     # column compares, no second join, no broadcast of anything unbounded
@@ -395,7 +393,10 @@ def repeated_ngram_windows(
     dedup (a suffix array would be cheaper per query but needs global
     sorted construction).  The mark-back join is a plain equi-join on the
     hash, co-partitioned with the groupBy's own exchange."""
-    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    # explicit whitespace class, NOT \s: Java's \s matches vertical tab
+    # (\x0B) but DuckDB's RE2 \s does not — a crawled document containing
+    # one would tokenize differently across engines and fail the oracle
+    w = F.split(F.trim(F.col(text_col)), r"[ \t\n\r\f\x0B]+")
     base = df.select(F.col(id_col).alias("doc_id"), w.alias("w")).filter(
         F.size("w") >= window
     )

@@ -1649,7 +1649,8 @@ def q153_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="V6,T1",
     sql=r"""
     WITH words AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        SELECT doc_id,
+               regexp_split_to_array(trim(text), '[ \t\n\r\f\x0B]+') AS w
         FROM documents
     ),
     grams AS (

@@ -417,15 +417,25 @@ def _ivf_index_cached(spark: SparkSession, sf_dir: str, nlist: int = 8):
     key = hashlib.md5(stamp.encode()).hexdigest()[:12]
     group = os.path.join(tempfile.gettempdir(), "coldata_ivf_cache", fix_key)
     root = os.path.join(group, key)
-    if os.path.isdir(group):
+
+    def _prune_siblings():
+        # Pruning runs only AFTER the current key is known-good (_OK
+        # present): deleting the superseded index before the replacement
+        # exists would yank files from under a concurrent reader of the
+        # old key AND leave nothing cached if this build then failed.  A
+        # reader that raced the fixture regeneration itself can still
+        # lose its old files — that is inherent to regenerating a fixture
+        # in place, not to the cache.
         import shutil
 
         for sibling in os.listdir(group):
             if sibling != key:
                 shutil.rmtree(os.path.join(group, sibling), ignore_errors=True)
+
     path = os.path.join(root, "index")
     cpath = os.path.join(root, "centroids")
     if os.path.exists(os.path.join(root, "_OK")):
+        _prune_siblings()
         centroids = spark.read.parquet(cpath)
         return path, centroids
     emb = load(spark, sf_dir, "embeddings")
@@ -434,6 +444,7 @@ def _ivf_index_cached(spark: SparkSession, sf_dir: str, nlist: int = 8):
     ivf.write_ivf(assigned, path)
     centroids.write.mode("overwrite").parquet(cpath)
     open(os.path.join(root, "_OK"), "w").close()
+    _prune_siblings()
     return path, spark.read.parquet(cpath)
 
 

@@ -64,9 +64,10 @@ def distinct_users_estimate(spark, table_path: str) -> DataFrame:
     from coldata_spark.streaming.foldcommit import recover
 
     if not os.path.isdir(table_path):
-        # heal only the crashed-mid-swap case; recover on a PRESENT table
-        # would race a live writer's in-flight stage (see recover())
-        recover(table_path)
+        # reader-mode healing: completes a crashed-mid-swap rename but
+        # never touches stages (a sentinel-less stage may belong to a
+        # LIVE writer mid-fold; see recover())
+        recover(table_path, reader=True)
     return SK.hll_estimate(spark.read.parquet(table_path), BUCKET_KEYS)
 
 

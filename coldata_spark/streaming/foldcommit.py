@@ -143,19 +143,23 @@ starting at 0, so a synthetic fold marking ``batch-0`` would silently
 swallow a fresh stream's first micro-batch; reserved ids cannot collide."""
 
 
-def recover(table_path: str) -> None:
+def recover(table_path: str, reader: bool = False) -> None:
     """Heal all crash residue around ``table_path`` before a fold decision.
 
-    MUTATING: discards uncommitted stages and finishes committed swaps.
-    Only the table's single writer may call this unconditionally; readers
-    must heal only when the table directory is actually missing (a live
-    writer's not-yet-sentineled stage would otherwise be destroyed, after
-    which its _complete would mark the batch applied without ever folding
-    it).  The whole healing pass holds the table lock, so a reader healing
-    a momentarily-missing table and a writer finishing its own swap can
-    never interleave (see _locked)."""
+    MUTATING: finishes committed swaps and (writer mode only) discards
+    uncommitted stages.  The single writer calls this unconditionally;
+    READERS pass ``reader=True``: a sentinel-less stage may belong to a
+    LIVE writer mid-fold (the stage parquet write runs outside the lock,
+    and on a first-ever fold the table directory is legitimately missing
+    the whole time), so reader-mode never touches stages — completing
+    sentineled swaps and restoring a legacy half-swap is all a reader
+    needs to make the table readable again.  The pass holds the table
+    lock, and reader mode also revalidates the missing-table trigger
+    under it (the writer may have finished the swap in the meantime)."""
     base = table_path.rstrip("/")
     with _locked(base):
+        if reader and os.path.isdir(base):
+            return  # swap finished while we waited for the lock
         # numeric batch order (string sort would put done-10 before done-2
         # and let an older batch's swap clobber a newer one's committed
         # state)
@@ -164,9 +168,13 @@ def recover(table_path: str) -> None:
             for p in glob.glob(glob.escape(base) + ".done-*")
         ):
             _complete_unlocked(base, _bid)
-        # No sentinel => the batch never committed: discard partial stages.
-        for stage in glob.glob(glob.escape(base) + ".stage-*"):
-            shutil.rmtree(stage, ignore_errors=True)
+        if not reader:
+            # No sentinel => the batch never committed: discard partial
+            # stages.  Writer-only: the writer is the sole stage producer,
+            # so inside its own recover() any leftover stage is crash
+            # residue by definition; a reader cannot know that.
+            for stage in glob.glob(glob.escape(base) + ".stage-*"):
+                shutil.rmtree(stage, ignore_errors=True)
         # A lone .old with the table missing is a half-swap from the OLD
         # recipe (pre-sentinel); restore the newest so no prior state is
         # lost.

@@ -65,10 +65,10 @@ def read_quantiles(
     from coldata_spark.streaming.foldcommit import recover
 
     if not os.path.isdir(table_path):
-        # table missing = the writer crashed mid-swap (the swap itself is
-        # two renames); heal.  A PRESENT table must not trigger recover —
-        # a live writer's in-flight stage would be destroyed.
-        recover(table_path)
+        # reader-mode healing: completes a crashed-mid-swap rename but
+        # never touches stages (a sentinel-less stage may belong to a
+        # LIVE writer mid-fold; see recover())
+        recover(table_path, reader=True)
     hist = spark.read.parquet(table_path)
     return SK.hist_quantile(
         hist,

@@ -234,7 +234,6 @@ def test_concurrent_reader_healing_never_loses_table(spark, tmp_path):
     import threading
 
     table = str(tmp_path / "race")
-    FC.fold_once(_tbl(spark, [("a", 1)]), table, 0, _merge)
 
     stop = threading.Event()
     errors: list[BaseException] = []
@@ -243,17 +242,24 @@ def test_concurrent_reader_healing_never_loses_table(spark, tmp_path):
         while not stop.is_set():
             try:
                 if not os.path.isdir(table):
-                    # the reader-side healing trigger: table missing
-                    FC.recover(table)
+                    # the reader-side healing trigger: table missing —
+                    # reader mode must never touch a live writer's stage,
+                    # INCLUDING during the first-ever fold where the table
+                    # directory is legitimately missing for the whole
+                    # stage write
+                    FC.recover(table, reader=True)
             except BaseException as e:  # noqa: BLE001 - collected for assert
                 errors.append(e)
                 return
 
+    # readers start BEFORE the first fold: the table is missing while
+    # batch 0's sentinel-less stage is being written — the exact window
+    # where a stage-discarding healer would silently lose the batch
     threads = [threading.Thread(target=reader) for _ in range(4)]
     for t in threads:
         t.start()
     try:
-        for b in range(1, 6):
+        for b in range(6):
             FC.fold_once(_tbl(spark, [("a", 1)]), table, b, _merge)
     finally:
         stop.set()

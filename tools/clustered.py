@@ -231,8 +231,6 @@ def build_events_tier(
     return out_dir
 
 
-
-
 if __name__ == "__main__":
     import sys
 
