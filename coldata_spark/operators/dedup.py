@@ -393,22 +393,7 @@ def repeated_ngram_windows(
     dedup (a suffix array would be cheaper per query but needs global
     sorted construction).  The mark-back join is a plain equi-join on the
     hash, co-partitioned with the groupBy's own exchange."""
-    # explicit whitespace class, NOT \s: Java's \s matches vertical tab
-    # (\x0B) but DuckDB's RE2 \s does not — a crawled document containing
-    # one would tokenize differently across engines and fail the oracle
-    w = F.split(F.trim(F.col(text_col)), r"[ \t\n\r\f\x0B]+")
-    base = df.select(F.col(id_col).alias("doc_id"), w.alias("w")).filter(
-        F.size("w") >= window
-    )
-    grams = base.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, size(w) - {window - 1}), "
-                f"i -> md5(array_join(slice(w, i, {window}), ' ')))"
-            )
-        ).alias("pos0", "gram_hash"),
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram_hash")
+    _words, grams = _token_windows(df, text_col, id_col, window)
     rep = (
         grams.groupBy("gram_hash")
         .agg(F.count_distinct("doc_id").alias("_nd"))
@@ -420,6 +405,90 @@ def repeated_ngram_windows(
         "pos",
         "gram_hash",
         F.coalesce(F.col("_dup"), F.lit(False)).alias("dup"),
+    )
+
+
+def _token_windows(
+    df: DataFrame, text_col: str, id_col: str, window: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared tokenizer for the exact-substring operators: returns
+    ``(words, grams)`` where words = (doc_id, w array<string>) for EVERY
+    document and grams = (doc_id, pos, gram_hash) for each ``window``-token
+    sliding window (1-based pos; docs shorter than the window emit none).
+    The whitespace class is explicit, NOT \\s: Java's \\s matches vertical
+    tab (\\x0B) but DuckDB's RE2 \\s does not — a crawled document
+    containing one would tokenize differently across engines and fail the
+    oracle."""
+    w = F.split(F.trim(F.col(text_col)), r"[ \t\n\r\f\x0B]+")
+    words = df.select(F.col(id_col).alias("doc_id"), w.alias("w"))
+    grams = (
+        words.filter(F.size("w") >= window)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(w) - {window - 1}), "
+                    f"i -> md5(array_join(slice(w, i, {window}), ' ')))"
+                )
+            ).alias("pos0", "gram_hash"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram_hash")
+    )
+    return words, grams
+
+
+def clip_repeated_spans(
+    df: DataFrame, text_col: str, id_col: str, window: int = 8
+) -> DataFrame:
+    """Remove cross-document repeated spans from the corpus — the CLEANING
+    half of Lee et al. 2022's exact-substring dedup (repeated_ngram_windows
+    is the report).  For every window whose exact token sequence appears in
+    more than one document, the document with the smallest id keeps its
+    text (the canonical occurrence) and every other occurrence is clipped:
+    all tokens covered by a non-canonical duplicated window are dropped and
+    the text rebuilt from the survivors.
+
+    Returns (doc_id, clean_text, n_tokens_removed).  clean_text is
+    WHITESPACE-NORMALIZED (tokens re-joined with single spaces) for every
+    document, clipped or not — the operator's output is a uniform corpus,
+    not a mix of raw and rebuilt strings.
+
+    Scale shape: everything up to the flagged windows is the
+    repeated_ngram_windows pipeline (flatMap explode + one linear
+    hash-groupBy); the clip itself is a per-doc collect of covered token
+    indices (bounded by the doc's own length) and one in-expression
+    rebuild — no extra corpus-wide shuffle beyond the report's."""
+    words, grams = _token_windows(df, text_col, id_col, window)
+    rep = (
+        grams.groupBy("gram_hash")
+        .agg(
+            F.count_distinct("doc_id").alias("_nd"),
+            F.min("doc_id").alias("_canon"),
+        )
+        .filter(F.col("_nd") > 1)
+        .select("gram_hash", "_canon")
+    )
+    flagged = grams.join(rep, "gram_hash").filter(
+        F.col("doc_id") != F.col("_canon")
+    )
+    covered = (
+        flagged.select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(pos, pos + {window - 1})")).alias("i"),
+        )
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("i")).alias("cov"))
+    )
+    return words.join(covered, "doc_id", "left").select(
+        "doc_id",
+        F.expr(
+            "array_join(filter(transform(w, (x, i0) -> "
+            "CASE WHEN array_contains(coalesce(cov, array()), i0 + 1) "
+            "THEN NULL ELSE x END), x -> x IS NOT NULL), ' ')"
+        ).alias("clean_text"),
+        F.coalesce(F.size("cov"), F.lit(0)).cast("long").alias(
+            "n_tokens_removed"
+        ),
     )
 
 

@@ -1701,3 +1701,56 @@ def q160_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q161_clip_repeated_spans",
+    survey="V6,T1,T8",
+    sql=r"""
+    WITH words AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(text), '[ \t\n\r\f\x0B]+') AS w
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, i AS pos,
+               md5(array_to_string(list_slice(w, i, i + 7), ' ')) AS h
+        FROM words, LATERAL unnest(generate_series(1, len(w) - 7)) AS t(i)
+        WHERE len(w) >= 8
+    ),
+    rep AS (
+        SELECT h, min(doc_id) AS canon
+        FROM grams GROUP BY h HAVING count(DISTINCT doc_id) > 1
+    ),
+    flagged AS (
+        SELECT g.doc_id, g.pos
+        FROM grams g JOIN rep r ON g.h = r.h
+        WHERE g.doc_id <> r.canon
+    ),
+    covered AS (
+        SELECT doc_id, list(DISTINCT i ORDER BY i) AS cov
+        FROM flagged, LATERAL unnest(generate_series(pos, pos + 7)) AS t(i)
+        GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           coalesce(
+               array_to_string(
+                   [w.w[i] FOR i IN generate_series(1, len(w.w))
+                    IF NOT list_contains(coalesce(c.cov, []), i)], ' '),
+               '') AS clean_text,
+           CAST(len(coalesce(c.cov, [])) AS BIGINT) AS n_tokens_removed
+    FROM words w LEFT JOIN covered c USING (doc_id)
+    ORDER BY w.doc_id
+    """,
+)
+def q161_clip_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-span CLIPPING (operators/dedup.py clip_repeated_spans): the
+    cleaning half of Lee et al. 2022's exact-substring dedup — every
+    cross-document duplicated 8-token window keeps its smallest-doc-id
+    occurrence and is clipped everywhere else, texts rebuilt from the
+    surviving tokens.  The full rebuilt strings are value-hashed against
+    the DuckDB twin, so the byte-level clip semantics (not just counts)
+    are oracle-checked."""
+    return DD.clip_repeated_spans(
+        load(spark, sf_dir, "documents"), "text", "doc_id"
+    ).orderBy("doc_id")

@@ -263,3 +263,28 @@ def test_repeated_ngram_windows_marks_planted_span(spark):
     h1 = {r.gram_hash for r in by_doc[1] if r.dup}
     h2 = {r.gram_hash for r in by_doc[2] if r.dup}
     assert h1 == h2
+
+
+def test_clip_repeated_spans_canonical_keeps_text(spark):
+    """The smallest-id occurrence keeps its span; every other doc loses
+    exactly the covered tokens; untouched docs come back whitespace-
+    normalized but otherwise intact."""
+    shared = "one two three four five six seven eight"  # exactly 8 tokens
+    df = spark.createDataFrame(
+        [
+            (1, f"{shared} plus unique suffix tokens here"),
+            (2, f"prefix words then {shared} and more trailing"),
+            (3, "completely   unrelated\ttext with odd   spacing kept"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in DD.clip_repeated_spans(df, "text", "doc_id").collect()}
+    # doc 1 is canonical (min id): nothing removed
+    assert out[1].n_tokens_removed == 0
+    assert out[1].clean_text.startswith(shared)
+    # doc 2: the 8 shared tokens clipped, the rest survives in order
+    assert out[2].n_tokens_removed == 8
+    assert out[2].clean_text == "prefix words then and more trailing"
+    # doc 3: untouched but whitespace-normalized
+    assert out[3].n_tokens_removed == 0
+    assert out[3].clean_text == "completely unrelated text with odd spacing kept"
