@@ -418,8 +418,15 @@ def _token_windows(
     The whitespace class is explicit, NOT \\s: Java's \\s matches vertical
     tab (\\x0B) but DuckDB's RE2 \\s does not — a crawled document
     containing one would tokenize differently across engines and fail the
-    oracle."""
-    w = F.split(F.trim(F.col(text_col)), r"[ \t\n\r\f\x0B]+")
+    oracle.  Empty tokens are filtered AFTER the split (instead of trim
+    before it): split keeps a leading/trailing '' token when the text
+    starts/ends with whitespace trim() doesn't strip (\\n, \\t), and that
+    phantom token would otherwise count toward window positions and hash
+    into the grams."""
+    w = F.filter(
+        F.split(F.col(text_col), r"[ \t\n\r\f\x0B]+"),
+        lambda x: x != F.lit(""),
+    )
     words = df.select(F.col(id_col).alias("doc_id"), w.alias("w"))
     grams = (
         words.filter(F.size("w") >= window)
@@ -477,18 +484,26 @@ def clip_repeated_spans(
             F.explode(F.expr(f"sequence(pos, pos + {window - 1})")).alias("i"),
         )
         .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_set("i")).alias("cov"))
+        .agg(F.collect_set("i").alias("cov"))
     )
+    # clean_text coalesces to '' so NULL-text documents come out as empty
+    # strings like everything else (the uniform-corpus contract); the
+    # cov-isNull guard (not size+coalesce) keeps n_tokens_removed correct
+    # on Spark 3.x clusters where legacy sizeOfNull makes size(NULL) = -1.
     return words.join(covered, "doc_id", "left").select(
         "doc_id",
-        F.expr(
-            "array_join(filter(transform(w, (x, i0) -> "
-            "CASE WHEN array_contains(coalesce(cov, array()), i0 + 1) "
-            "THEN NULL ELSE x END), x -> x IS NOT NULL), ' ')"
+        F.coalesce(
+            F.expr(
+                "array_join(filter(transform(w, (x, i0) -> "
+                "CASE WHEN array_contains(coalesce(cov, array()), i0 + 1) "
+                "THEN NULL ELSE x END), x -> x IS NOT NULL), ' ')"
+            ),
+            F.lit(""),
         ).alias("clean_text"),
-        F.coalesce(F.size("cov"), F.lit(0)).cast("long").alias(
-            "n_tokens_removed"
-        ),
+        F.when(F.col("cov").isNull(), F.lit(0))
+        .otherwise(F.size("cov"))
+        .cast("long")
+        .alias("n_tokens_removed"),
     )
 
 

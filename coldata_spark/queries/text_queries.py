@@ -1650,7 +1650,8 @@ def q153_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql=r"""
     WITH words AS (
         SELECT doc_id,
-               regexp_split_to_array(trim(text), '[ \t\n\r\f\x0B]+') AS w
+               list_filter(regexp_split_to_array(text, '[ \t\n\r\f\x0B]+'),
+                           x -> x <> '') AS w
         FROM documents
     ),
     grams AS (
@@ -1709,7 +1710,8 @@ def q160_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql=r"""
     WITH words AS (
         SELECT doc_id,
-               regexp_split_to_array(trim(text), '[ \t\n\r\f\x0B]+') AS w
+               list_filter(regexp_split_to_array(text, '[ \t\n\r\f\x0B]+'),
+                           x -> x <> '') AS w
         FROM documents
     ),
     grams AS (
@@ -1728,7 +1730,7 @@ def q160_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE g.doc_id <> r.canon
     ),
     covered AS (
-        SELECT doc_id, list(DISTINCT i ORDER BY i) AS cov
+        SELECT doc_id, list(DISTINCT i) AS cov
         FROM flagged, LATERAL unnest(generate_series(pos, pos + 7)) AS t(i)
         GROUP BY doc_id
     )

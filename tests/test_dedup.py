@@ -288,3 +288,37 @@ def test_clip_repeated_spans_canonical_keeps_text(spark):
     # doc 3: untouched but whitespace-normalized
     assert out[3].n_tokens_removed == 0
     assert out[3].clean_text == "completely unrelated text with odd spacing kept"
+
+
+def test_clip_repeated_spans_edges(spark):
+    """The edges most likely to regress: an all-clipped doc must collapse
+    to '' (not NULL), NULL text comes out as '' with 0 removed (matching
+    the DuckDB twin's coalesce), and leading/trailing non-space whitespace
+    must not leave a phantom empty token in the rebuilt text or counts."""
+    shared = "one two three four five six seven eight"  # exactly 8 tokens
+    df = spark.createDataFrame(
+        [
+            (1, f"{shared} anchor"),
+            (2, shared),  # every token covered -> clean_text ''
+            (3, None),  # NULL text
+            (4, "short trailing newline text\n"),
+            (5, "\tleading tab text"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r for r in DD.clip_repeated_spans(df, "text", "doc_id").collect()
+    }
+    assert out[2].clean_text == "" and out[2].n_tokens_removed == 8
+    assert out[3].clean_text == "" and out[3].n_tokens_removed == 0
+    assert out[4].clean_text == "short trailing newline text"
+    assert out[5].clean_text == "leading tab text"
+    # phantom '' tokens must not reach the gram windows either: a 7-token
+    # doc with a trailing newline has NO 8-token window
+    seven = "a b c d e f g\n"
+    wins = DD.repeated_ngram_windows(
+        spark.createDataFrame([(1, seven)], ["doc_id", "text"]),
+        "text",
+        "doc_id",
+    ).collect()
+    assert wins == []
