@@ -759,3 +759,275 @@ def q154_mixture_allocation(spark, sf_dir):
         .cast("long")
         .alias("epochs_needed"),
     )
+
+
+@register(
+    "q162_dsir_importance",
+    survey="ext-quality,ext-dsir,A5,J1,O1",
+    sql=r"""
+    WITH words AS (
+        SELECT doc_id, lang,
+               regexp_split_to_array(trim(text), '\s+') AS w
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    big AS (
+        SELECT doc_id, lang,
+               ('0x' || substring(md5(w[i] || ' ' || w[i+1]), 1, 8))::BIGINT
+                   % 4096 AS bucket
+        FROM words, LATERAL unnest(generate_series(1, len(w) - 1)) AS t(i)
+        WHERE len(w) >= 2
+    ),
+    bucket_cnt AS (
+        SELECT bucket,
+               count(*) AS cr,
+               count(*) FILTER (WHERE lang = 'en') AS ct
+        FROM big GROUP BY bucket
+    ),
+    tot AS (
+        SELECT count(*) AS nr,
+               count(*) FILTER (WHERE lang = 'en') AS nt
+        FROM big
+    ),
+    wt AS (
+        SELECT bucket,
+               ln(((ct + 1) / (nt + 4096)) / ((cr + 1) / (nr + 4096))) AS lw
+        FROM bucket_cnt, tot
+    )
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(w.lw), 4) AS dsir_weight
+    FROM big b JOIN wt w USING (bucket)
+    GROUP BY b.doc_id
+    ORDER BY dsir_weight DESC, b.doc_id
+    LIMIT 50
+    """,
+)
+def q162_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, "Data Selection for Language
+    Models via Importance Resampling"): score every raw document by the
+    log-likelihood ratio of a hashed-bigram bag-of-words model fit on a
+    TARGET domain (here lang='en', standing in for the paper's
+    Wikipedia+books target) vs the full RAW corpus, then keep the
+    top-weight documents.  The published recipe hashes n-gram features into
+    a fixed bucket table — that bound is what makes it a 100 TB operator:
+    however large the corpus, the model is B=4096 rows.
+
+    Plan shape: one bigram explode feeds a single conditional aggregate
+    (count + count-if-target per bucket — the corpus is scanned ONCE, not
+    once per distribution); the resulting <=4096-row weight table joins
+    back as a BROADCAST, so the per-doc scoring pass adds no shuffle beyond
+    the doc_id aggregate.  add-1 smoothing keeps unseen buckets finite.
+    Float discipline per ORACLE_PARITY.md: ln() of identically-formed
+    double ratios, rounded to 4 dp on both engines; tie-broken top-k.
+
+    Distinct from q132 (term-level keyness report) and q153 (single-corpus
+    surprisal): this is the two-distribution document-level importance
+    weight the paper resamples with."""
+    from pyspark.sql import Window as W
+
+    from coldata_spark.tables import fan_out
+
+    B = 4096
+    words = (
+        fan_out(load(spark, sf_dir, "documents"))
+        .filter(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id", "lang", F.split(F.trim("text"), r"\s+").alias("w")
+        )
+        .filter(F.size("w") >= 2)
+    )
+    big = words.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1), i -> "
+                "concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+            )
+        ).alias("bg"),
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5("bg"), 1, 8), 16, 10).cast("bigint")
+            % B
+        ).alias("bucket"),
+    )
+    is_t = F.when(F.col("lang") == "en", 1).otherwise(0)
+    bucket_cnt = big.groupBy("bucket").agg(
+        F.count("*").alias("cr"), F.sum(is_t).alias("ct")
+    )
+    tot = big.agg(F.count("*").alias("nr"), F.sum(is_t).alias("nt"))
+    wt = bucket_cnt.join(F.broadcast(tot)).select(
+        "bucket",
+        F.log(
+            ((F.col("ct") + 1) / (F.col("nt") + B))
+            / ((F.col("cr") + 1) / (F.col("nr") + B))
+        ).alias("lw"),
+    )
+    scored = (
+        big.join(F.broadcast(wt), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(F.avg("lw"), 4).alias("dsir_weight"),
+        )
+    )
+    w = W.orderBy(F.col("dsir_weight").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= 50)
+        .drop("_rk")
+    )
+
+
+@register(
+    "q163_bloom_decontaminate",
+    survey="ext-quality,ext-bloom,V6,A5,J1",
+    sql=r"""
+    WITH bench AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        FROM documents WHERE doc_id < 20
+    ),
+    cand AS (
+        SELECT c.doc_id,
+               CASE WHEN c.doc_id % 7 = 3
+                    THEN concat(c.text, ' ', array_to_string(b.w[1:8], ' '))
+                    ELSE c.text END AS t
+        FROM documents c JOIN bench b ON b.doc_id = c.doc_id % 20
+        WHERE c.doc_id >= 20
+    ),
+    bench_grams AS (
+        SELECT DISTINCT md5(array_to_string(w[i:i+7], ' ')) AS g
+        FROM bench, unnest(generate_series(1, greatest(0, len(w) - 7))) AS s(i)
+    ),
+    bloom AS (
+        SELECT DISTINCT
+               (('0x' || substring(g, 1, 8))::BIGINT
+                + i * ('0x' || substring(g, 9, 8))::BIGINT) % 262144 AS pos
+        FROM bench_grams, unnest([0, 1, 2]) AS t(i)
+    ),
+    cand_grams AS (
+        SELECT DISTINCT doc_id, md5(array_to_string(w[i:i+7], ' ')) AS g
+        FROM (SELECT doc_id, regexp_split_to_array(trim(t), '\s+') AS w
+              FROM cand),
+             unnest(generate_series(1, greatest(0, len(w) - 7))) AS s(i)
+    ),
+    probed AS (
+        SELECT cg.doc_id, cg.g
+        FROM (
+            SELECT doc_id, g,
+                   (('0x' || substring(g, 1, 8))::BIGINT
+                    + i * ('0x' || substring(g, 9, 8))::BIGINT) % 262144 AS pos
+            FROM cand_grams, unnest([0, 1, 2]) AS t(i)
+        ) cg JOIN bloom USING (pos)
+        GROUP BY cg.doc_id, cg.g
+        HAVING count(*) = 3
+    )
+    SELECT p.doc_id,
+           CAST(count(*) AS BIGINT) AS n_flagged_grams,
+           CAST(count(*) FILTER (WHERE b.g IS NOT NULL) AS BIGINT)
+               AS n_exact_grams,
+           CAST(count(*) FILTER (WHERE b.g IS NULL) AS BIGINT)
+               AS n_false_pos
+    FROM probed p LEFT JOIN bench_grams b USING (g)
+    GROUP BY p.doc_id
+    """,
+)
+def q163_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination through a BLOOM FILTER instead of q95's
+    direct n-gram join — the 100 TB shape: the benchmark suite's 8-gram
+    set compresses to an m=2^18-bit filter with k=3 Kirsch-Mitzenmacher
+    hash functions (pos_i = h1 + i*h2 mod m, the same double-hash family
+    the MinHash operator uses), and the corpus probe is then a
+    BROADCAST-side lookup — no shuffle of the 100 TB side on gram keys,
+    which is what q95's equi-join costs when the benchmark set is large.
+
+    A gram is flagged iff ALL k positions hit; the report splits flags
+    into exact matches vs Bloom FALSE POSITIVES (n_false_pos), which is
+    both the operator's acceptance test and the capacity-planning signal
+    (FP rate ~ (1 - e^{-kn/m})^k).  Everything is integer md5 arithmetic,
+    so the false-positive set itself is bit-exact across engines — the
+    oracle checks the filter's actual collision behavior, not just its
+    happy path.  Contaminated candidates are planted like q95 (doc_id%7==3
+    gets a benchmark 8-token span appended).
+
+    Production note: here the filter is a <=3n-row distinct-position table
+    fed to a broadcast hash join; packing those positions into a long[]
+    bitmap (Spark's own BloomFilterAggregate does exactly this) changes
+    the constant factor, not the plan shape — the semantics stay the
+    verified ones."""
+    from coldata_spark.tables import fan_out
+
+    M, K = 262144, 3
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    bench = docs.filter(F.col("doc_id") < 20).select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("w")
+    )
+    cand = (
+        docs.filter(F.col("doc_id") >= 20)
+        .join(
+            bench.select(
+                F.col("doc_id").alias("_bid"),
+                F.concat_ws(" ", F.slice("w", 1, 8)).alias("_span"),
+            ),
+            F.col("_bid") == F.col("doc_id") % 20,
+        )
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 3,
+                F.concat_ws(" ", F.col("text"), F.col("_span")),
+            )
+            .otherwise(F.col("text"))
+            .alias("t"),
+        )
+    )
+
+    def grams(df, text_col):
+        return df.select(
+            *[c for c in df.columns if c != text_col],
+            F.split(F.trim(text_col), r"\s+").alias("w"),
+        ).select(
+            *[c for c in df.columns if c != text_col],
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(0, size(w) - 7)), "
+                    "i -> md5(concat_ws(' ', slice(w, i, 8))))"
+                )
+            ).alias("g"),
+        )
+
+    bench_grams = grams(bench.select("doc_id", F.concat_ws(" ", "w").alias("t")), "t").select("g").distinct()
+    h1 = F.conv(F.substring("g", 1, 8), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring("g", 9, 8), 16, 10).cast("bigint")
+    ks = F.explode(F.array(*[F.lit(i) for i in range(K)])).alias("i")
+    bloom = (
+        bench_grams.select("g", ks)
+        .select(((h1 + F.col("i") * h2) % M).alias("pos"))
+        .distinct()
+    )
+    cand_grams = grams(cand, "t").distinct()
+    probed = (
+        cand_grams.select("doc_id", "g", ks)
+        .select("doc_id", "g", ((h1 + F.col("i") * h2) % M).alias("pos"))
+        .join(F.broadcast(bloom), "pos")
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("_hits"))
+        .filter(F.col("_hits") == K)
+        .select("doc_id", "g")
+    )
+    exact = bench_grams.select("g", F.lit(1).alias("_ex"))
+    return (
+        probed.join(F.broadcast(exact), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_flagged_grams"),
+            F.sum(F.when(F.col("_ex").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_exact_grams"),
+            F.sum(F.when(F.col("_ex").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_false_pos"),
+        )
+    )
