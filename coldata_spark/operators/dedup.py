@@ -960,3 +960,246 @@ def embedding_neardup_pairs(
         pairs.select("id_a", "id_b", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def semantic_dedup_exact(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    thresh_num: int = 80,
+    thresh_den: int = 100,
+    quant: int = 1000,
+    seed: int = 7,
+    dim: int = 64,
+    force: bool = False,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication") with a bit-exact
+    cross-engine contract (pair with ``semdedup_sql`` for the oracle):
+    cluster embeddings, compare pairs ONLY within a cluster, and for every
+    pair above the cosine threshold keep the member with the LOWEST
+    similarity to its cluster centroid (the paper's keep-the-outlier rule
+    — the retained example carries the most marginal information),
+    dropping the other.
+
+    Determinism choices, mirroring embedding_neardup_lsh_exact:
+      * vectors quantize to ``floor(x * quant)`` int64;
+      * centroids are the md5-derived integer direction family
+        (``seed`` selects it) rather than k-means iterates — the operator
+        is the within-cluster prune; any centroid table (e.g. build_ivf's
+        k-means output) can replace them in production, this fixed family
+        is what makes the oracle reproducible;
+      * assignment = argmax_j dot_int(q, c_j), ties to the smaller j;
+      * the cosine >= thresh test and the lower-centroid-similarity
+        keep rule are cross-multiplied into pure integers (decimal(38,0)
+        headroom), sign-split so negative dots order correctly;
+      * cos ties inside a dup pair keep the smaller vec_id.
+
+    Returns every input row as (vec_id, cell, cdot, norm_q, kept 0/1) —
+    the full census, so the oracle checks both survivors and drops.
+
+    Scale shape: centroid scoring broadcasts ``n_clusters`` constant rows
+    (one pass, no shuffle); the prune joins pairs within cells only —
+    quadratic in the CELL size, which is the SemDeDup design point (the
+    paper runs k ~ n/5000 so cells stay bounded; the refuse_at_scale gate
+    scales with n_clusters accordingly)."""
+    from coldata_spark.operators.similarity import (
+        QUADRATIC_GATE_BYTES,
+        refuse_at_scale,
+    )
+    from coldata_spark.functions import vector as V
+    from coldata_spark.tables import fan_out
+
+    refuse_at_scale(
+        emb,
+        "semantic_dedup_exact",
+        "Raise n_clusters so the per-cell pair count stays bounded "
+        "(the paper's k ~ n/5000).",
+        force,
+        QUADRATIC_GATE_BYTES * n_clusters,
+    )
+    spark = emb.sparkSession
+    quantized = F.transform(
+        V.as_double(F.col(vec_col)),
+        lambda x: F.floor(x * F.lit(quant)).cast("bigint"),
+    )
+    qv = fan_out(emb).select(
+        F.col(id_col).alias("vec_id"),
+        F.when(F.size(F.col(vec_col)) == dim, quantized)
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("semantic_dedup_exact: vector length "),
+                    F.size(F.col(vec_col)).cast("string"),
+                    F.lit(f" != dim={dim}"),
+                )
+            )
+        )
+        .alias("q"),
+    )
+    cent = spark.range(n_clusters).select(
+        F.col("id").cast("int").alias("j"),
+        F.expr(
+            f"transform(sequence(1, {dim}), i -> "
+            f"(cast(conv(substring(md5(concat(cast(id + {seed} as string), "
+            "'_', cast(i as string))), 1, 8), 16, 10) as bigint)"
+            " % 2001) - 1000)"
+        ).alias("c"),
+    )
+    scored = qv.join(F.broadcast(cent)).select(
+        "vec_id",
+        "q",
+        "j",
+        _idot(F.col("q"), F.col("c")).alias("dc"),
+        _idot(F.col("q"), F.col("q")).alias("nq"),
+    )
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy("vec_id").orderBy(F.col("dc").desc(), F.col("j"))
+    )
+    assigned = (
+        scored.withColumn("_rn", rn)
+        .filter(F.col("_rn") == 1)
+        .select(
+            "vec_id",
+            "q",
+            F.col("j").alias("cell"),
+            F.col("dc").alias("cdot"),
+            F.col("nq").alias("norm_q"),
+        )
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("ia"), F.col("q").alias("qa"), "cell",
+        F.col("cdot").alias("ca"), F.col("norm_q").alias("na"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("ib"), F.col("q").alias("qb"), "cell",
+        F.col("cdot").alias("cb"), F.col("norm_q").alias("nb"),
+    )
+    dec = "decimal(38,0)"
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("ia") < F.col("ib"))
+        .select(
+            "ia", "ib", "ca", "cb", "na", "nb",
+            _idot(F.col("qa"), F.col("qb")).alias("dab"),
+        )
+    )
+    num2, den2 = thresh_num * thresh_num, thresh_den * thresh_den
+    dups = pairs.filter(
+        (F.col("dab") > 0)
+        & (
+            F.col("dab").cast(dec) * F.col("dab").cast(dec) * den2
+            >= F.col("na").cast(dec) * F.col("nb").cast(dec) * num2
+        )
+    )
+    # cos-to-centroid comparison, sign-split and cross-multiplied:
+    # cos_a > cos_b  <=>  higher similarity to the shared centroid
+    A2 = F.col("ca").cast(dec) * F.col("ca").cast(dec) * F.col("nb").cast(dec)
+    B2 = F.col("cb").cast(dec) * F.col("cb").cast(dec) * F.col("na").cast(dec)
+    a_pos, b_pos = F.col("ca") >= 0, F.col("cb") >= 0
+    loser = (
+        F.when(a_pos & ~b_pos, F.col("ia"))
+        .when(b_pos & ~a_pos, F.col("ib"))
+        .when(a_pos & b_pos & (A2 > B2), F.col("ia"))
+        .when(a_pos & b_pos & (A2 < B2), F.col("ib"))
+        .when(~a_pos & ~b_pos & (A2 < B2), F.col("ia"))
+        .when(~a_pos & ~b_pos & (A2 > B2), F.col("ib"))
+        .otherwise(F.greatest(F.col("ia"), F.col("ib")))
+    )
+    losers = dups.select(loser.alias("vec_id")).distinct()
+    return assigned.join(
+        losers.select("vec_id", F.lit(1).alias("_drop")), "vec_id", "left"
+    ).select(
+        "vec_id",
+        "cell",
+        "cdot",
+        "norm_q",
+        F.when(F.col("_drop").isNull(), 1).otherwise(0).cast("int").alias("kept"),
+    )
+
+
+def semdedup_sql(
+    base_cte: str,
+    n_clusters: int = 16,
+    thresh_num: int = 80,
+    thresh_den: int = 100,
+    quant: int = 1000,
+    seed: int = 7,
+    dim: int = 64,
+) -> str:
+    """DuckDB oracle for semantic_dedup_exact, generated from the SAME
+    parameters so the two engines cannot drift.  ``base_cte`` must select
+    (vec_id, e DOUBLE[])."""
+    num2, den2 = thresh_num * thresh_num, thresh_den * thresh_den
+    return f"""
+    WITH base AS ({base_cte}),
+    qv AS (
+        SELECT vec_id,
+               list_transform(e, x -> CAST(floor(x * {quant}) AS BIGINT)) AS q
+        FROM base
+    ),
+    cent AS (
+        SELECT CAST(j AS INTEGER) AS j,
+               list_transform(generate_series(1, {dim}), i ->
+                   ((('0x' || substring(md5((j + {seed})::VARCHAR || '_'
+                                        || i::VARCHAR),
+                                        1, 8))::BIGINT % 2001) - 1000)
+               ) AS c
+        FROM generate_series(0, {n_clusters - 1}) t(j)
+    ),
+    scored AS (
+        SELECT vec_id, j,
+               CAST(list_dot_product(q, c) AS BIGINT) AS dc,
+               CAST(list_dot_product(q, q) AS BIGINT) AS nq
+        FROM qv, cent
+    ),
+    assigned AS (
+        SELECT vec_id, j AS cell, dc AS cdot, nq AS norm_q
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY dc DESC, j) AS rn
+              FROM scored)
+        WHERE rn = 1
+    ),
+    pairs AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib,
+               a.cdot AS ca, b.cdot AS cb,
+               a.norm_q AS na, b.norm_q AS nb,
+               CAST(list_dot_product(qa.q, qb.q) AS BIGINT) AS dab
+        FROM assigned a
+        JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        JOIN qv qa ON qa.vec_id = a.vec_id
+        JOIN qv qb ON qb.vec_id = b.vec_id
+    ),
+    dups AS (
+        SELECT * FROM pairs
+        WHERE dab > 0
+          AND CAST(dab AS HUGEINT) * dab * {den2}
+              >= CAST(na AS HUGEINT) * nb * {num2}
+    ),
+    losers AS (
+        SELECT DISTINCT CASE
+            WHEN ca >= 0 AND cb < 0 THEN ia
+            WHEN cb >= 0 AND ca < 0 THEN ib
+            WHEN ca >= 0 AND cb >= 0
+                 AND CAST(ca AS HUGEINT) * ca * nb
+                     > CAST(cb AS HUGEINT) * cb * na THEN ia
+            WHEN ca >= 0 AND cb >= 0
+                 AND CAST(ca AS HUGEINT) * ca * nb
+                     < CAST(cb AS HUGEINT) * cb * na THEN ib
+            WHEN ca < 0 AND cb < 0
+                 AND CAST(ca AS HUGEINT) * ca * nb
+                     < CAST(cb AS HUGEINT) * cb * na THEN ia
+            WHEN ca < 0 AND cb < 0
+                 AND CAST(ca AS HUGEINT) * ca * nb
+                     > CAST(cb AS HUGEINT) * cb * na THEN ib
+            ELSE greatest(ia, ib) END AS vec_id
+        FROM dups
+    )
+    SELECT a.vec_id, a.cell, a.cdot, a.norm_q,
+           CAST(CASE WHEN l.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER)
+               AS kept
+    FROM assigned a LEFT JOIN losers l USING (vec_id)
+    """

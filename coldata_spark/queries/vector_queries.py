@@ -984,3 +984,29 @@ def q156_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         exclude_self=True,
         score_range=(None, 0.8),
     )
+
+
+@register(
+    "q164_semantic_dedup",
+    survey="V6,ext-embedding-dedup,ext-semdedup",
+    sql=DD.semdedup_sql(
+        _PLANTED_BASE_SQL, n_clusters=16, thresh_num=80, thresh_den=100,
+        seed=7,
+    ),
+)
+def q164_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/dedup.py semantic_dedup_exact): cluster-then-
+    prune semantic deduplication — embeddings are assigned to 16
+    deterministic centroid directions, pairwise cosine runs ONLY within a
+    cluster, and each >=0.80 pair keeps its lower-centroid-similarity
+    member (Abbas et al. 2023's keep-the-outlier rule).  The planted
+    near-dups (_PLANTED_BASE_SQL) guarantee drops exist; the output is the
+    full per-vector census (cell, integer centroid dot, norm, kept 0/1),
+    value-hashed against the generated DuckDB twin so the assignment,
+    the pair test, AND the keep rule are all oracle-checked.
+
+    Completes the dedup ladder's semantic rung: q152/q39 find pairwise
+    near-dups by hyperplane LSH; this op makes the corpus-level KEEP/DROP
+    decision the way the published pipeline does (cluster-bounded
+    quadratic, k scaling with n — never all-pairs)."""
+    return DD.semantic_dedup_exact(_planted_base(spark, sf_dir), vec_col="e")

@@ -322,3 +322,45 @@ def test_clip_repeated_spans_edges(spark):
         "doc_id",
     ).collect()
     assert wins == []
+
+
+def test_semantic_dedup_keep_rule(spark):
+    """SemDeDup keeps the LOWER-centroid-similarity member of a dup pair
+    (the paper's keep-the-outlier rule) and leaves singletons alone.  The
+    fixture derives centroid 0 from the same md5 family as the operator,
+    aligns two near-duplicate vectors with it — one strictly closer to the
+    centroid — and plants one unrelated singleton."""
+    import hashlib
+
+    import numpy as np
+
+    seed, dim = 7, 64
+    c0 = np.array(
+        [
+            (int(hashlib.md5(f"{0 + seed}_{i}".encode()).hexdigest()[:8], 16)
+             % 2001) - 1000
+            for i in range(1, dim + 1)
+        ],
+        dtype=float,
+    )
+    u = c0 / np.linalg.norm(c0)
+    rng = np.random.default_rng(3)
+    perp = rng.standard_normal(dim)
+    perp -= perp @ u * u
+    perp /= np.linalg.norm(perp)
+    a = 0.5 * u                      # perfectly aligned with centroid 0
+    b = 0.5 * (0.95 * u + 0.05 * perp)  # same direction, slightly off-axis
+    lone = 0.5 * perp                # unrelated singleton
+    assert (a @ b) / (np.linalg.norm(a) * np.linalg.norm(b)) > 0.95
+    df = spark.createDataFrame(
+        [(1, [float(x) for x in a]),
+         (2, [float(x) for x in b]),
+         (3, [float(x) for x in lone])],
+        "vec_id bigint, e array<double>",
+    )
+    out = {r.vec_id: r for r in DD.semantic_dedup_exact(df, vec_col="e").collect()}
+    assert out[1].cell == 0 and out[2].cell == 0
+    # vec 1 hugs the centroid -> dropped; vec 2 is the outlier -> kept
+    assert out[1].kept == 0
+    assert out[2].kept == 1
+    assert out[3].kept == 1
