@@ -65,8 +65,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # q57_shipmode_priority_matrix, whose J1/A5 tags stay covered by
     # q01/q02/q06)
     "q159_incremental_neardup",
+    # Semantic dedup (SemDeDup cluster-then-prune; r5 — displaced
+    # q20_chunk_documents, whose T5/W2 tags stay covered by q55/q42)
+    "q164_semantic_dedup",
     # Text / LLM-pipeline layer
-    "q20_chunk_documents",
     "q21_text_stats",
     "q22_lang_id",
     "q28_join_content",
@@ -78,7 +80,12 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q114_hll_distinct",
     "q115_cms_heavy_hitters",
     "q101_url_canonical_dedup",
-    "q103_quality_classifier",
+    # Data-selection + decontamination reps (r5 — q162 displaced
+    # q103_quality_classifier whose ext-quality/A5 stay covered by
+    # q21/q87; q163 displaced q51_image_resize_pipeline whose
+    # ext-multimodal-image stays covered by q50)
+    "q162_dsir_importance",
+    "q163_bloom_decontaminate",
     # Events / time-series layer
     "q41_events_json_props",
     "q112_gapfill_locf",
@@ -88,7 +95,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q63_top_terms",
     # Multimodal layer
     "q50_image_features",
-    "q51_image_resize_pipeline",
     "q52_audio_features",
     "q111_video_frame_sample",
     # Relational layer — minimal set covering the remaining SURVEY ops
