@@ -1019,7 +1019,6 @@ def semantic_dedup_exact(
         force,
         QUADRATIC_GATE_BYTES * n_clusters,
     )
-    spark = emb.sparkSession
     quantized = F.transform(
         V.as_double(F.col(vec_col)),
         lambda x: F.floor(x * F.lit(quant)).cast("bigint"),
@@ -1038,37 +1037,47 @@ def semantic_dedup_exact(
         )
         .alias("q"),
     )
-    cent = spark.range(n_clusters).select(
-        F.col("id").cast("int").alias("j"),
-        F.expr(
-            f"transform(sequence(1, {dim}), i -> "
-            f"(cast(conv(substring(md5(concat(cast(id + {seed} as string), "
-            "'_', cast(i as string))), 1, 8), 16, 10) as bigint)"
-            " % 2001) - 1000)"
-        ).alias("c"),
+    # Centroids are md5-derived, so they can be computed DRIVER-SIDE (the
+    # same arithmetic hashlib.md5 / Spark md5 / DuckDB md5 all agree on)
+    # and inlined as n_clusters x dim integer literals: assignment becomes
+    # one shuffle-free map-side projection — no join, no n x k explode, no
+    # per-vector window (the assign_to_centroids trick, ivf.py:79).
+    import hashlib
+
+    cent_lits = []
+    for j in range(n_clusters):
+        w = [
+            (
+                int(
+                    hashlib.md5(f"{j + seed}_{i}".encode()).hexdigest()[:8],
+                    16,
+                )
+                % 2001
+            )
+            - 1000
+            for i in range(1, dim + 1)
+        ]
+        cent_lits.append(
+            F.struct(
+                F.lit(j).alias("j"),
+                F.array(*[F.lit(x).cast("bigint") for x in w]).alias("c"),
+            )
+        )
+    arr = F.array(*cent_lits)
+    # struct max orders by (dc, -j): highest dot, ties to the smallest j
+    scored = F.transform(
+        arr,
+        lambda c: F.struct(
+            _idot(F.col("q"), c["c"]).alias("dc"), (-c["j"]).alias("t")
+        ),
     )
-    scored = qv.join(F.broadcast(cent)).select(
+    best = F.array_max(scored)
+    assigned = qv.select(
         "vec_id",
         "q",
-        "j",
-        _idot(F.col("q"), F.col("c")).alias("dc"),
-        _idot(F.col("q"), F.col("q")).alias("nq"),
-    )
-    from pyspark.sql import Window as W
-
-    rn = F.row_number().over(
-        W.partitionBy("vec_id").orderBy(F.col("dc").desc(), F.col("j"))
-    )
-    assigned = (
-        scored.withColumn("_rn", rn)
-        .filter(F.col("_rn") == 1)
-        .select(
-            "vec_id",
-            "q",
-            F.col("j").alias("cell"),
-            F.col("dc").alias("cdot"),
-            F.col("nq").alias("norm_q"),
-        )
+        (-best["t"]).cast("int").alias("cell"),
+        best["dc"].alias("cdot"),
+        _idot(F.col("q"), F.col("q")).alias("norm_q"),
     )
     a = assigned.select(
         F.col("vec_id").alias("ia"), F.col("q").alias("qa"), "cell",

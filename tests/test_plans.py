@@ -319,3 +319,38 @@ def test_incremental_neardup_corpus_never_shuffles(spark, sf_dir, tmp_path):
                         f"cap={cap}: corpus scan ({sid}) is exchanged "
                         f"before its join: {node.strip()}"
                     )
+
+
+def test_semantic_dedup_assignment_shuffle_free(spark, sf_dir):
+    """semantic_dedup_exact's centroid assignment must stay a map-side
+    literal-array projection: no Window (the old n x k explode + per-vector
+    row_number), no nested-loop join against a centroid table.  The only
+    exchanges allowed are the algorithmic ones — the within-cell pair join
+    and the losers dedup/join-back."""
+    from coldata_spark.operators import dedup as DD
+    from coldata_spark.queries.vector_queries import _planted_base
+
+    plan = plan_of(
+        DD.semantic_dedup_exact(_planted_base(spark, sf_dir), vec_col="e")
+    )
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_dsir_weight_table_broadcasts(spark, sf_dir):
+    """q162's 4096-bucket weight table must come back as a broadcast: the
+    corpus-side bigram stream is never shuffled on bucket."""
+    plan = plan_of(
+        registry.specs()["q162_dsir_importance"].fn(spark, sf_dir)
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bloom_probe_broadcasts(spark, sf_dir):
+    """q163's Bloom position set and exact-gram set must broadcast; the
+    candidate gram stream must not exchange on pos or gram."""
+    plan = plan_of(
+        registry.specs()["q163_bloom_decontaminate"].fn(spark, sf_dir)
+    )
+    assert plan.count("BroadcastHashJoin") >= 2
