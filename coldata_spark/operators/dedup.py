@@ -1008,8 +1008,6 @@ def semantic_dedup_exact(
         QUADRATIC_GATE_BYTES,
         refuse_at_scale,
     )
-    from coldata_spark.functions import vector as V
-    from coldata_spark.tables import fan_out
 
     refuse_at_scale(
         emb,
@@ -1019,6 +1017,39 @@ def semantic_dedup_exact(
         force,
         QUADRATIC_GATE_BYTES * n_clusters,
     )
+    assigned = _semdedup_assign(
+        emb, id_col, vec_col, n_clusters, quant, seed, dim
+    )
+    pairs = _semdedup_pairs(
+        _pair_side(assigned, "a"), _pair_side(assigned, "b")
+    ).filter(F.col("ia") < F.col("ib"))
+    losers = _semdedup_losers(pairs, thresh_num, thresh_den)
+    return _apply_losers(assigned, losers)
+
+
+_DEC = "decimal(38,0)"
+
+
+def _semdedup_assign(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int,
+    quant: int,
+    seed: int,
+    dim: int,
+) -> DataFrame:
+    """(vec_id, q, cell, cdot, norm_q): quantize + shuffle-free centroid
+    assignment.  Centroids are md5-derived, so they can be computed
+    DRIVER-SIDE (the same arithmetic hashlib.md5 / Spark md5 / DuckDB md5
+    all agree on) and inlined as n_clusters x dim integer literals:
+    assignment is one map-side projection — no join, no n x k explode, no
+    per-vector window (the assign_to_centroids trick, ivf.py:79)."""
+    import hashlib
+
+    from coldata_spark.functions import vector as V
+    from coldata_spark.tables import fan_out
+
     quantized = F.transform(
         V.as_double(F.col(vec_col)),
         lambda x: F.floor(x * F.lit(quant)).cast("bigint"),
@@ -1029,7 +1060,7 @@ def semantic_dedup_exact(
         .otherwise(
             F.raise_error(
                 F.concat(
-                    F.lit("semantic_dedup_exact: vector length "),
+                    F.lit("semantic_dedup: vector length "),
                     F.size(F.col(vec_col)).cast("string"),
                     F.lit(f" != dim={dim}"),
                 )
@@ -1037,13 +1068,6 @@ def semantic_dedup_exact(
         )
         .alias("q"),
     )
-    # Centroids are md5-derived, so they can be computed DRIVER-SIDE (the
-    # same arithmetic hashlib.md5 / Spark md5 / DuckDB md5 all agree on)
-    # and inlined as n_clusters x dim integer literals: assignment becomes
-    # one shuffle-free map-side projection — no join, no n x k explode, no
-    # per-vector window (the assign_to_centroids trick, ivf.py:79).
-    import hashlib
-
     cent_lits = []
     for j in range(n_clusters):
         w = [
@@ -1072,42 +1096,57 @@ def semantic_dedup_exact(
         ),
     )
     best = F.array_max(scored)
-    assigned = qv.select(
+    return qv.select(
         "vec_id",
         "q",
         (-best["t"]).cast("int").alias("cell"),
         best["dc"].alias("cdot"),
         _idot(F.col("q"), F.col("q")).alias("norm_q"),
     )
-    a = assigned.select(
-        F.col("vec_id").alias("ia"), F.col("q").alias("qa"), "cell",
-        F.col("cdot").alias("ca"), F.col("norm_q").alias("na"),
+
+
+def _pair_side(assigned: DataFrame, side: str) -> DataFrame:
+    """Project an assignment census onto one side of a pair join."""
+    s = side
+    return assigned.select(
+        F.col("vec_id").alias(f"i{s}"),
+        F.col("q").alias(f"q{s}"),
+        "cell",
+        F.col("cdot").alias(f"c{s}"),
+        F.col("norm_q").alias(f"n{s}"),
     )
-    b = assigned.select(
-        F.col("vec_id").alias("ib"), F.col("q").alias("qb"), "cell",
-        F.col("cdot").alias("cb"), F.col("norm_q").alias("nb"),
+
+
+def _semdedup_pairs(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Within-cell pairs with the integer pair dot; caller filters/orders
+    the id relationship (self-join dedup vs cross-corpus pairing)."""
+    return a.join(b, "cell").select(
+        "ia", "ib", "ca", "cb", "na", "nb",
+        _idot(F.col("qa"), F.col("qb")).alias("dab"),
     )
-    dec = "decimal(38,0)"
-    pairs = (
-        a.join(b, "cell")
-        .filter(F.col("ia") < F.col("ib"))
-        .select(
-            "ia", "ib", "ca", "cb", "na", "nb",
-            _idot(F.col("qa"), F.col("qb")).alias("dab"),
-        )
-    )
+
+
+def _semdedup_losers(
+    pairs: DataFrame, thresh_num: int, thresh_den: int
+) -> DataFrame:
+    """Distinct loser vec_ids: for each pair above the cosine threshold,
+    the member with the HIGHER similarity to the shared centroid
+    (SemDeDup keeps the outlier); cos ties drop the larger vec_id.
+    Sign-split integer cross-multiplication throughout."""
     num2, den2 = thresh_num * thresh_num, thresh_den * thresh_den
     dups = pairs.filter(
         (F.col("dab") > 0)
         & (
-            F.col("dab").cast(dec) * F.col("dab").cast(dec) * den2
-            >= F.col("na").cast(dec) * F.col("nb").cast(dec) * num2
+            F.col("dab").cast(_DEC) * F.col("dab").cast(_DEC) * den2
+            >= F.col("na").cast(_DEC) * F.col("nb").cast(_DEC) * num2
         )
     )
-    # cos-to-centroid comparison, sign-split and cross-multiplied:
-    # cos_a > cos_b  <=>  higher similarity to the shared centroid
-    A2 = F.col("ca").cast(dec) * F.col("ca").cast(dec) * F.col("nb").cast(dec)
-    B2 = F.col("cb").cast(dec) * F.col("cb").cast(dec) * F.col("na").cast(dec)
+    A2 = (
+        F.col("ca").cast(_DEC) * F.col("ca").cast(_DEC) * F.col("nb").cast(_DEC)
+    )
+    B2 = (
+        F.col("cb").cast(_DEC) * F.col("cb").cast(_DEC) * F.col("na").cast(_DEC)
+    )
     a_pos, b_pos = F.col("ca") >= 0, F.col("cb") >= 0
     loser = (
         F.when(a_pos & ~b_pos, F.col("ia"))
@@ -1118,7 +1157,13 @@ def semantic_dedup_exact(
         .when(~a_pos & ~b_pos & (A2 > B2), F.col("ib"))
         .otherwise(F.greatest(F.col("ia"), F.col("ib")))
     )
-    losers = dups.select(loser.alias("vec_id")).distinct()
+    return dups.select(loser.alias("vec_id")).distinct()
+
+
+def _apply_losers(assigned: DataFrame, losers: DataFrame) -> DataFrame:
+    # plain left join: the loser set can be a large fraction of the corpus
+    # (near-dup-heavy crawls), so forcing a broadcast here would be wrong —
+    # AQE picks one when the set is actually small
     return assigned.join(
         losers.select("vec_id", F.lit(1).alias("_drop")), "vec_id", "left"
     ).select(
@@ -1128,6 +1173,124 @@ def semantic_dedup_exact(
         "norm_q",
         F.when(F.col("_drop").isNull(), 1).otherwise(0).cast("int").alias("kept"),
     )
+
+
+def semdedup_census(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    thresh_num: int = 80,
+    thresh_den: int = 100,
+    quant: int = 1000,
+    seed: int = 7,
+    dim: int = 64,
+    force: bool = False,
+) -> DataFrame:
+    """semantic_dedup_exact WITH the quantized vector column retained —
+    (vec_id, q, cell, cdot, norm_q, kept).  This is the layout to PERSIST
+    (partitioned by cell) as the corpus state that
+    ``semantic_dedup_incremental`` folds new batches against: the pair
+    dots of future folds need ``q``, and cell-partitioned storage keeps
+    the fold's corpus side shuffle-free."""
+    from coldata_spark.operators.similarity import (
+        QUADRATIC_GATE_BYTES,
+        refuse_at_scale,
+    )
+
+    refuse_at_scale(
+        emb,
+        "semdedup_census",
+        "Raise n_clusters so the per-cell pair count stays bounded "
+        "(the paper's k ~ n/5000).",
+        force,
+        QUADRATIC_GATE_BYTES * n_clusters,
+    )
+    assigned = _semdedup_assign(
+        emb, id_col, vec_col, n_clusters, quant, seed, dim
+    )
+    pairs = _semdedup_pairs(
+        _pair_side(assigned, "a"), _pair_side(assigned, "b")
+    ).filter(F.col("ia") < F.col("ib"))
+    losers = _semdedup_losers(pairs, thresh_num, thresh_den)
+    return assigned.join(
+        losers.select("vec_id", F.lit(1).alias("_drop")), "vec_id", "left"
+    ).select(
+        "vec_id",
+        "q",
+        "cell",
+        "cdot",
+        "norm_q",
+        F.when(F.col("_drop").isNull(), 1).otherwise(0).cast("int").alias("kept"),
+    )
+
+
+def semantic_dedup_incremental(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    thresh_num: int = 80,
+    thresh_den: int = 100,
+    quant: int = 1000,
+    seed: int = 7,
+    dim: int = 64,
+) -> DataFrame:
+    """Fold a NEW BATCH of vectors into a persisted SemDeDup corpus
+    census (``semdedup_census`` output: vec_id, q, cell, cdot, norm_q,
+    kept) and return the updated census of corpus + batch — PROVABLY
+    identical to rerunning ``semantic_dedup_exact`` on the union.
+
+    Why the equivalence is exact: the keep rule is pairwise (x drops iff
+    it loses ANY above-threshold pair, regardless of whether its beater
+    itself survives), so the union's loser set decomposes into
+    corpus-internal losers (already recorded in the persisted census —
+    unchanged by the batch) plus losers of the NEW pairs (batch x corpus
+    and batch x batch).  The fold therefore only scores new pairs:
+      * batch vec_ids must be disjoint from corpus vec_ids;
+      * batch docs pair against ALL corpus rows in their cell — including
+        already-dropped ones, which can still beat a batch doc (dropping
+        them from the join would diverge from the rebuild);
+      * a KEPT corpus row that loses to a batch doc flips to kept=0
+        (the batch "displaces" it, exactly as a rebuild would).
+
+    Scale shape (the q159 incremental-near-dup contract, semantic rung):
+    the batch assigns cells in one shuffle-free map pass, then BROADCASTS
+    into the corpus's cells — the billion-vector corpus is scanned once
+    and NEVER re-shuffled (plan-gated in tests/test_plans.py); batch-
+    internal pairs are a self-join of the small side only."""
+    batch_assigned = _semdedup_assign(
+        batch, id_col, vec_col, n_clusters, quant, seed, dim
+    )
+    corpus_a = _pair_side(
+        corpus.select("vec_id", "q", "cell", "cdot", "norm_q"), "a"
+    )
+    batch_b = F.broadcast(_pair_side(batch_assigned, "b"))
+    cross = _semdedup_pairs(corpus_a, batch_b)
+    batch_self = _semdedup_pairs(
+        _pair_side(batch_assigned, "a"), batch_b
+    ).filter(F.col("ia") < F.col("ib"))
+    # new-pair losers are bounded by batch-adjacent pairs (each involves a
+    # batch row), so unlike the full-rebuild path they are always small
+    # relative to the corpus — broadcast them so the kept-flag update joins
+    # never exchange the census
+    losers = F.broadcast(
+        _semdedup_losers(cross.unionByName(batch_self), thresh_num, thresh_den)
+    )
+    updated_corpus = corpus.join(
+        losers.select("vec_id", F.lit(1).alias("_drop")), "vec_id", "left"
+    ).select(
+        "vec_id",
+        "cell",
+        "cdot",
+        "norm_q",
+        F.when(F.col("_drop").isNotNull(), 0)
+        .otherwise(F.col("kept"))
+        .cast("int")
+        .alias("kept"),
+    )
+    return updated_corpus.unionByName(_apply_losers(batch_assigned, losers))
 
 
 def semdedup_sql(

@@ -1010,3 +1010,38 @@ def q164_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     decision the way the published pipeline does (cluster-bounded
     quadratic, k scaling with n — never all-pairs)."""
     return DD.semantic_dedup_exact(_planted_base(spark, sf_dir), vec_col="e")
+
+
+@register(
+    "q165_semantic_dedup_incremental",
+    survey="V6,R2,ext-semdedup",
+    sql=DD.semdedup_sql(
+        _PLANTED_BASE_SQL, n_clusters=16, thresh_num=80, thresh_den=100,
+        seed=7,
+    ),
+)
+def q165_semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup (operators/dedup.py semantic_dedup_incremental):
+    the daily-production form — fold a new batch (the planted scaled
+    vectors) into a PERSISTED corpus census without recomputing or
+    re-shuffling the corpus.  The pairwise keep rule makes the fold
+    provably identical to a full rebuild on the union, so the oracle IS
+    q164's full-rebuild SQL on the planted base: the driver hash-checks
+    that the incremental code path (census + broadcast batch fold,
+    corpus scanned once) reproduces the rebuild bit-for-bit — including
+    corpus rows the batch newly displaces.
+
+    Scale contract (plan-gated): batch assigns cells map-side and
+    broadcasts into the corpus's cells; the corpus side has no Exchange —
+    the semantic rung of q159's incremental-near-dup design."""
+    from coldata_spark.functions import vector as V
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", V.as_double(F.col("embedding")).alias("e")
+    )
+    batch = emb.filter(F.expr("vec_id % 50 = 0")).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(F.col("e"), lambda x: x * F.lit(1.01)).alias("e"),
+    )
+    census = DD.semdedup_census(emb, vec_col="e")
+    return DD.semantic_dedup_incremental(census, batch, vec_col="e")

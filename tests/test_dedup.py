@@ -364,3 +364,49 @@ def test_semantic_dedup_keep_rule(spark):
     assert out[1].kept == 0
     assert out[2].kept == 1
     assert out[3].kept == 1
+
+
+def test_semantic_dedup_incremental_equals_rebuild(spark, tmp_path):
+    """Property: folding a batch into a persisted census is bit-identical
+    to rerunning the full rebuild on corpus+batch — including corpus rows
+    the batch displaces (a batch doc closer to no centroid... rather,
+    farther from the centroid than a kept corpus near-dup must flip that
+    corpus row to kept=0)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    dim = 64
+    base = rng.standard_normal((40, dim)) * 0.3
+    corpus_rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    # batch: clones of corpus vectors (some closer to, some farther from
+    # their centroid via small radial scaling) + fresh singletons
+    batch_rows = []
+    for i in range(0, 40, 5):
+        batch_rows.append((1000 + i, [float(x) for x in base[i] * 1.02]))
+    fresh = rng.standard_normal((5, dim)) * 0.3
+    batch_rows += [(2000 + i, [float(x) for x in fresh[i]]) for i in range(5)]
+    schema = "vec_id bigint, e array<double>"
+    corpus = spark.createDataFrame(corpus_rows, schema)
+    batch = spark.createDataFrame(batch_rows, schema)
+
+    kw = dict(vec_col="e", n_clusters=8, thresh_num=90, thresh_den=100)
+    rebuild = {
+        r.vec_id: r
+        for r in DD.semantic_dedup_exact(corpus.unionByName(batch), **kw).collect()
+    }
+    cpath = str(tmp_path / "census")
+    DD.semdedup_census(corpus, **kw).write.partitionBy("cell").parquet(cpath)
+    census = spark.read.parquet(cpath)
+    inc = {
+        r.vec_id: r
+        for r in DD.semantic_dedup_incremental(census, batch, **kw).collect()
+    }
+    assert set(inc) == set(rebuild)
+    for vid, r in rebuild.items():
+        got = inc[vid]
+        assert (got.cell, got.cdot, got.norm_q, got.kept) == (
+            r.cell, r.cdot, r.norm_q, r.kept
+        ), vid
+    # the scenario is non-trivial: some batch rows dropped, and at least
+    # one vector's kept flag differs between corpus-alone and the union
+    assert any(inc[v].kept == 0 for v, _ in batch_rows[:8])

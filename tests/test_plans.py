@@ -354,3 +354,54 @@ def test_bloom_probe_broadcasts(spark, sf_dir):
         registry.specs()["q163_bloom_decontaminate"].fn(spark, sf_dir)
     )
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_semdedup_incremental_corpus_never_shuffles(spark, sf_dir, tmp_path):
+    """semantic_dedup_incremental's contract: the persisted census is
+    scanned once and never exchanged — the batch side assigns cells
+    map-side and broadcasts into the corpus's cells.  Same ancestor-walk
+    gate as the minhash incremental one."""
+    import re
+
+    from coldata_spark.functions import vector as V
+    from coldata_spark.operators import dedup as DD
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", V.as_double(F.col("embedding")).alias("e")
+    )
+    cpath = str(tmp_path / "semdedup_census")
+    DD.semdedup_census(emb, vec_col="e").write.partitionBy("cell").parquet(
+        cpath
+    )
+    census = spark.read.parquet(cpath)
+    batch = emb.filter("vec_id % 50 = 0").select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "e"
+    )
+    out = DD.semantic_dedup_incremental(census, batch, vec_col="e")
+    plan = plan_of(out)
+    assert "SortMergeJoin" not in plan
+    tree = plan.split("\n\n")[0].splitlines()
+    corpus_ids = {
+        m.group(1)
+        for block in plan.split("\n\n")
+        for m in [re.match(r"\((\d+)\) Scan parquet", block)]
+        if m and "semdedup_census" in block.split("Location:")[-1].splitlines()[0]
+    }
+    assert corpus_ids, "census scan not found in plan"
+    for sid in corpus_ids:
+        idx = next(
+            i for i, l in enumerate(tree)
+            if (f"({sid})" in l and "Scan parquet" in l)
+        )
+        depth = _node_depth(tree[idx])
+        for i in range(idx - 1, -1, -1):
+            d = _node_depth(tree[i])
+            if d < depth:
+                depth = d
+                node = tree[i]
+                if "Join" in node:
+                    break
+                assert "Exchange" not in node, (
+                    f"census scan ({sid}) is exchanged before its join: "
+                    f"{node.strip()}"
+                )
