@@ -873,12 +873,12 @@ def q162_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("lw"), 4).alias("dsir_weight"),
         )
     )
-    w = W.orderBy(F.col("dsir_weight").desc(), F.col("doc_id"))
-    return (
-        scored.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= 50)
-        .drop("_rk")
-    )
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition top-50
+    # + driver merge) — a global row_number window would funnel every doc
+    # through ONE partition at 100 TB
+    return scored.orderBy(
+        F.col("dsir_weight").desc(), F.col("doc_id")
+    ).limit(50)
 
 
 @register(

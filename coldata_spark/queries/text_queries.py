@@ -538,10 +538,13 @@ def q63_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count("*").alias("n"))
     )
+    # top-20 via TakeOrderedAndProject FIRST, then rank the 20 survivors
+    # (the window is over a driver-bounded set, not the full vocabulary)
     w = W.orderBy(F.col("n").desc(), F.col("term"))
     return (
-        counts.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 20)
+        counts.orderBy(F.col("n").desc(), F.col("term"))
+        .limit(20)
+        .withColumn("rk", F.row_number().over(w))
         .select("term", "n", "rk")
     )
 
@@ -1636,12 +1639,11 @@ def q153_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(-F.log(F.col("cnt") / F.col("n"))), 4).alias("avg_nll"),
         )
     )
-    w = W.orderBy(F.col("avg_nll").desc(), F.col("doc_id"))
-    return (
-        scored.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= 25)
-        .drop("_rk")
-    )
+    # TakeOrderedAndProject, not a global row_number window (which would
+    # single-partition every scored doc)
+    return scored.orderBy(
+        F.col("avg_nll").desc(), F.col("doc_id")
+    ).limit(25)
 
 
 @register(
