@@ -94,6 +94,25 @@ def files_overlapping(path: str, col: str, lo: int, hi: int) -> tuple[int, int]:
     return hit, total
 
 
+def drop_table_clean(spark, name: str) -> None:
+    """Drop catalog table ``name`` AND its orphaned default warehouse
+    location.  ``saveAsTable`` raises LOCATION_ALREADY_EXISTS when a
+    previously killed run left ``spark-warehouse/<name>`` on disk with no
+    catalog entry (DROP TABLE alone can't see it) — clearing both makes
+    every bucketed-table writer self-healing regardless of how the prior
+    process died."""
+    import os
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    orphan = os.path.join(warehouse, name.split(".")[-1].lower())
+    if os.path.isdir(orphan):
+        shutil.rmtree(orphan, ignore_errors=True)
+
+
 def write_bucketed(
     df: DataFrame,
     path: str,
@@ -124,6 +143,7 @@ def write_bucketed(
         "_bucketed_write_"
         + hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:12]
     )
+    drop_table_clean(df.sparkSession, tmp)
     (
         df.repartition(buckets, bucket_col)
         .write.mode("overwrite")
