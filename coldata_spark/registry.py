@@ -68,9 +68,17 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # Semantic dedup (SemDeDup cluster-then-prune; r5 — displaced
     # q20_chunk_documents, whose T5/W2 tags stay covered by q55/q42)
     "q164_semantic_dedup",
+    # Incremental SemDeDup — the daily production fold (r6 verdict ask #4;
+    # displaced q115_cms_heavy_hitters, whose A5/ext-sketch stay covered
+    # by q114 and remain oracle-green in pytest)
+    "q165_semantic_dedup_incremental",
+    # Exact-substring span clipper — driver exposure for the Lee-2022
+    # rung's cleaning half (r6 verdict ask #7; displaced q22_lang_id,
+    # whose ext-langid stays covered by q87_corpus_curation and remains
+    # oracle-green in pytest)
+    "q161_clip_repeated_spans",
     # Text / LLM-pipeline layer
     "q21_text_stats",
-    "q22_lang_id",
     "q28_join_content",
     "q45_html_extract",
     "q46_record_to_text",
@@ -78,7 +86,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q87_corpus_curation",
     # Sketch layer — engine-independent probabilistic summaries
     "q114_hll_distinct",
-    "q115_cms_heavy_hitters",
     "q101_url_canonical_dedup",
     # Data-selection + decontamination reps (r5 — q162 displaced
     # q103_quality_classifier whose ext-quality/A5 stay covered by
