@@ -1031,3 +1031,180 @@ def q163_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_false_pos"),
         )
     )
+
+
+@register(
+    "q166_ccnet_perplexity_buckets",
+    survey="ext-quality,A5,J1,W1",
+    sql=r"""
+    WITH words AS (
+        SELECT doc_id, lang,
+               regexp_split_to_array(trim(text), '\s+') AS w
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    big AS (
+        SELECT doc_id, lang,
+               ('0x' || substring(md5(w[i]), 1, 8))::BIGINT % 4096 AS u,
+               ('0x' || substring(md5(w[i] || ' ' || w[i+1]), 1, 8))::BIGINT
+                   % 4096 AS b
+        FROM words, LATERAL unnest(generate_series(1, len(w) - 1)) AS t(i)
+        WHERE len(w) >= 2
+    ),
+    uni_lm AS (
+        SELECT u, count(*) AS cu FROM big WHERE lang = 'en' GROUP BY u
+    ),
+    big_lm AS (
+        SELECT b, count(*) AS cb FROM big WHERE lang = 'en' GROUP BY b
+    ),
+    scored AS (
+        SELECT big.doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(-avg(ln((coalesce(cb, 0) + 1.0)
+                             / (coalesce(cu, 0) + 4096.0))), 4) AS nll
+        FROM big
+        LEFT JOIN uni_lm USING (u)
+        LEFT JOIN big_lm USING (b)
+        GROUP BY big.doc_id
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (ORDER BY nll, doc_id) AS rn,
+               count(*) OVER () AS n
+        FROM scored
+    ),
+    cuts AS (
+        SELECT max(CASE WHEN rn = (n + 2) // 3 THEN nll END) AS c1,
+               max(CASE WHEN rn = (2 * n + 2) // 3 THEN nll END) AS c2
+        FROM ranked
+    )
+    SELECT doc_id, n_bigrams, nll,
+           CASE WHEN nll <= c1 THEN 'head'
+                WHEN nll <= c2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored, cuts
+    """,
+)
+def q166_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model quality bucketing (Wenzek et al. 2020,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    Data"): score every document by its negative log-likelihood under a
+    hashed-BIGRAM language model trained on a high-quality reference slice
+    (lang='en' standing in for the paper's Wikipedia KenLM), then split the
+    corpus into the paper's head / middle / tail perplexity terciles —
+    head feeds training as-is, middle gets a second look, tail is dropped.
+
+    The LM is two hashed count tables (4096-row unigram-context and bigram
+    tables, add-1 smoothed: P(w2|w1) ~ (c_big+1)/(c_uni+B)) — bounded like
+    q162's DSIR model, which is what makes it a 100 TB operator: the
+    reference slice is aggregated ONCE into <=8192 rows that broadcast to
+    the scoring pass, so the corpus-side plan is explode -> two broadcast
+    joins -> one per-doc aggregate, no corpus shuffle on gram keys.
+
+    Tercile cutoffs are the q131-style DISCRETE rank picks (rows
+    ceil(n/3), ceil(2n/3) under a tie-broken order) over the DOC-LEVEL
+    score table — bounded by #docs, not tokens; at 100 TB the cutoffs fit
+    on a sample exactly as the paper does per-language.  Float discipline
+    per ORACLE_PARITY.md: ln of identically-formed double ratios, avg
+    rounded to 4 dp on both engines, bucket assignment by VALUE against
+    the picked cutoffs so ties can't straddle engines."""
+    from pyspark.sql import Window as W
+
+    from coldata_spark.tables import fan_out
+
+    B = 4096
+    words = (
+        fan_out(load(spark, sf_dir, "documents"))
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", "lang", F.split(F.trim("text"), r"\s+").alias("w"))
+        .filter(F.size("w") >= 2)
+    )
+    pair = F.explode(
+        F.expr(
+            "transform(sequence(1, size(w) - 1), i -> "
+            "struct(element_at(w, i) AS w1, "
+            "concat(element_at(w, i), ' ', element_at(w, i + 1)) AS w12))"
+        )
+    ).alias("p")
+
+    def h(col):
+        return (
+            F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint") % B
+        )
+
+    big = words.select("doc_id", "lang", pair).select(
+        "doc_id", "lang", h(F.col("p.w1")).alias("u"), h(F.col("p.w12")).alias("b")
+    )
+    ref = big.filter(F.col("lang") == "en")
+    uni_lm = ref.groupBy("u").agg(F.count("*").alias("cu"))
+    big_lm = ref.groupBy("b").agg(F.count("*").alias("cb"))
+    lp = F.log(
+        (F.coalesce(F.col("cb"), F.lit(0)) + 1.0)
+        / (F.coalesce(F.col("cu"), F.lit(0)) + float(B))
+    )
+    scored = (
+        big.join(F.broadcast(uni_lm), "u", "left")
+        .join(F.broadcast(big_lm), "b", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(-F.avg(lp), 4).alias("nll"),
+        )
+    )
+    # discrete tercile cutoffs over the doc-level rollup (see q131: global
+    # order over a bounded aggregate, not over the token stream)
+    wr = W.orderBy("nll", "doc_id")
+    ranked = scored.select(
+        "nll",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(W.partitionBy()).alias("n"),
+    )
+    cuts = ranked.agg(
+        F.max(F.when(F.col("rn") == F.expr("(n + 2) div 3"), F.col("nll"))).alias("c1"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(2 * n + 2) div 3"), F.col("nll"))
+        ).alias("c2"),
+    )
+    return scored.join(F.broadcast(cuts)).select(
+        "doc_id",
+        "n_bigrams",
+        "nll",
+        F.when(F.col("nll") <= F.col("c1"), "head")
+        .when(F.col("nll") <= F.col("c2"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
+@register(
+    "q167_deterministic_shuffle",
+    survey="W2,O2,A5",
+    sql="""
+    SELECT doc_id,
+           CAST(row_number() OVER (
+               ORDER BY md5('r6|' || CAST(doc_id AS VARCHAR(20))), doc_id
+           ) - 1 AS BIGINT) AS seq,
+           CAST((row_number() OVER (
+               ORDER BY md5('r6|' || CAST(doc_id AS VARCHAR(20))), doc_id
+           ) - 1) % 8 AS BIGINT) AS shard
+    FROM documents
+    """,
+)
+def q167_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible global training-order shuffle + contiguous sequence
+    numbering + round-robin shard assignment — what a data loader consumes.
+    The oracle is the semantic spec (a GLOBAL row_number over the seeded
+    md5 permutation); the Spark plan is operators/ordering.py's
+    deterministic_shuffle, which produces the IDENTICAL numbering with no
+    global window: static md5-prefix range buckets, a P-long count
+    collect, broadcast offsets, and a partition-local row_number.  The
+    driver's value hash proves the distributed form reproduces the global
+    spec bit-for-bit."""
+    from coldata_spark.operators.ordering import deterministic_shuffle
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    out = deterministic_shuffle(docs, "doc_id", seed="r6")
+    return out.select(
+        "doc_id",
+        F.col("seq").cast("long").alias("seq"),
+        (F.col("seq") % 8).cast("long").alias("shard"),
+    )
