@@ -276,6 +276,7 @@ def bench_clustered(spark, sf_dir: str, specs) -> dict:
     )
 
     out = _tier_dir(sf_dir, 256) + "_clustered"
+    pretouch_s = _pretouch(out)  # pinned cache protocol (see _pretouch)
     spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     tune_for_input(spark, dir_bytes(out))
     register_clustered(spark, out)
@@ -311,6 +312,7 @@ def bench_clustered(spark, sf_dir: str, specs) -> dict:
     con.close()
 
     rec = _tier_record(256, list(CLUSTERED_QUERIES), spark_runs, duck_runs)
+    rec["pretouch_s"] = pretouch_s
     rec["layout"] = "co-clustered (orderkey-bucketed facts, hypertable events)"
     rec["note"] = (
         "same queries as the flat 256x tier, stored the way the 100 TB "
@@ -320,6 +322,29 @@ def bench_clustered(spark, sf_dir: str, specs) -> dict:
         "measurement is the q83_amortization blocks"
     )
     return rec
+
+
+# DuckDB is ALSO timed on the hourly-first algebraic rewrite the Spark q83
+# plan uses (aggregate the raw stream once at hour grain, ROLLUP the tiny
+# hourly frame) — the canonical oracle SQL (date_trunc + raw ROLLUP, what a
+# user writes) pays date-truncation plus a 3x Expand on every event, and the
+# official ratio keeps it as the denominator for consistency with every
+# other query's oracle; the rewrite's number is recorded alongside so the
+# ratio is never an artifact of handing one engine a better algorithm
+# (value-identical to the oracle — gated by tests/test_bench_compact.py).
+Q83_DUCKDB_REWRITE_SQL = """
+WITH hourly AS (
+    SELECT CAST((epoch_us(ts) // 3600000000) * 3600 AS BIGINT) AS hour_e,
+           count(*) AS n, sum(value) AS sv
+    FROM events GROUP BY 1
+)
+SELECT coalesce(day_e, -1) AS day_epoch,
+       coalesce(hour_e, -1) AS hour_epoch,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       round(sum(sv), 2) AS total_value
+FROM (SELECT (hour_e // 86400) * 86400 AS day_e, hour_e, n, sv FROM hourly)
+GROUP BY ROLLUP (day_e, hour_e)
+"""
 
 
 def bench_q83_events_tier(spark, sf_dir: str, specs, times: int = 1024) -> dict:
@@ -343,6 +368,7 @@ def bench_q83_events_tier(spark, sf_dir: str, specs, times: int = 1024) -> dict:
         f"events_{times}x",
     )
     build_events_tier(spark, _tier_dir(sf_dir, 256), dst, replicas=times // 256)
+    pretouch_s = _pretouch(dst)  # pinned cache protocol (see _pretouch)
     tune_for_input(spark, dir_bytes(dst))
     repeats = 5
     fn = specs["q83_hypertable_rollup"].fn
@@ -380,15 +406,21 @@ def bench_q83_events_tier(spark, sf_dir: str, specs, times: int = 1024) -> dict:
         f"read_parquet('{os.path.abspath(dst)}/events.parquet/*.parquet')"
     )
     sql = specs["q83_hypertable_rollup"].sql
+    best_sql = Q83_DUCKDB_REWRITE_SQL
     scan_sql = (
         "SELECT sum(epoch_us(ts)::DOUBLE), sum(value) FROM events"
     )
     con.execute(sql).df()  # warm
-    d_runs, d_scan = [], []
+    d_runs, d_scan, d_best = [], [], []
     for _ in range(repeats):
         t0 = time.perf_counter()
         con.execute(sql).df()
         d_runs.append(round(time.perf_counter() - t0, 3))
+    con.execute(best_sql).df()  # warm
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        con.execute(best_sql).df()
+        d_best.append(round(time.perf_counter() - t0, 3))
     con.execute(scan_sql).df()  # warm
     for _ in range(repeats):
         t0 = time.perf_counter()
@@ -406,7 +438,12 @@ def bench_q83_events_tier(spark, sf_dir: str, specs, times: int = 1024) -> dict:
         "duckdb_spread": [min(d_runs), round(_median(d_runs), 3), max(d_runs)],
         "spark_scan_only_sec": min(s_scan),
         "duckdb_scan_only_sec": min(d_scan),
+        "duckdb_hourly_rewrite_sec": min(d_best),
+        "ratio_vs_duckdb_rewrite": round(s_best / min(d_best), 2),
         "scan_runs": {"spark": s_scan, "duckdb": d_scan},
+        "pretouch_s": pretouch_s,
+        "protocol": "page-cache-hot both engines (fixture pre-touched), "
+        "fresh JVM per tier, best-of-5 after in-process warm",
         "note": "events-only tier; scan_only = same columns, one aggregate "
         "row (decomposes the ratio into scan floor vs rollup work)",
     }
@@ -471,6 +508,18 @@ def bench_concurrent(spark, sf_dir: str, specs) -> dict:
     spark_cold(4)  # warm all paths
     spark_prepared(8)
     duck_batch(4)
+    # itemize what "cold" actually pays (round-5 verdict ask #5): rebuild
+    # every DataFrame WITHOUT executing — this is pure client-side plan
+    # construction (py4j expression-tree chatter, GIL-serialized across
+    # submitter threads).  Engine re-analysis measures ~0.01 s for the
+    # whole batch, so cold - prepared ~= this number: the drift rounds 3->5
+    # tracked growing plan COMPLEXITY (asof union-stream, rollup cascade,
+    # top-k tails), not data or engine state.  The serving answer stays
+    # "prepared Datasets" (the headline mode).
+    t0 = time.perf_counter()
+    for n in HEADLINE:
+        specs[n].fn(spark, sf_dir)
+    cold_build_s = round(time.perf_counter() - t0, 3)
     cold_best = {w: round(spark_cold(w), 3) for w in (1, 4, 8, 16)}
     prep_best = {w: round(spark_prepared(w), 3) for w in (4, 8, 16, 32)}
     duck_best = {w: round(duck_batch(w), 3) for w in (1, 4, 8)}
@@ -484,6 +533,9 @@ def bench_concurrent(spark, sf_dir: str, specs) -> dict:
         "spark_mode": "prepared plans (FAIR scheduling)",
         "spark_cold_sec": cold_best[cw],
         "cold_ratio": round(cold_best[cw] / duck_best[dw], 2),
+        "cold_plan_build_s": cold_build_s,
+        "cold_note": "cold - prepared ~= client plan construction "
+        "(py4j, GIL-serialized); engine re-analysis is ~0.01 s/batch",
         "spark_workers": pw,
         "duckdb_workers": dw,
         "spark_cold_by_workers": cold_best,
@@ -503,6 +555,12 @@ REPL_QUERIES = [  # one per engine layer, all with DuckDB-runnable oracles
     "q83_hypertable_rollup",
     "q114_hll_distinct",
     "q116_time_weighted_avg",
+    # round-6: the data-selection ops join the recorded tiers (round-5
+    # verdict ask #6) — broadcast-model topologies whose ratio IMPROVES
+    # with scale (STRESS.md: DSIR 0.96x@16x -> 0.74x@64x, Bloom 1.62x ->
+    # 0.61x)
+    "q162_dsir_importance",
+    "q163_bloom_decontaminate",
 ]
 
 # The queries whose 16x ratio was >2x in round 2 — re-measured at 64x and
@@ -510,8 +568,27 @@ REPL_QUERIES = [  # one per engine layer, all with DuckDB-runnable oracles
 # BOTH engines are still fixed-cost-dominated — Spark's per-execution floor
 # is ~0.2-0.4 s vs DuckDB's ~0.02-0.2 s — so the ratio there measures
 # harness floors, not plan efficiency; 256x (~4 GB) is the first tier where
-# per-row work dominates both engines.)
+# per-row work dominates both engines.)  q42/q162/q163 ride the 64x tier
+# as the scale-inversion reps: each is >=1.6x at 16x on the stage floor and
+# BEATS DuckDB at 64x (sessionize measured 0.30x — DuckDB's window
+# sessionization doesn't parallelize; the curation ops amortize their
+# broadcast builds).
 REPL_64X_QUERIES = [
+    "q01_pricing_summary",
+    "q02_top_orders_by_revenue",
+    "q30_knn_cosine_topk",
+    "q42_events_sessionize",
+    "q83_hypertable_rollup",
+    "q114_hll_distinct",
+    "q116_time_weighted_avg",
+    "q162_dsir_importance",
+    "q163_bloom_decontaminate",
+]
+
+# the 256x tier keeps the round-2 weak-at-16x subset (adding the 64x
+# newcomers there would double the tier's wall-clock for queries whose
+# scale story the 64x points already settle)
+REPL_256X_QUERIES = [
     "q01_pricing_summary",
     "q02_top_orders_by_revenue",
     "q30_knn_cosine_topk",
@@ -520,7 +597,26 @@ REPL_64X_QUERIES = [
     "q116_time_weighted_avg",
 ]
 
-REPL_256X_QUERIES = REPL_64X_QUERIES
+
+def _pretouch(path: str) -> float:
+    """Pinned cache-state protocol for every replicated tier (round-5
+    verdict ask #1): sequentially read every fixture byte into the OS page
+    cache BEFORE either engine is timed, so both engines measure
+    page-cache-hot — the q83 4096x record straddled 1.94-2.73x across
+    rounds solely because DuckDB's denominator swung ~1.8x with whether a
+    prior phase (fixture build writeback, another tier's reads) had evicted
+    the files.  Returns the seconds spent touching (recorded, not timed
+    into any query)."""
+    t0 = time.perf_counter()
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                with open(os.path.join(root, f), "rb") as fh:
+                    while fh.read(1 << 24):
+                        pass
+            except OSError:
+                pass
+    return round(time.perf_counter() - t0, 3)
 
 
 def _tier_dir(sf_dir: str, times: int) -> str:
@@ -542,6 +638,7 @@ def bench_replicated(
 
     dst = _tier_dir(sf_dir, times)
     replicate_fixture(spark, sf_dir, dst, times=times)
+    pretouch_s = _pretouch(dst)  # both engines measure page-cache-hot
     tune_for_input(spark, dir_bytes(dst))
     # deeper tiers carry the headline claims (amortization curve), so they
     # get more repeats — run-to-run JVM spread is ~20% and the min is the
@@ -582,7 +679,9 @@ def bench_replicated(
         duck_runs[name] = runs
     con.close()
 
-    return _tier_record(times, queries, spark_runs, duck_runs)
+    rec = _tier_record(times, queries, spark_runs, duck_runs)
+    rec["pretouch_s"] = pretouch_s
+    return rec
 
 
 def _median(xs: list[float]) -> float:

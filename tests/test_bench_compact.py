@@ -93,3 +93,26 @@ def test_compact_of_committed_detail_under_1500_bytes():
     line = json.dumps(bench.compact_record(detail))
     assert len(line) < 1500, f"compact of real detail is {len(line)} bytes"
     assert json.loads(line)["value"] == round(detail["value"], 3)
+
+
+def test_q83_duckdb_rewrite_value_identical():
+    """The bench's 'engine-best DuckDB' q83 rewrite must compute exactly
+    what the canonical oracle computes — otherwise its recorded time is a
+    different query's time."""
+    import duckdb
+
+    from bench import Q83_DUCKDB_REWRITE_SQL
+    from coldata_spark import registry
+
+    sql = registry.specs()["q83_hypertable_rollup"].sql
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/events.parquet')"
+    )
+    a = con.execute(f"SELECT * FROM ({sql}) ORDER BY 1, 2").df()
+    b = con.execute(
+        f"SELECT * FROM ({Q83_DUCKDB_REWRITE_SQL}) ORDER BY 1, 2"
+    ).df()
+    assert a.columns.tolist() == b.columns.tolist()
+    assert a.astype("float64").equals(b.astype("float64"))

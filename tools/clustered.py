@@ -48,7 +48,7 @@ def build_clustered_fixture(
     the bucket key before bucketBy guarantees ONE file per bucket, which
     is what lets the scan report sortedness (no re-sort before windows)."""
     marker = os.path.join(out_dir, _MARKER)
-    stamp = f"{tier_dir}|{buckets}"
+    stamp = f"v2|{tier_dir}|{buckets}"  # rebuilt from the v2 flat tier
     if os.path.exists(marker) and open(marker).read() == stamp:
         return out_dir
     from coldata_spark.operators.layout import write_bucketed
@@ -212,13 +212,20 @@ def build_events_tier(
     Spark only +42% time — the rollup is still floor-dominated there).
     Events-only keeps the extra disk bounded to the one table q83 reads."""
     marker = os.path.join(out_dir, "_OK")
-    if os.path.exists(marker):
+    stamp = "v2"  # unique-ts + INT64-micros fixtures (see replicate.py)
+    if os.path.exists(marker) and open(marker).read() == stamp:
         return out_dir
     ev = spark.read.parquet(os.path.join(tier256_dir, "events.parquet"))
     parts = [
         ev.withColumn(
             "event_id", F.col("event_id") + F.lit(i * 4_000_000_000)
-        ).withColumn("user_id", F.col("user_id") + F.lit(i * 40_000_000))
+        )
+        .withColumn("user_id", F.col("user_id") + F.lit(i * 40_000_000))
+        # per-replica jitter one step above the 256x tier's 0..255 µs so
+        # every timestamp in the deep tier stays unique (see
+        # replicate.events_mutate for why clone-identical ts would make
+        # the tier measure a parquet-dictionary artifact)
+        .withColumn("ts", F.expr(f"timestampadd(MICROSECOND, {i * 256}, ts)"))
         for i in range(replicas)
     ]
     out = parts[0]
@@ -227,7 +234,8 @@ def build_events_tier(
     out.repartition(32 * max(1, replicas // 4)).write.mode("overwrite").parquet(
         os.path.join(out_dir, "events.parquet")
     )
-    open(marker, "w").close()
+    with open(marker, "w") as f:
+        f.write(stamp)
     return out_dir
 
 

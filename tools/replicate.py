@@ -44,7 +44,9 @@ def replicate_fixture(
     from coldata_spark.tables import load
 
     marker = os.path.join(dst_dir, _MARKER)
-    stamp = f"{src_dir}|{times}"
+    # v2: unique-ts events + INT64-micros timestamps (older caches carried
+    # INT96 dictionary-encoded ts — the stamp bump forces one rebuild)
+    stamp = f"v2|{src_dir}|{times}"
     if os.path.exists(marker) and open(marker).read() == stamp:
         return dst_dir
     os.makedirs(dst_dir, exist_ok=True)
@@ -62,9 +64,18 @@ def replicate_fixture(
         return df
 
     def events_mutate(df, i):
+        # ts gets a per-replica microsecond jitter: without it every
+        # timestamp appears `times` times and parquet dictionary-encodes
+        # the column — a pure replication artifact (a real 400M-row stream
+        # has ~unique timestamps) that lets a dictionary-aware engine
+        # evaluate time expressions once per distinct value instead of
+        # once per row, making the tier measure the artifact, not the
+        # plan.  +i µs (i < times <= 256) never moves an event across an
+        # hour/session boundary, so query semantics are unchanged.
         return (
             df.withColumn("event_id", F.col("event_id") + F.lit(i * 1_000_000_000))
             .withColumn("user_id", F.col("user_id") + F.lit(i * SHIFT))
+            .withColumn("ts", F.expr(f"timestampadd(MICROSECOND, {i}, ts)"))
         )
 
     plans: dict[str, DataFrame] = {}
