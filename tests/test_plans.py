@@ -347,13 +347,17 @@ def test_dsir_weight_table_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
-def test_bloom_probe_broadcasts(spark, sf_dir):
-    """q163's Bloom position set and exact-gram set must broadcast; the
-    candidate gram stream must not exchange on pos or gram."""
+def test_bloom_probe_is_literal_bitmap(spark, sf_dir):
+    """q163's Bloom probe must be the literal long[] bitmap filter (bit
+    arithmetic in a codegen'd Filter — no position explode, no probe
+    join); the exact-gram classification set still broadcasts.  The
+    candidate gram stream must never exchange on pos."""
     plan = plan_of(
         registry.specs()["q163_bloom_decontaminate"].fn(spark, sf_dir)
     )
-    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastHashJoin" in plan  # exact-gram classification join
+    assert "shiftright" in plan  # the bitmap bit-test filter
+    assert "hashpartitioning(pos" not in plan
 
 
 def test_semdedup_incremental_corpus_never_shuffles(spark, sf_dir, tmp_path):
