@@ -1060,10 +1060,119 @@ def q163_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q166_ccnet_perplexity_buckets",
-    survey="ext-quality,A5,J1,W1",
-    sql=r"""
+_CCNET_B = 4096
+
+
+def ccnet_bigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, u, b) hashed bigram stream — the shared front half of
+    the CCNet quality ops (q166/q168)."""
+    from coldata_spark.tables import fan_out
+
+    B = _CCNET_B
+    words = (
+        fan_out(docs)
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", "lang", F.split(F.trim("text"), r"\s+").alias("w"))
+        .filter(F.size("w") >= 2)
+    )
+    pair = F.explode(
+        F.expr(
+            "transform(sequence(1, size(w) - 1), i -> "
+            "struct(element_at(w, i) AS w1, "
+            "concat(element_at(w, i), ' ', element_at(w, i + 1)) AS w12))"
+        )
+    ).alias("p")
+
+    def h(col):
+        return (
+            F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint") % B
+        )
+
+    return words.select("doc_id", "lang", pair).select(
+        "doc_id", "lang", h(F.col("p.w1")).alias("u"), h(F.col("p.w12")).alias("b")
+    )
+
+
+def ccnet_lm_census(ref_bigrams: DataFrame) -> DataFrame:
+    """The bounded LM state: one row per live hash bucket, kind 'u'
+    (unigram-context counts) or 'b' (bigram counts) — <= 2*B rows total,
+    the artifact a production pipeline persists between folds."""
+    u = ref_bigrams.groupBy("u").agg(F.count("*").alias("c")).select(
+        F.lit("u").alias("kind"), F.col("u").alias("bucket"), "c"
+    )
+    b = ref_bigrams.groupBy("b").agg(F.count("*").alias("c")).select(
+        F.lit("b").alias("kind"), F.col("b").alias("bucket"), "c"
+    )
+    return u.unionByName(b)
+
+
+def ccnet_lm_fold(census: DataFrame, batch_bigrams: DataFrame) -> DataFrame:
+    """Fold a new reference batch into a persisted census WITHOUT
+    rescanning the old reference corpus: the batch aggregates to its own
+    <=2*B-row census map-side, and the merge is a count-sum over the two
+    tiny censuses.  Bucket counts are associative sums, so
+    fold(census(A), B) == census(A ∪ B) exactly — the property test
+    proves it and q168's oracle (the full-rebuild SQL) enforces it
+    end-to-end."""
+    return (
+        census.unionByName(ccnet_lm_census(batch_bigrams))
+        .groupBy("kind", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+
+
+def ccnet_score_and_bucket(big: DataFrame, census: DataFrame) -> DataFrame:
+    """Back half of q166: score every doc's nll under the census LM and
+    assign head/middle/tail by discrete tercile cutoffs."""
+    from pyspark.sql import Window as W
+
+    B = _CCNET_B
+    uni_lm = census.filter(F.col("kind") == "u").select(
+        F.col("bucket").alias("u"), F.col("c").alias("cu")
+    )
+    big_lm = census.filter(F.col("kind") == "b").select(
+        F.col("bucket").alias("b"), F.col("c").alias("cb")
+    )
+    lp = F.log(
+        (F.coalesce(F.col("cb"), F.lit(0)) + 1.0)
+        / (F.coalesce(F.col("cu"), F.lit(0)) + float(B))
+    )
+    scored = (
+        big.join(F.broadcast(uni_lm), "u", "left")
+        .join(F.broadcast(big_lm), "b", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(-F.avg(lp), 4).alias("nll"),
+        )
+    )
+    wr = W.orderBy("nll", "doc_id")
+    ranked = scored.select(
+        "nll",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(W.partitionBy()).alias("n"),
+    )
+    cuts = ranked.agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 2) div 3"), F.col("nll"))
+        ).alias("c1"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(2 * n + 2) div 3"), F.col("nll"))
+        ).alias("c2"),
+    )
+    return scored.join(F.broadcast(cuts)).select(
+        "doc_id",
+        "n_bigrams",
+        "nll",
+        F.when(F.col("nll") <= F.col("c1"), "head")
+        .when(F.col("nll") <= F.col("c2"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
+
+_CCNET_SQL = r"""
     WITH words AS (
         SELECT doc_id, lang,
                regexp_split_to_array(trim(text), '\s+') AS w
@@ -1109,7 +1218,13 @@ def q163_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN nll <= c2 THEN 'middle'
                 ELSE 'tail' END AS bucket
     FROM scored, cuts
-    """,
+    """
+
+
+@register(
+    "q166_ccnet_perplexity_buckets",
+    survey="ext-quality,A5,J1,W1",
+    sql=_CCNET_SQL,
 )
 def q166_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style language-model quality bucketing (Wenzek et al. 2020,
@@ -1134,72 +1249,9 @@ def q166_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame
     per ORACLE_PARITY.md: ln of identically-formed double ratios, avg
     rounded to 4 dp on both engines, bucket assignment by VALUE against
     the picked cutoffs so ties can't straddle engines."""
-    from pyspark.sql import Window as W
-
-    from coldata_spark.tables import fan_out
-
-    B = 4096
-    words = (
-        fan_out(load(spark, sf_dir, "documents"))
-        .filter(F.length(F.trim("text")) > 0)
-        .select("doc_id", "lang", F.split(F.trim("text"), r"\s+").alias("w"))
-        .filter(F.size("w") >= 2)
-    )
-    pair = F.explode(
-        F.expr(
-            "transform(sequence(1, size(w) - 1), i -> "
-            "struct(element_at(w, i) AS w1, "
-            "concat(element_at(w, i), ' ', element_at(w, i + 1)) AS w12))"
-        )
-    ).alias("p")
-
-    def h(col):
-        return (
-            F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint") % B
-        )
-
-    big = words.select("doc_id", "lang", pair).select(
-        "doc_id", "lang", h(F.col("p.w1")).alias("u"), h(F.col("p.w12")).alias("b")
-    )
-    ref = big.filter(F.col("lang") == "en")
-    uni_lm = ref.groupBy("u").agg(F.count("*").alias("cu"))
-    big_lm = ref.groupBy("b").agg(F.count("*").alias("cb"))
-    lp = F.log(
-        (F.coalesce(F.col("cb"), F.lit(0)) + 1.0)
-        / (F.coalesce(F.col("cu"), F.lit(0)) + float(B))
-    )
-    scored = (
-        big.join(F.broadcast(uni_lm), "u", "left")
-        .join(F.broadcast(big_lm), "b", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_bigrams"),
-            F.round(-F.avg(lp), 4).alias("nll"),
-        )
-    )
-    # discrete tercile cutoffs over the doc-level rollup (see q131: global
-    # order over a bounded aggregate, not over the token stream)
-    wr = W.orderBy("nll", "doc_id")
-    ranked = scored.select(
-        "nll",
-        F.row_number().over(wr).alias("rn"),
-        F.count("*").over(W.partitionBy()).alias("n"),
-    )
-    cuts = ranked.agg(
-        F.max(F.when(F.col("rn") == F.expr("(n + 2) div 3"), F.col("nll"))).alias("c1"),
-        F.max(
-            F.when(F.col("rn") == F.expr("(2 * n + 2) div 3"), F.col("nll"))
-        ).alias("c2"),
-    )
-    return scored.join(F.broadcast(cuts)).select(
-        "doc_id",
-        "n_bigrams",
-        "nll",
-        F.when(F.col("nll") <= F.col("c1"), "head")
-        .when(F.col("nll") <= F.col("c2"), "middle")
-        .otherwise("tail")
-        .alias("bucket"),
-    )
+    big = ccnet_bigrams(load(spark, sf_dir, "documents"))
+    census = ccnet_lm_census(big.filter(F.col("lang") == "en"))
+    return ccnet_score_and_bucket(big, census)
 
 
 @register(
@@ -1235,3 +1287,31 @@ def q167_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("seq").cast("long").alias("seq"),
         (F.col("seq") % 8).cast("long").alias("shard"),
     )
+
+
+@register(
+    "q168_ccnet_lm_incremental",
+    survey="ext-quality,R2,A5,J1",
+    sql=_CCNET_SQL,
+)
+def q168_ccnet_lm_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CCNet LM maintenance — the daily-production form of
+    q166: new reference documents FOLD into a persisted <=2*4096-row LM
+    census (ccnet_lm_fold) without rescanning the reference corpus, the
+    semantic-rung counterpart of q159's incremental near-dup and q165's
+    incremental SemDeDup.  Bucket counts are associative sums, so
+    fold(census(A), B) == census(A ∪ B) bit-for-bit — here the reference
+    slice arrives as two batches (doc_id parity halves) and the oracle is
+    q166's FULL-REBUILD SQL: the driver hash-checks that the folded census
+    scores and buckets every document exactly like a from-scratch rebuild.
+
+    Scale contract: each batch aggregates map-side into its own bounded
+    census; the merge touches <= 2*B rows; the scoring pass is unchanged
+    (two broadcast joins, no corpus shuffle).  The census is the artifact
+    a pipeline persists between folds (like the near-dup corpus and the
+    SemDeDup census, via the same staged-swap protocol)."""
+    big = ccnet_bigrams(load(spark, sf_dir, "documents"))
+    ref = big.filter(F.col("lang") == "en")
+    census0 = ccnet_lm_census(ref.filter(F.col("doc_id") % 2 == 0))
+    census = ccnet_lm_fold(census0, ref.filter(F.col("doc_id") % 2 == 1))
+    return ccnet_score_and_bucket(big, census)

@@ -265,3 +265,47 @@ class TestUrlCanonicalize:
         ]
         got = spark_batch_eval(spark, canonicalize_url, [base] + variants)
         assert all(g == got[0] for g in got[1:])
+
+
+class TestCCNetLMFold:
+    """ccnet_lm_fold must be provably identical to a full census rebuild
+    on the union — the property that makes q168's incremental path safe to
+    run daily without drift."""
+
+    def _census_rows(self, df):
+        return sorted(map(tuple, df.collect()))
+
+    def test_fold_equals_rebuild(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from coldata_spark.queries.curation_queries import (
+            ccnet_bigrams,
+            ccnet_lm_census,
+            ccnet_lm_fold,
+        )
+        from coldata_spark.tables import load
+
+        ref = ccnet_bigrams(load(spark, sf_dir, "documents")).filter(
+            F.col("lang") == "en"
+        )
+        for mod in (2, 3, 7):
+            a = ref.filter(F.col("doc_id") % mod == 0)
+            b = ref.filter(F.col("doc_id") % mod != 0)
+            folded = ccnet_lm_fold(ccnet_lm_census(a), b)
+            rebuilt = ccnet_lm_census(ref)
+            assert self._census_rows(folded) == self._census_rows(rebuilt)
+
+    def test_census_is_bounded(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from coldata_spark.queries.curation_queries import (
+            ccnet_bigrams,
+            ccnet_lm_census,
+        )
+        from coldata_spark.queries.curation_queries import _CCNET_B as B
+        from coldata_spark.tables import load
+
+        ref = ccnet_bigrams(load(spark, sf_dir, "documents")).filter(
+            F.col("lang") == "en"
+        )
+        assert ccnet_lm_census(ref).count() <= 2 * B
