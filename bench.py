@@ -443,7 +443,7 @@ def bench_q83_events_tier(spark, sf_dir: str, specs, times: int = 1024) -> dict:
         "scan_runs": {"spark": s_scan, "duckdb": d_scan},
         "pretouch_s": pretouch_s,
         "protocol": "page-cache-hot both engines (fixture pre-touched), "
-        "fresh JVM per tier, best-of-5 after in-process warm",
+        f"fresh JVM per tier, best-of-{repeats} after in-process warm",
         "note": "events-only tier; scan_only = same columns, one aggregate "
         "row (decomposes the ratio into scan floor vs rollup work)",
     }

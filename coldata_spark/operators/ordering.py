@@ -40,8 +40,17 @@ from pyspark.sql import functions as F
 def _with_sigma_bucket(
     df: DataFrame, id_col: str, seed: str, parts: int
 ) -> DataFrame:
+    # coalesce: a NULL id must still hash to a bucket (concat is
+    # null-propagating, and a NULL bucket key would crash the driver-side
+    # cumulative sum).  All NULL ids share one sigma; their mutual order
+    # is tie-broken by id_col only, i.e. not reproducible between them —
+    # use a real unique key for meaningful permutations.
     sigma = F.md5(
-        F.concat(F.lit(seed), F.lit("|"), F.col(id_col).cast("string"))
+        F.concat(
+            F.lit(seed),
+            F.lit("|"),
+            F.coalesce(F.col(id_col).cast("string"), F.lit("")),
+        )
     )
     # first 8 hex chars as u32; bucket boundaries are exact sigma-order
     # intervals because the prefix is the most significant 32 bits
@@ -71,7 +80,9 @@ def deterministic_shuffle(
     for b in sorted(counts):
         offsets.append((b, acc))
         acc += counts[b]
-    off_df = spark.createDataFrame(offsets, ["_bucket", "_off"])
+    # explicit schema: createDataFrame cannot infer types from an empty
+    # list (offsets == [] when df itself is empty)
+    off_df = spark.createDataFrame(offsets, "_bucket INT, _off BIGINT")
     # id tie-break keeps the order total even under a (cosmically unlikely)
     # md5 collision, and makes the oracle's ORDER BY fully deterministic
     w = Window.partitionBy("_bucket").orderBy("_sigma", id_col)

@@ -881,6 +881,30 @@ def q162_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(50)
 
 
+def _eight_gram_md5s(df: DataFrame, text_col: str) -> DataFrame:
+    """Explode ``text_col`` into md5'd whitespace-token 8-grams (one row
+    per gram, other columns carried through).  Short docs are guarded
+    explicitly: ``sequence(1, 0)`` is DESCENDING ``[1, 0]`` (default step
+    -1) and ``slice(w, 0, 8)`` then raises INVALID_PARAMETER_VALUE.START —
+    a single <=7-token doc would abort the whole job.  ``array_repeat(1,
+    0)`` is a typed empty ``array<int>``, so short docs contribute zero
+    grams (matching the oracle's ``generate_series``, which is empty when
+    stop < start)."""
+    return df.select(
+        *[c for c in df.columns if c != text_col],
+        F.split(F.trim(text_col), r"\s+").alias("w"),
+    ).select(
+        *[c for c in df.columns if c != text_col],
+        F.explode(
+            F.expr(
+                "transform(if(size(w) >= 8, sequence(1, size(w) - 7), "
+                "array_repeat(1, 0)), "
+                "i -> md5(concat_ws(' ', slice(w, i, 8))))"
+            )
+        ).alias("g"),
+    )
+
+
 @register(
     "q163_bloom_decontaminate",
     survey="ext-quality,ext-bloom,V6,A5,J1",
@@ -985,21 +1009,9 @@ def q163_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def grams(df, text_col):
-        return df.select(
-            *[c for c in df.columns if c != text_col],
-            F.split(F.trim(text_col), r"\s+").alias("w"),
-        ).select(
-            *[c for c in df.columns if c != text_col],
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, greatest(0, size(w) - 7)), "
-                    "i -> md5(concat_ws(' ', slice(w, i, 8))))"
-                )
-            ).alias("g"),
-        )
-
-    bench_grams = grams(bench.select("doc_id", F.concat_ws(" ", "w").alias("t")), "t").select("g").distinct()
+    bench_grams = _eight_gram_md5s(
+        bench.select("doc_id", F.concat_ws(" ", "w").alias("t")), "t"
+    ).select("g").distinct()
     h1 = F.conv(F.substring("g", 1, 8), 16, 10).cast("bigint")
     h2 = F.conv(F.substring("g", 9, 8), 16, 10).cast("bigint")
     ks = F.explode(F.array(*[F.lit(i) for i in range(K)])).alias("i")
@@ -1021,7 +1033,8 @@ def q163_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spans + Bloom false positives), not the full 100x-larger gram
     # stream.  distinct-of-filtered == filtered-of-distinct, so the
     # oracle is unchanged and still hash-matches, false positives
-    # included (measured at the 64x tier: 17.8 s -> ~8 s, DuckDB 7.3 s).
+    # included (measured at the 64x tier: 17.8 s -> 11.5-13.9 s =
+    # 1.4-1.7x hot-hot vs DuckDB; STRESS.md has the spreads).
     bits = [0] * (M // 64)
     for (pos,) in bloom.collect():
         bits[pos >> 6] |= 1 << (pos & 63)
@@ -1037,7 +1050,7 @@ def q163_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         hit = test if hit is None else (hit & test)
     probed = (
-        grams(cand, "t")
+        _eight_gram_md5s(cand, "t")
         .select("doc_id", "g", h1.alias("_h1"), h2.alias("_h2"))
         .withColumn("_bm", bm)
         .filter(hit)

@@ -103,12 +103,13 @@ def test_q83_duckdb_rewrite_value_identical():
 
     from bench import Q83_DUCKDB_REWRITE_SQL
     from coldata_spark import registry
+    from tests.conftest import SF_DIR_ORACLE
 
     sql = registry.specs()["q83_hypertable_rollup"].sql
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW events AS SELECT * FROM "
-        "read_parquet('/root/testdata/sf0.01/events.parquet')"
+        f"read_parquet('{SF_DIR_ORACLE}/events.parquet')"
     )
     a = con.execute(f"SELECT * FROM ({sql}) ORDER BY 1, 2").df()
     b = con.execute(

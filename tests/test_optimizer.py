@@ -6,8 +6,7 @@ the mechanism that replaces hand-written semi-join pre-filters at 100 TB.
 from __future__ import annotations
 
 from coldata_spark.tables import load
-
-SF = "/root/testdata/sf0.01"
+from tests.conftest import SF_DIR_ORACLE as SF
 
 _CONFS = {
     # let the planner consider any scan size (fixtures are tiny)

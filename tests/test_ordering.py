@@ -80,3 +80,26 @@ def test_shuffle_plan_has_no_global_window(spark, sf_dir):
     for line in plan.splitlines():
         if "Window" in line and "windowspecdefinition" in line:
             assert "_bucket" in line, f"global window in plan: {line}"
+
+def test_shuffle_empty_input(spark):
+    """Empty batch (e.g. a filter that selects nothing) must return an
+    empty frame with the seq column, not crash on schema inference from
+    an empty offsets list (round-6 review finding)."""
+    docs = spark.createDataFrame([], "doc_id BIGINT")
+    out = deterministic_shuffle(docs, "doc_id", seed="s5")
+    assert out.columns == ["doc_id", "seq"]
+    assert out.count() == 0
+
+
+def test_shuffle_null_ids_do_not_crash(spark):
+    """NULL ids hash to one sigma bucket instead of propagating a NULL
+    bucket key into the driver-side cumulative sum (round-6 review
+    finding).  Sequence numbers must still be an exact permutation."""
+    docs = spark.createDataFrame(
+        [(1,), (2,), (None,), (None,), (5,)], "doc_id BIGINT"
+    )
+    out = deterministic_shuffle(docs, "doc_id", seed="s6").collect()
+    assert sorted(r["seq"] for r in out) == list(range(5))
+    # non-null ids still match the spec permutation computed the same way
+    by_id = {r["doc_id"]: r["seq"] for r in out if r["doc_id"] is not None}
+    assert len(by_id) == 3

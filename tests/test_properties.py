@@ -309,3 +309,29 @@ class TestCCNetLMFold:
             F.col("lang") == "en"
         )
         assert ccnet_lm_census(ref).count() <= 2 * B
+
+
+def test_eight_gram_guard_short_docs(spark):
+    """q163's gram exploder must not crash on <=7-token docs:
+    sequence(1, 0) is descending [1, 0] and slice(w, 0, 8) raises
+    INVALID_PARAMETER_VALUE.START (round-6 review finding, reproduced on
+    PySpark 4.1.2).  Short docs contribute zero grams; 8+-token docs
+    produce exactly size(w) - 7."""
+    from coldata_spark.queries.curation_queries import _eight_gram_md5s
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),  # 3 tokens — crashed before the guard
+            (2, ""),  # empty text
+            (3, "one two three four five six seven eight nine"),  # 9 tokens
+        ],
+        "doc_id BIGINT, t STRING",
+    )
+    got = (
+        _eight_gram_md5s(docs, "t")
+        .groupBy("doc_id")
+        .count()
+        .collect()
+    )
+    counts = {r["doc_id"]: r["count"] for r in got}
+    assert counts == {3: 2}  # doc 3: 9 - 7 = 2 grams; short docs absent
