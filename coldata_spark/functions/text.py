@@ -127,3 +127,28 @@ def quality_score_raw(col: Column) -> Column:
 def quality_score(col: Column) -> Column:
     """quality_score_raw rounded to 6 decimals for oracle-hashed outputs."""
     return F.round(quality_score_raw(col), 6)
+
+
+def eight_gram_md5s(df, text_col: str):
+    """Explode ``text_col`` into md5'd whitespace-token 8-grams (one row
+    per gram in column ``g``, other columns carried through) — the gram
+    unit of benchmark decontamination (q95/q163/q169).  Short docs are
+    guarded explicitly: ``sequence(1, 0)`` is DESCENDING ``[1, 0]``
+    (default step -1) and ``slice(w, 0, 8)`` then raises
+    INVALID_PARAMETER_VALUE.START — a single <=7-token doc would abort the
+    whole job.  ``array_repeat(1, 0)`` is a typed empty ``array<int>``, so
+    short docs contribute zero grams (matching DuckDB's
+    ``generate_series``, which is empty when stop < start)."""
+    return df.select(
+        *[c for c in df.columns if c != text_col],
+        F.split(F.trim(text_col), r"\s+").alias("w"),
+    ).select(
+        *[c for c in df.columns if c != text_col],
+        F.explode(
+            F.expr(
+                "transform(if(size(w) >= 8, sequence(1, size(w) - 7), "
+                "array_repeat(1, 0)), "
+                "i -> md5(concat_ws(' ', slice(w, i, 8))))"
+            )
+        ).alias("g"),
+    )

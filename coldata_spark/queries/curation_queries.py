@@ -881,28 +881,7 @@ def q162_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(50)
 
 
-def _eight_gram_md5s(df: DataFrame, text_col: str) -> DataFrame:
-    """Explode ``text_col`` into md5'd whitespace-token 8-grams (one row
-    per gram, other columns carried through).  Short docs are guarded
-    explicitly: ``sequence(1, 0)`` is DESCENDING ``[1, 0]`` (default step
-    -1) and ``slice(w, 0, 8)`` then raises INVALID_PARAMETER_VALUE.START —
-    a single <=7-token doc would abort the whole job.  ``array_repeat(1,
-    0)`` is a typed empty ``array<int>``, so short docs contribute zero
-    grams (matching the oracle's ``generate_series``, which is empty when
-    stop < start)."""
-    return df.select(
-        *[c for c in df.columns if c != text_col],
-        F.split(F.trim(text_col), r"\s+").alias("w"),
-    ).select(
-        *[c for c in df.columns if c != text_col],
-        F.explode(
-            F.expr(
-                "transform(if(size(w) >= 8, sequence(1, size(w) - 7), "
-                "array_repeat(1, 0)), "
-                "i -> md5(concat_ws(' ', slice(w, i, 8))))"
-            )
-        ).alias("g"),
-    )
+from coldata_spark.functions.text import eight_gram_md5s as _eight_gram_md5s
 
 
 @register(
@@ -1328,3 +1307,156 @@ def q168_ccnet_lm_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     census0 = ccnet_lm_census(ref.filter(F.col("doc_id") % 2 == 0))
     census = ccnet_lm_fold(census0, ref.filter(F.col("doc_id") % 2 == 1))
     return ccnet_score_and_bucket(big, census)
+
+
+@register(
+    "q169_curation_pipeline",
+    survey="V6,A1,A5,T1,W2,O2,ext-quality,ext-langid,ext-curation,ext-minhash-lsh",
+    sql=r"""
+    WITH cleaned AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(text,
+                    '[^\x20-\x7E]', ' ', 'g'), '\s+', ' ', 'g')) AS t
+        FROM documents WHERE doc_id >= 20
+    ),
+    lang AS (
+        SELECT doc_id, t,
+            len(regexp_split_to_array(p, ' the ')) - 1
+          + len(regexp_split_to_array(p, ' and ')) - 1
+          + len(regexp_split_to_array(p, ' of ')) - 1
+          + len(regexp_split_to_array(p, ' to ')) - 1
+          + len(regexp_split_to_array(p, ' is ')) - 1 AS en_hits,
+            len(regexp_split_to_array(p, ' le ')) - 1
+          + len(regexp_split_to_array(p, ' la ')) - 1
+          + len(regexp_split_to_array(p, ' et ')) - 1
+          + len(regexp_split_to_array(p, ' les ')) - 1
+          + len(regexp_split_to_array(p, ' des ')) - 1 AS fr_hits,
+            len(regexp_split_to_array(p, ' el ')) - 1
+          + len(regexp_split_to_array(p, ' los ')) - 1
+          + len(regexp_split_to_array(p, ' de ')) - 1
+          + len(regexp_split_to_array(p, ' que ')) - 1
+          + len(regexp_split_to_array(p, ' y ')) - 1 AS es_hits,
+            len(regexp_split_to_array(p, ' der ')) - 1
+          + len(regexp_split_to_array(p, ' die ')) - 1
+          + len(regexp_split_to_array(p, ' und ')) - 1
+          + len(regexp_split_to_array(p, ' das ')) - 1
+          + len(regexp_split_to_array(p, ' ist ')) - 1 AS de_hits
+        FROM (SELECT doc_id, t, concat(' ', lower(t), ' ') AS p FROM cleaned)
+    ),
+    gated AS (
+        SELECT doc_id, t FROM lang
+        WHERE en_hits = greatest(en_hits, fr_hits, es_hits, de_hits)
+          AND 0.5 * least(1.0,
+                  (CASE WHEN length(trim(t)) = 0 THEN 0
+                   ELSE len(regexp_split_to_array(trim(t), '\s+')) END) / 64.0)
+            + 0.5 * (CASE WHEN length(t) = 0 THEN 0.0
+                     ELSE (length(t) - length(regexp_replace(t, '[A-Za-z]', '', 'g')))
+                          / cast(length(t) AS DOUBLE) END) >= 0.5
+    ),
+    keepers AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY t),
+    deduped AS (SELECT g.doc_id, g.t FROM gated g JOIN keepers USING (doc_id)),
+    bench AS (
+        SELECT regexp_split_to_array(trim(regexp_replace(regexp_replace(text,
+                   '[^\x20-\x7E]', ' ', 'g'), '\s+', ' ', 'g')), '\s+') AS w
+        FROM documents WHERE doc_id < 20
+    ),
+    bench_grams AS (
+        SELECT DISTINCT md5(array_to_string(w[i:i+7], ' ')) AS g
+        FROM bench, unnest(generate_series(1, greatest(0, len(w) - 7))) AS s(i)
+    ),
+    contaminated AS (
+        SELECT DISTINCT doc_id
+        FROM (SELECT doc_id, regexp_split_to_array(trim(t), '\s+') AS w
+              FROM deduped),
+             unnest(generate_series(1, greatest(0, len(w) - 7))) AS s(i)
+        WHERE md5(array_to_string(w[i:i+7], ' ')) IN (SELECT g FROM bench_grams)
+    ),
+    clean_docs AS (
+        SELECT doc_id, t FROM deduped
+        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    sig AS (
+        SELECT doc_id, seed,
+               min((h1 + seed * h2) % 4294967296) AS minhash
+        FROM (
+            SELECT doc_id,
+                   ('0x' || substring(md5(shingle), 1, 8))::BIGINT AS h1,
+                   ('0x' || substring(md5(shingle), 9, 8))::BIGINT AS h2
+            FROM (
+                SELECT DISTINCT doc_id, substring(t, i, 5) AS shingle
+                FROM clean_docs, unnest(generate_series(1,
+                     greatest(1, length(t) - 4))) AS sh(i)
+            )
+        ), unnest(generate_series(0, 7)) AS sd(seed)
+        GROUP BY doc_id, seed
+    ),
+    banded AS (
+        SELECT doc_id, cast(floor(seed / 2) AS INT) AS band,
+               string_agg(cast(minhash AS VARCHAR), '|' ORDER BY seed) AS band_key
+        FROM sig GROUP BY doc_id, cast(floor(seed / 2) AS INT)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    drops AS (
+        SELECT DISTINCT doc_b AS doc_id FROM (
+            SELECT c.doc_a, c.doc_b
+            FROM cand c
+            JOIN sig sa ON sa.doc_id = c.doc_a
+            JOIN sig sb ON sb.doc_id = c.doc_b AND sb.seed = sa.seed
+            GROUP BY c.doc_a, c.doc_b
+            HAVING avg(CASE WHEN sa.minhash = sb.minhash THEN 1.0 ELSE 0.0 END)
+                   >= 0.5
+        )
+    ),
+    final AS (
+        SELECT doc_id, t FROM clean_docs
+        WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+    )
+    SELECT doc_id,
+           round(0.5 * least(1.0,
+                   (CASE WHEN length(trim(t)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(t), '\s+')) END) / 64.0)
+               + 0.5 * (CASE WHEN length(t) = 0 THEN 0.0
+                        ELSE (length(t) - length(regexp_replace(t, '[A-Za-z]', '', 'g')))
+                             / cast(length(t) AS DOUBLE) END), 6) AS quality,
+           CAST(CASE WHEN length(trim(t)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(t), '\s+')) END AS BIGINT)
+               AS n_tokens,
+           CAST(row_number() OVER (
+               ORDER BY md5('pipe|' || CAST(doc_id AS VARCHAR(20))), doc_id
+           ) - 1 AS BIGINT) AS seq,
+           CAST((row_number() OVER (
+               ORDER BY md5('pipe|' || CAST(doc_id AS VARCHAR(20))), doc_id
+           ) - 1) % 8 AS BIGINT) AS shard
+    FROM final
+    """,
+)
+def q169_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE nightly curation ladder as one hash-checked plan —
+    pipeline.curate_corpus: clean -> language gate -> quality gate ->
+    exact dedup -> benchmark decontamination (8-gram) -> MinHash-LSH
+    near-dup drop -> deterministic training-order shuffle + shard
+    assignment.  Docs with id < 20 play the held-out benchmark set; the
+    rest are the training corpus.  The manifest (doc_id, quality,
+    n_tokens, seq, shard) hashes which documents survive the entire
+    composition AND the exact reproducible order they'd be served in —
+    end-to-end bit-parity across engines, not per-rung parity.
+
+    Every rung is individually oracle-checked elsewhere (q27/q22/q87/
+    q23/q95/q26/q167); this query checks their COMPOSITION — filter
+    ordering, survivor-set threading, and the no-global-window shuffle
+    over the final survivor set.  Scale: expression gates run scan-side
+    before any shuffle; the gram set and drop lists broadcast; the corpus
+    shuffles only for its own groupBys (text, signatures)."""
+    from coldata_spark.pipeline import curate_corpus
+
+    docs = load(spark, sf_dir, "documents")
+    return curate_corpus(
+        docs.filter(F.col("doc_id") >= 20),
+        bench=docs.filter(F.col("doc_id") < 20),
+        seed="pipe",
+    )

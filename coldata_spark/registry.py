@@ -83,7 +83,12 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q45_html_extract",
     "q46_record_to_text",
     "q55_chunk_parent_roundtrip",
-    "q87_corpus_curation",
+    # Full curation-ladder composition (r6): clean -> langid -> quality ->
+    # exact dedup -> decontam -> minhash near-dup -> deterministic shuffle,
+    # hash-checked END-TO-END.  Displaced q87_corpus_curation, whose
+    # V6/A1/A5/ext-quality/ext-langid/ext-curation tags are a strict
+    # subset of q169's and which remains oracle-green in pytest.
+    "q169_curation_pipeline",
     # Sketch layer — engine-independent probabilistic summaries
     "q114_hll_distinct",
     "q101_url_canonical_dedup",
