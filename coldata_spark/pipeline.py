@@ -48,6 +48,8 @@ def curate_corpus(
     jaccard_min: float = 0.5,
     n_shards: int = 8,
     seed: str = "pipe",
+    materialize: bool = True,
+    max_bucket_size: int | None = 64,
 ) -> DataFrame:
     """Run the full curation ladder over ``docs``; returns the training
     manifest ``(doc_id, quality, n_tokens, seq, shard)``.
@@ -63,6 +65,27 @@ def curate_corpus(
     ``quality_min`` compares the UNROUNDED score (both engines compute
     the identical double); ``jaccard_min`` compares the 8-position
     signature-agreement fraction (multiples of 1/8, exact in binary).
+
+    ``materialize`` (default on) inserts explicit materialization
+    barriers (``persist``) at the two points the DAG re-references its
+    own upstream: the decontaminated survivor set feeds the minhash
+    signature build AND the final anti-join, and the manifest feeds both
+    deterministic_shuffle's bucket-count pass and the output plan.
+    Without barriers a lazy DAG re-evaluates the whole ladder per
+    reference (Catalyst's ReuseExchange dedupes identical exchanges but
+    not differently-keyed subtree copies) — at 100 TB that is the
+    difference between scanning the corpus once and scanning it four
+    times.  A production run checkpoints these to managed storage via
+    the staged-swap protocol instead; persist is the in-session form.
+
+    ``max_bucket_size`` (default 64) is the LSH hot-bucket cap — NOT
+    optional posture at scale: a boilerplate band key is quadratic in
+    its bucket population inside ONE task, and running this pipeline
+    uncapped on the 64x replicated fixture wedges a single straggler on
+    ~billions of within-bucket pairs (measured; STRESS.md's 19.3B
+    uncapped prediction, reproduced through the full ladder).  The cap
+    is a deterministic population count, so the DuckDB twin reproduces
+    it bit-for-bit and oracle parity is preserved.
     """
     # 1. clean: non-printables -> space, whitespace collapsed, trimmed.
     #    After this, the only whitespace in `t` is plain spaces — every
@@ -80,6 +103,13 @@ def curate_corpus(
 
     # 3. quality gate: length saturation + alpha ratio (q87 semantics).
     gated = gated.filter(TX.quality_score_raw(F.col("t")) >= quality_min)
+    if materialize:
+        # the gates are the corpus-wide expression pass (20 marker scans +
+        # quality regexes over every doc) and the DAG below references
+        # them FOUR times (keepers + dedup join, each under two deduped
+        # references) — measured at the 64x tier: persisting here cuts the
+        # ladder from 4 gate evaluations to 1
+        gated = gated.persist()
 
     # 4. exact dedup: keep min doc_id per identical cleaned text.
     keepers = gated.groupBy("t").agg(F.min("doc_id").alias("doc_id"))
@@ -102,12 +132,16 @@ def curate_corpus(
         .distinct()
     )
     clean_docs = deduped.join(contaminated, "doc_id", "left_anti")
+    if materialize:
+        clean_docs = clean_docs.persist()
 
     # 6. near-dup drop: LSH-banded MinHash pairs over the survivors; the
     #    larger id of every verified pair is dropped (the standard
     #    keep-first policy; q59's connected components is the
     #    transitive-closure variant when groups matter).
-    pairs = minhash_neardup_pairs(clean_docs, "t", "doc_id")
+    pairs = minhash_neardup_pairs(
+        clean_docs, "t", "doc_id", max_bucket_size=max_bucket_size
+    )
     drops = (
         pairs.filter(F.col("est_jaccard") >= jaccard_min)
         .select(F.col("doc_b").alias("doc_id"))
@@ -122,6 +156,11 @@ def curate_corpus(
         F.round(TX.quality_score_raw(F.col("t")), 6).alias("quality"),
         TX.token_count(F.col("t")).cast("long").alias("n_tokens"),
     )
+    if materialize:
+        # the shuffle's bucket-count pass executes at call time; persisting
+        # first means it also WARMS the cache the output plan reads — the
+        # ladder above runs exactly once end to end
+        manifest = manifest.persist()
     ordered = deterministic_shuffle(manifest, "doc_id", seed=seed)
     return ordered.select(
         "doc_id",

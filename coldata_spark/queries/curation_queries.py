@@ -1343,7 +1343,7 @@ def q168_ccnet_lm_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
           + len(regexp_split_to_array(p, ' ist ')) - 1 AS de_hits
         FROM (SELECT doc_id, t, concat(' ', lower(t), ' ') AS p FROM cleaned)
     ),
-    gated AS (
+    gated AS MATERIALIZED (
         SELECT doc_id, t FROM lang
         WHERE en_hits = greatest(en_hits, fr_hits, es_hits, de_hits)
           AND 0.5 * least(1.0,
@@ -1354,7 +1354,7 @@ def q168_ccnet_lm_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                           / cast(length(t) AS DOUBLE) END) >= 0.5
     ),
     keepers AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY t),
-    deduped AS (SELECT g.doc_id, g.t FROM gated g JOIN keepers USING (doc_id)),
+    deduped AS MATERIALIZED (SELECT g.doc_id, g.t FROM gated g JOIN keepers USING (doc_id)),
     bench AS (
         SELECT regexp_split_to_array(trim(regexp_replace(regexp_replace(text,
                    '[^\x20-\x7E]', ' ', 'g'), '\s+', ' ', 'g')), '\s+') AS w
@@ -1371,11 +1371,11 @@ def q168_ccnet_lm_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
              unnest(generate_series(1, greatest(0, len(w) - 7))) AS s(i)
         WHERE md5(array_to_string(w[i:i+7], ' ')) IN (SELECT g FROM bench_grams)
     ),
-    clean_docs AS (
+    clean_docs AS MATERIALIZED (
         SELECT doc_id, t FROM deduped
         WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
     ),
-    sig AS (
+    sig AS MATERIALIZED (
         SELECT doc_id, seed,
                min((h1 + seed * h2) % 4294967296) AS minhash
         FROM (
@@ -1390,10 +1390,17 @@ def q168_ccnet_lm_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         ), unnest(generate_series(0, 7)) AS sd(seed)
         GROUP BY doc_id, seed
     ),
-    banded AS (
-        SELECT doc_id, cast(floor(seed / 2) AS INT) AS band,
-               string_agg(cast(minhash AS VARCHAR), '|' ORDER BY seed) AS band_key
-        FROM sig GROUP BY doc_id, cast(floor(seed / 2) AS INT)
+    banded AS MATERIALIZED (
+        SELECT doc_id, band, band_key FROM (
+            SELECT doc_id, cast(floor(seed / 2) AS INT) AS band,
+                   string_agg(cast(minhash AS VARCHAR), '|' ORDER BY seed)
+                       AS band_key
+            FROM sig GROUP BY doc_id, cast(floor(seed / 2) AS INT)
+        )
+        -- hot-bucket cap (64): a boilerplate band key is quadratic in its
+        -- bucket population; capped buckets are skipped entirely, matching
+        -- the Spark plan's max_bucket_size
+        QUALIFY count(*) OVER (PARTITION BY band, band_key) <= 64
     ),
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
