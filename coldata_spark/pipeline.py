@@ -38,6 +38,34 @@ from coldata_spark.operators.dedup import minhash_neardup_pairs
 from coldata_spark.operators.ordering import deterministic_shuffle
 
 
+def gate_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang: str = "en",
+    quality_min: float = 0.5,
+) -> DataFrame:
+    """The scan-side expression gates, stages 1-3 of the ladder:
+
+    1. clean: non-printables -> space, whitespace collapsed, trimmed
+       (after this the only whitespace in ``t`` is plain spaces, so
+       every later ``\\s+`` split is engine-identical by construction);
+    2. language gate: marker-vocabulary argmax (q22 semantics; ties
+       resolve to ``lang`` iff its hit count equals the max);
+    3. quality gate: length saturation + alpha ratio (q87 semantics).
+
+    Returns ``(doc_id, t)``.  Pure expressions — Catalyst fuses all
+    three into the scan, no shuffle."""
+    cleaned = docs.select(
+        F.col(id_col).alias("doc_id"),
+        TX.clean_text(F.col(text_col)).alias("t"),
+    )
+    scores = TX.lang_scores(F.col("t"))
+    best = F.greatest(*scores.values())
+    gated = cleaned.filter(scores[lang] == best)
+    return gated.filter(TX.quality_score_raw(F.col("t")) >= quality_min)
+
+
 def curate_corpus(
     docs: DataFrame,
     bench: DataFrame,
@@ -87,22 +115,7 @@ def curate_corpus(
     is a deterministic population count, so the DuckDB twin reproduces
     it bit-for-bit and oracle parity is preserved.
     """
-    # 1. clean: non-printables -> space, whitespace collapsed, trimmed.
-    #    After this, the only whitespace in `t` is plain spaces — every
-    #    later \s+ split is engine-identical by construction.
-    cleaned = docs.select(
-        F.col(id_col).alias("doc_id"),
-        TX.clean_text(F.col(text_col)).alias("t"),
-    )
-
-    # 2. language gate: marker-vocabulary argmax (q22 semantics; ties
-    #    resolve to `lang` iff its hit count equals the max).
-    scores = TX.lang_scores(F.col("t"))
-    best = F.greatest(*scores.values())
-    gated = cleaned.filter(scores[lang] == best)
-
-    # 3. quality gate: length saturation + alpha ratio (q87 semantics).
-    gated = gated.filter(TX.quality_score_raw(F.col("t")) >= quality_min)
+    gated = gate_documents(docs, id_col, text_col, lang, quality_min)
     if materialize:
         # the gates are the corpus-wide expression pass (20 marker scans +
         # quality regexes over every doc) and the DAG below references
@@ -168,4 +181,127 @@ def curate_corpus(
         "n_tokens",
         F.col("seq").cast("long").alias("seq"),
         (F.col("seq") % n_shards).cast("long").alias("shard"),
+    )
+
+
+def fold_corpus_batch(
+    batch: DataFrame,
+    corpus_texts: DataFrame,
+    corpus_wide: DataFrame,
+    corpus_count: int,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang: str = "en",
+    quality_min: float = 0.5,
+    jaccard_min: float = 0.5,
+    n_shards: int = 8,
+    seed: str = "pipe",
+    max_bucket_size: int | None = 64,
+) -> DataFrame:
+    """The DAILY FOLD of the curation ladder: run a NEW batch through
+    every rung against the PERSISTED corpus state, without rescanning or
+    re-shuffling the corpus — the incremental form of curate_corpus, the
+    way a production pipeline actually runs after day one.
+
+    Persisted state (the artifacts a fold writes via the staged-swap
+    protocol, passed in explicitly):
+
+      * ``corpus_texts``   — (doc_id, t) of the curated survivors
+                             (exact-dedup membership checks);
+      * ``corpus_wide``    — their wide minhash signatures
+                             (minhash_signatures_wide output);
+      * ``corpus_count``   — survivor count (the batch's seq offset:
+                             appended docs continue the training order,
+                             history is never renumbered).
+
+    Fold semantics (engine-checkable, all deterministic):
+
+      1. gates: identical to curate_corpus;
+      2. exact dedup: drop batch docs whose cleaned text matches ANY
+         corpus survivor (anti-join on ``t``; the corpus side is the
+         tiny-per-bucket build side of one broadcast-or-shuffle hash
+         join on text — never re-aggregated), then keep min doc_id per
+         identical text WITHIN the batch;
+      3. decontamination: identical (the benchmark set is static);
+      4. near-dup: minhash_neardup_incremental — the corpus signatures
+         are scanned once and never shuffled (plan-gated at the operator
+         level); a batch doc drops if it pairs (est >= ``jaccard_min``)
+         with any corpus survivor, or with a smaller-id batch doc;
+      5. order: survivors get seq = ``corpus_count`` + their rank under
+         the seeded permutation WITHIN the batch — append-only training
+         order, so data loaders resume without re-reading history.
+
+    Returns the batch manifest (doc_id, quality, n_tokens, seq, shard).
+    Note the fold is NOT rebuild-identical by design: a full rebuild
+    could elect a smaller-id batch doc as a dup-group keeper and
+    renumber everything; the fold keeps the persisted corpus immutable —
+    the production contract (same stance as q159's incremental
+    near-dup).
+    """
+    from coldata_spark.operators.dedup import minhash_neardup_incremental
+
+    gated = gate_documents(batch, id_col, text_col, lang, quality_min)
+
+    # 2. exact dedup vs corpus, then within-batch keep-first
+    fresh = gated.join(corpus_texts.select("t"), "t", "left_anti")
+    keepers = fresh.groupBy("t").agg(F.min("doc_id").alias("doc_id"))
+    deduped = fresh.join(keepers.select("doc_id"), "doc_id")
+
+    # 3. decontamination (static benchmark set, broadcast)
+    bench_grams = (
+        eight_gram_md5s(
+            bench.select(TX.clean_text(F.col(text_col)).alias("t")), "t"
+        )
+        .select("g")
+        .distinct()
+    )
+    contaminated = (
+        eight_gram_md5s(deduped, "t")
+        .join(F.broadcast(bench_grams), "g")
+        .select("doc_id")
+        .distinct()
+    )
+    clean_docs = deduped.join(contaminated, "doc_id", "left_anti").persist()
+
+    # 4. incremental near-dup: batch vs persisted corpus signatures
+    pairs, new_wide = minhash_neardup_incremental(
+        clean_docs,
+        corpus_wide,
+        "t",
+        "doc_id",
+        max_bucket_size=max_bucket_size,
+    )
+    hits = pairs.filter(F.col("est_jaccard") >= jaccard_min)
+    drops = (
+        hits.filter(F.col("pair_type") == "new_corpus")
+        .select(F.col("doc_a").alias("doc_id"))
+        .unionByName(
+            hits.filter(F.col("pair_type") == "new_new").select(
+                F.col("doc_b").alias("doc_id")
+            )
+        )
+        .distinct()
+    )
+    final = clean_docs.join(F.broadcast(drops), "doc_id", "left_anti")
+
+    # 5. append-only training order: seq continues from the corpus
+    manifest = final.select(
+        "doc_id",
+        F.round(TX.quality_score_raw(F.col("t")), 6).alias("quality"),
+        TX.token_count(F.col("t")).cast("long").alias("n_tokens"),
+    ).persist()
+    ordered = deterministic_shuffle(manifest, "doc_id", seed=seed)
+    # new_wide stays cached: unpersisting it here would non-cascading-
+    # invalidate (re-plan) the dependent cached manifest mid-build; the
+    # production fold writes new_wide to the corpus signature table and
+    # lets the session end instead
+    return ordered.select(
+        "doc_id",
+        "quality",
+        "n_tokens",
+        (F.col("seq") + F.lit(corpus_count)).cast("long").alias("seq"),
+        ((F.col("seq") + F.lit(corpus_count)) % n_shards)
+        .cast("long")
+        .alias("shard"),
     )

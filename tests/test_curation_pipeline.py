@@ -91,3 +91,42 @@ def test_pipeline_drops_are_real(spark, sf_dir):
     n_corpus = docs.filter(F.col("doc_id") >= 20).count()
     n_out = _run(spark, sf_dir).count()
     assert 0 < n_out < n_corpus
+
+
+def test_fold_appends_after_corpus(spark, sf_dir):
+    """q170 contract: batch survivors continue the training order from
+    the corpus survivor count (append-only, history never renumbered),
+    contiguously and with round-robin shards."""
+    from coldata_spark import registry
+
+    spec = registry.specs()["q170_curation_pipeline_incremental"]
+    rows = spec.fn(spark, sf_dir).collect()
+    assert rows
+    docs = load(spark, sf_dir, "documents")
+    corpus_raw = docs.filter(
+        (F.col("doc_id") >= 20) & (F.col("doc_id") % 10 != 9)
+    )
+    n_corpus = curate_corpus(
+        corpus_raw, bench=docs.filter(F.col("doc_id") < 20), seed="pipe"
+    ).count()
+    seqs = sorted(r["seq"] for r in rows)
+    assert seqs == list(range(n_corpus, n_corpus + len(rows)))
+    assert all(r["shard"] == r["seq"] % 8 for r in rows)
+    # every batch survivor is a genuine batch doc
+    assert all(r["doc_id"] % 10 == 9 for r in rows)
+
+
+def test_fold_plan_stays_bounded(spark, sf_dir):
+    """The composed fold must cut lineage at the persisted-state
+    artifacts: carrying the corpus ladder's lineage into the fold makes
+    the logical plan explode combinatorially (measured: 283 MB of plan
+    text, 111k scan nodes, ~90 s of driver-side analysis per collect).
+    Gate the plan size so a refactor can't silently reintroduce it."""
+    from coldata_spark import registry
+
+    spec = registry.specs()["q170_curation_pipeline_incremental"]
+    df = spec.fn(spark, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert len(plan) < 5_000_000, f"fold plan exploded: {len(plan)} bytes"
