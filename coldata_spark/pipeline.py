@@ -78,6 +78,7 @@ def curate_corpus(
     seed: str = "pipe",
     materialize: bool = True,
     max_bucket_size: int | None = 64,
+    barriers: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Run the full curation ladder over ``docs``; returns the training
     manifest ``(doc_id, quality, n_tokens, seq, shard)``.
@@ -105,6 +106,10 @@ def curate_corpus(
     difference between scanning the corpus once and scanning it four
     times.  A production run checkpoints these to managed storage via
     the staged-swap protocol instead; persist is the in-session form.
+    ``barriers`` (optional list) receives every persisted intermediate
+    so long-lived callers — notebooks, the driver's query loop — can
+    ``unpersist()`` them once the manifest is consumed instead of
+    reaching for a global ``clearCache()``.
 
     ``max_bucket_size`` (default 64) is the LSH hot-bucket cap — NOT
     optional posture at scale: a boilerplate band key is quadratic in
@@ -123,6 +128,8 @@ def curate_corpus(
         # references) — measured at the 64x tier: persisting here cuts the
         # ladder from 4 gate evaluations to 1
         gated = gated.persist()
+        if barriers is not None:
+            barriers.append(gated)
 
     # 4. exact dedup: keep min doc_id per identical cleaned text.
     keepers = gated.groupBy("t").agg(F.min("doc_id").alias("doc_id"))
@@ -147,6 +154,8 @@ def curate_corpus(
     clean_docs = deduped.join(contaminated, "doc_id", "left_anti")
     if materialize:
         clean_docs = clean_docs.persist()
+        if barriers is not None:
+            barriers.append(clean_docs)
 
     # 6. near-dup drop: LSH-banded MinHash pairs over the survivors; the
     #    larger id of every verified pair is dropped (the standard
@@ -160,13 +169,16 @@ def curate_corpus(
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    final = clean_docs.join(F.broadcast(drops), "doc_id", "left_anti")
+    # no broadcast hint: near-dup loser sets can be a large fraction of a
+    # boilerplate-heavy corpus (same rule as dedup._apply_losers) — AQE
+    # picks a broadcast when the set is actually small
+    final = clean_docs.join(drops, "doc_id", "left_anti")
 
     # 7. reproducible training order + shards: seeded md5 permutation
     #    with exact contiguous sequence numbers, no global window.
     manifest = final.select(
         "doc_id",
-        F.round(TX.quality_score_raw(F.col("t")), 6).alias("quality"),
+        TX.quality_score(F.col("t")).alias("quality"),
         TX.token_count(F.col("t")).cast("long").alias("n_tokens"),
     )
     if materialize:
@@ -174,6 +186,8 @@ def curate_corpus(
         # first means it also WARMS the cache the output plan reads — the
         # ladder above runs exactly once end to end
         manifest = manifest.persist()
+        if barriers is not None:
+            barriers.append(manifest)
     ordered = deterministic_shuffle(manifest, "doc_id", seed=seed)
     return ordered.select(
         "doc_id",
@@ -198,6 +212,7 @@ def fold_corpus_batch(
     n_shards: int = 8,
     seed: str = "pipe",
     max_bucket_size: int | None = 64,
+    barriers: list[DataFrame] | None = None,
 ) -> DataFrame:
     """The DAILY FOLD of the curation ladder: run a NEW batch through
     every rung against the PERSISTED corpus state, without rescanning or
@@ -233,6 +248,9 @@ def fold_corpus_batch(
          order, so data loaders resume without re-reading history.
 
     Returns the batch manifest (doc_id, quality, n_tokens, seq, shard).
+    ``barriers`` (optional list) receives the persisted intermediates
+    (clean_docs, manifest, the batch's cached wide signatures) so
+    long-lived callers can ``unpersist()`` them once consumed.
     Note the fold is NOT rebuild-identical by design: a full rebuild
     could elect a smaller-id batch doc as a dup-group keeper and
     renumber everything; the fold keeps the persisted corpus immutable —
@@ -263,6 +281,8 @@ def fold_corpus_batch(
         .distinct()
     )
     clean_docs = deduped.join(contaminated, "doc_id", "left_anti").persist()
+    if barriers is not None:
+        barriers.append(clean_docs)
 
     # 4. incremental near-dup: batch vs persisted corpus signatures
     pairs, new_wide = minhash_neardup_incremental(
@@ -288,9 +308,12 @@ def fold_corpus_batch(
     # 5. append-only training order: seq continues from the corpus
     manifest = final.select(
         "doc_id",
-        F.round(TX.quality_score_raw(F.col("t")), 6).alias("quality"),
+        TX.quality_score(F.col("t")).alias("quality"),
         TX.token_count(F.col("t")).cast("long").alias("n_tokens"),
     ).persist()
+    if barriers is not None:
+        barriers.append(manifest)
+        barriers.append(new_wide)
     ordered = deterministic_shuffle(manifest, "doc_id", seed=seed)
     # new_wide stays cached: unpersisting it here would non-cascading-
     # invalidate (re-plan) the dependent cached manifest mid-build; the

@@ -123,10 +123,8 @@ def test_fold_plan_stays_bounded(spark, sf_dir):
     text, 111k scan nodes, ~90 s of driver-side analysis per collect).
     Gate the plan size so a refactor can't silently reintroduce it."""
     from coldata_spark import registry
+    from tests.test_plans import plan_of
 
     spec = registry.specs()["q170_curation_pipeline_incremental"]
-    df = spec.fn(spark, sf_dir)
-    plan = df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+    plan = plan_of(spec.fn(spark, sf_dir))
     assert len(plan) < 5_000_000, f"fold plan exploded: {len(plan)} bytes"

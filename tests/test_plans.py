@@ -417,11 +417,18 @@ def test_curation_pipeline_materializes_once(spark, sf_dir):
     entirely JVM-side, and use only partitioned windows (the
     deterministic-shuffle bucket form, never a global funnel).
     Measured: the barriers cut the sf0.01 run ~10x (20.5 s -> 2 s)."""
-    q = registry.specs()["q169_curation_pipeline"]
-    plan = plan_of(q.fn(spark, sf_dir))
+    df = registry.specs()["q169_curation_pipeline"].fn(spark, sf_dir)
+    plan = plan_of(df)
     assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
     for marker in ("MapInArrow", "MapInPandas", "ArrowEval", "BatchEval"):
         assert marker not in plan
-    for line in plan.splitlines():
+    # window check needs SIMPLE explain: formatted mode puts the node name
+    # and its windowspecdefinition arguments on different lines, which
+    # would make a line-wise co-occurrence check vacuously pass
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    saw_window = False
+    for line in simple.splitlines():
         if "Window" in line and "windowspecdefinition" in line:
+            saw_window = True
             assert "_bucket" in line, f"global window in plan: {line}"
+    assert saw_window, "expected the deterministic-shuffle window in plan"

@@ -100,12 +100,19 @@ def main() -> None:
             ).count()
             fold_runs.append(round(time.monotonic() - t0, 3))
 
-        # the alternative: rebuild everything from scratch
-        t0 = time.monotonic()
-        n_rebuild = curate_corpus(
-            docs.filter(F.col("doc_id") >= 20), bench=bench, seed="pipe"
-        ).count()
-        rebuild = round(time.monotonic() - t0, 3)
+        # the alternative: rebuild everything from scratch — same
+        # protocol as the folds (best-of-3, caches cleared between runs
+        # so the rebuild doesn't read the fold's resident barriers and
+        # the fold/rebuild ratio compares like against like)
+        rebuild_runs = []
+        for _ in range(3):
+            spark.catalog.clearCache()
+            t0 = time.monotonic()
+            n_rebuild = curate_corpus(
+                docs.filter(F.col("doc_id") >= 20), bench=bench, seed="pipe"
+            ).count()
+            rebuild_runs.append(round(time.monotonic() - t0, 3))
+        rebuild = min(rebuild_runs)
         spark.catalog.clearCache()
 
         out[tier] = {
@@ -116,6 +123,7 @@ def main() -> None:
             "fold_sec": min(fold_runs),
             "fold_runs": fold_runs,
             "rebuild_sec": rebuild,
+            "rebuild_runs": rebuild_runs,
             "fold_vs_rebuild": round(min(fold_runs) / rebuild, 2),
         }
     spark.stop()
