@@ -100,17 +100,48 @@ def drop_table_clean(spark, name: str) -> None:
     previously killed run left ``spark-warehouse/<name>`` on disk with no
     catalog entry (DROP TABLE alone can't see it) — clearing both makes
     every bucketed-table writer self-healing regardless of how the prior
-    process died."""
+    process died.
+
+    When the table EXISTS, its actual location is read from the catalog
+    (a table created with a custom LOCATION or in a non-default database
+    does not live at ``spark-warehouse/<name>``); the managed-location
+    rmtree only fires for paths inside the warehouse dir, so an EXTERNAL
+    table's data is never touched.  When the table does not exist, only
+    the orphaned DEFAULT location is cleared, with the ``<db>.db/``
+    prefix applied for db-qualified names."""
     import os
     import shutil
 
+    location = None
+    try:
+        if spark.catalog.tableExists(name):
+            row = (
+                spark.sql(f"DESCRIBE TABLE EXTENDED {name}")
+                .where("col_name = 'Location'")
+                .select("data_type")
+                .head()
+            )
+            if row is not None:
+                location = row[0].removeprefix("file:")
+    except Exception:
+        location = None  # catalog edge (temp view, etc.) — fall back
     spark.sql(f"DROP TABLE IF EXISTS {name}")
-    warehouse = spark.conf.get(
-        "spark.sql.warehouse.dir", "spark-warehouse"
-    ).removeprefix("file:")
-    orphan = os.path.join(warehouse, name.split(".")[-1].lower())
-    if os.path.isdir(orphan):
-        shutil.rmtree(orphan, ignore_errors=True)
+    warehouse = os.path.abspath(
+        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").removeprefix(
+            "file:"
+        )
+    )
+    if location is None:
+        # table absent: clear the orphaned DEFAULT managed location only
+        parts = [p.lower() for p in name.split(".") if p]
+        if len(parts) >= 2 and parts[-2] != "default":
+            location = os.path.join(warehouse, parts[-2] + ".db", parts[-1])
+        else:
+            location = os.path.join(warehouse, parts[-1])
+    location = os.path.abspath(location)
+    # guard: only remove directories the warehouse manages
+    if location.startswith(warehouse + os.sep) and os.path.isdir(location):
+        shutil.rmtree(location, ignore_errors=True)
 
 
 def write_bucketed(

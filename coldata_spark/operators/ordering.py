@@ -68,7 +68,16 @@ def deterministic_shuffle(
 ) -> DataFrame:
     """Return ``df`` with ``seq_col`` = exact 0-based position under the
     seeded global permutation ``order by (md5(seed || '|' || id), id)``.
-    No global window; the count pass moves one long per bucket."""
+    No global window; the count pass moves one long per bucket.
+
+    PRECONDITION: ``df`` must be deterministic across re-evaluations — the
+    count pass and the sequence pass each recompute the input, so a row set
+    that differs between executions (``sample()`` without a seed, rand-based
+    filters, source files mutating mid-job) yields stale counts.  Rows whose
+    bucket never appeared in the count pass are caught by a fail-fast guard
+    (``raise_error`` on a null joined offset) rather than silently dropped;
+    rows *missing* relative to the count pass shift later seq numbers and
+    cannot be detected here — persist such inputs first."""
     spark = df.sparkSession
     parts = num_partitions or spark.sparkContext.defaultParallelism
     keyed = _with_sigma_bucket(df, id_col, seed, parts)
@@ -86,11 +95,24 @@ def deterministic_shuffle(
     # id tie-break keeps the order total even under a (cosmically unlikely)
     # md5 collision, and makes the oracle's ORDER BY fully deterministic
     w = Window.partitionBy("_bucket").orderBy("_sigma", id_col)
+    # LEFT join + assert_true: an inner join would silently drop any row
+    # whose bucket was absent from the count pass (only possible when the
+    # input violates the determinism precondition above) — fail loudly.
+    guarded_off = F.coalesce(
+        F.col("_off"),
+        F.raise_error(
+            F.lit(
+                "deterministic_shuffle: row landed in a bucket absent from "
+                "the count pass — input row set is non-deterministic across "
+                "re-evaluations; persist() the input first"
+            )
+        ).cast("bigint"),
+    )
     return (
-        keyed.join(F.broadcast(off_df), "_bucket")
+        keyed.join(F.broadcast(off_df), "_bucket", "left")
         .withColumn(
             seq_col,
-            (F.row_number().over(w) - 1 + F.col("_off")).cast("long"),
+            (F.row_number().over(w) - 1 + guarded_off).cast("long"),
         )
         .drop("_sigma", "_bucket", "_off")
     )

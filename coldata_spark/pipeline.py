@@ -303,7 +303,10 @@ def fold_corpus_batch(
         )
         .distinct()
     )
-    final = clean_docs.join(F.broadcast(drops), "doc_id", "left_anti")
+    # no broadcast hint (same rule as curate_corpus / dedup._apply_losers):
+    # near-dup loser sets can be a large fraction of a boilerplate-heavy
+    # batch; AQE sees the built size and picks broadcast when it fits
+    final = clean_docs.join(drops, "doc_id", "left_anti")
 
     # 5. append-only training order: seq continues from the corpus
     manifest = final.select(

@@ -77,9 +77,14 @@ def test_shuffle_plan_has_no_global_window(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").select("doc_id")
     out = deterministic_shuffle(docs, "doc_id", seed="s4")
     plan = out._jdf.queryExecution().executedPlan().toString()
+    saw_window = False
     for line in plan.splitlines():
         if "Window" in line and "windowspecdefinition" in line:
+            saw_window = True
             assert "_bucket" in line, f"global window in plan: {line}"
+    # not vacuous: a refactor that drops/renames the Window operator must
+    # fail here, not silently pass (mirrors the q169 plan test)
+    assert saw_window, "expected a partitioned Window operator in the plan"
 
 def test_shuffle_empty_input(spark):
     """Empty batch (e.g. a filter that selects nothing) must return an

@@ -86,7 +86,21 @@ def replicate_fixture(
     plans["lineitem"] = _replicate(lineitem, times, shift("l_orderkey"))
     plans["orders"] = _replicate(orders, times, shift("o_orderkey"))
     plans["documents"] = _replicate(load(spark, src_dir, "documents"), times, docs_mutate)
-    plans["events"] = _replicate(load(spark, src_dir, "events"), times, events_mutate)
+    events_base = load(spark, src_dir, "events")
+    # one-time verification of the docstring claim above: the max applied
+    # jitter (times-1 µs) must fit inside every base timestamp's
+    # sub-second headroom, or a replica could roll into the next second
+    # (and potentially a session/hour bucket), silently changing tier
+    # semantics vs the base fixture
+    max_sub_us = events_base.select(
+        F.max(F.expr("unix_micros(ts) % 1000000")).alias("m")
+    ).head()["m"]
+    if max_sub_us is not None and max_sub_us + (times - 1) >= 1_000_000:
+        raise AssertionError(
+            f"events ts jitter would cross a second boundary: max "
+            f"sub-second micros {max_sub_us} + jitter {times - 1} >= 1e6"
+        )
+    plans["events"] = _replicate(events_base, times, events_mutate)
     plans["embeddings"] = _replicate(
         load(spark, src_dir, "embeddings"), times, shift("vec_id")
     )
