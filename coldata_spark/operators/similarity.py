@@ -71,17 +71,32 @@ def knn_join(
 
     ``strategy`` picks the scoring engine:
 
-      * ``"arrow"`` (the ``"auto"`` default) — Arrow-batched numpy matmul
-        against the (collected, gate-bounded) query matrix inside a single
-        ``mapInPandas`` pass, with a per-batch partial top-k so each scan
-        task emits only ~#queries x k candidate rows.  Same pattern as the
-        IVF-PQ in-UDF ADC LUTs (ivf.py): the big side never shuffles and
+      * ``"arrow"`` (what ``"auto"`` resolves to) — Arrow-batched numpy
+        matmul against the (collected, gate-bounded) query matrix inside a
+        single ``mapInPandas`` pass, with a per-batch partial top-k so each
+        scan task emits only ~#queries x k candidate rows.  Same pattern as
+        the IVF-PQ in-UDF ADC LUTs (ivf.py): the big side never shuffles and
         the per-pair cost is one fused BLAS op instead of a 64-step
         Catalyst fold.  Raw scores are emitted and rounded by ``F.round``
         afterwards, so the published score is bit-identical in semantics to
         the expression path.
       * ``"expr"`` — pure Catalyst higher-order-function scoring (the
         oracle-parity baseline; zero Python in the plan).
+
+    WHY ``auto`` == ``arrow`` AT EVERY SIZE (measured, round 7 — see
+    tools/bench_knn_strategy.py and SCALE.md "kNN strategy crossover"):
+    the hypothesized small-input crossover to ``expr`` does not exist for
+    this operator.  Warm-JVM best-of-3 at q30's shape (8 queries, 64-dim),
+    expr vs arrow seconds: sf0.1 0.69/0.44, 16x 0.77/0.29, 64x 1.65/0.43,
+    256x 4.85/0.52; cold-JVM single-shot runs show no expr advantage
+    either.  Two reasons: (1) ``_sized_for_arrow_stage`` already coalesces
+    the scan so the Python-worker round-trip is paid ~once, and (2) the
+    Catalyst fold costs ~25 ns per vector ELEMENT per pair, so ``expr``
+    scales with rows x queries x dim while arrow's fixed cost is flat.
+    ``expr`` is kept as the zero-Python oracle-parity baseline, not as a
+    performance path.  The residual small-tier ratio vs DuckDB is the
+    multi-job floor (query-side collect job + two-stage main job),
+    itemized in SCALE.md — not strategy-addressable.
     """
     refuse_at_scale(
         queries,
