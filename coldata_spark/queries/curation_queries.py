@@ -1113,51 +1113,97 @@ def ccnet_lm_fold(census: DataFrame, batch_bigrams: DataFrame) -> DataFrame:
     )
 
 
+_INTLOG2_SCALE = 1 << 20  # fixed-point log2 units: 2^-20 per step
+
+
+def _intlog2_fp(m_sql: str, dialect: str) -> str:
+    """SQL snippet for the DETERMINISTIC integer fixed-point log2 of a
+    positive integer expression ``m_sql``:
+
+        L(m) = e * 2^20 + (m * 2^20 div 2^e) - 2^20,  e = len(bin(m)) - 1
+
+    i.e. exact exponent plus linear interpolation of the mantissa — a
+    strictly-within-octave-monotone log2 surrogate with max error ~0.086
+    bits, computed with INTEGER ops only (bit-length via the binary string,
+    shift, multiply, floor-div), so every engine produces the identical
+    value on the identical input.  This is what makes q166/q168
+    exact-by-construction (ORACLE_PARITY.md rule 5): no libm call appears
+    anywhere in the score.  int64 headroom: m * 2^20 stays in range through
+    m ~ 8.7e12 — beyond that, rescale (same caveat as q120's idf units).
+    """
+    S = _INTLOG2_SCALE
+    if dialect == "spark":
+        return (
+            f"(cast(length(bin({m_sql})) - 1 as bigint) * {S}"
+            f" + (cast({m_sql} as bigint) * {S})"
+            f"   div shiftleft(cast(1 as bigint), length(bin({m_sql})) - 1)"
+            f" - {S})"
+        )
+    return (
+        f"((length(bin(({m_sql})::BIGINT)) - 1)::BIGINT * {S}"
+        f" + (({m_sql})::BIGINT * {S})"
+        f"   // (1::BIGINT << (length(bin(({m_sql})::BIGINT)) - 1))"
+        f" - {S})"
+    )
+
+
+def _ccnet_term_sql(dialect: str) -> str:
+    """Per-bigram integer surprisal: L(cu + B) - L(cb + 1), clipped at 0
+    (add-1 smoothing guarantees P <= 1 in the true LM; hash collisions can
+    break that, and the clip keeps 'probability capped at 1' semantics and
+    every partial sum non-negative so integer division truncation agrees
+    across engines)."""
+    B = _CCNET_B
+    lcu = _intlog2_fp(f"coalesce(cu, 0) + {B}", dialect)
+    lcb = _intlog2_fp("coalesce(cb, 0) + 1", dialect)
+    zero = "cast(0 as bigint)" if dialect == "spark" else "0::BIGINT"
+    return f"greatest({lcu} - {lcb}, {zero})"
+
+
 def ccnet_score_and_bucket(big: DataFrame, census: DataFrame) -> DataFrame:
-    """Back half of q166: score every doc's nll under the census LM and
-    assign head/middle/tail by discrete tercile cutoffs."""
+    """Back half of q166: score every doc's quantized nll under the census
+    LM and assign head/middle/tail by discrete tercile cutoffs.  The score
+    ``nll_q`` is sum-of-integer-surprisals div n_bigrams — pure int64
+    arithmetic end to end (see _intlog2_fp), so the oracle match is
+    by-construction, not probabilistic."""
     from pyspark.sql import Window as W
 
-    B = _CCNET_B
     uni_lm = census.filter(F.col("kind") == "u").select(
         F.col("bucket").alias("u"), F.col("c").alias("cu")
     )
     big_lm = census.filter(F.col("kind") == "b").select(
         F.col("bucket").alias("b"), F.col("c").alias("cb")
     )
-    lp = F.log(
-        (F.coalesce(F.col("cb"), F.lit(0)) + 1.0)
-        / (F.coalesce(F.col("cu"), F.lit(0)) + float(B))
-    )
     scored = (
         big.join(F.broadcast(uni_lm), "u", "left")
         .join(F.broadcast(big_lm), "b", "left")
+        .select("doc_id", F.expr(_ccnet_term_sql("spark")).alias("t"))
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_bigrams"),
-            F.round(-F.avg(lp), 4).alias("nll"),
+            F.expr("sum(t) div count(*)").cast("long").alias("nll_q"),
         )
     )
-    wr = W.orderBy("nll", "doc_id")
+    wr = W.orderBy("nll_q", "doc_id")
     ranked = scored.select(
-        "nll",
+        "nll_q",
         F.row_number().over(wr).alias("rn"),
         F.count("*").over(W.partitionBy()).alias("n"),
     )
     cuts = ranked.agg(
         F.max(
-            F.when(F.col("rn") == F.expr("(n + 2) div 3"), F.col("nll"))
+            F.when(F.col("rn") == F.expr("(n + 2) div 3"), F.col("nll_q"))
         ).alias("c1"),
         F.max(
-            F.when(F.col("rn") == F.expr("(2 * n + 2) div 3"), F.col("nll"))
+            F.when(F.col("rn") == F.expr("(2 * n + 2) div 3"), F.col("nll_q"))
         ).alias("c2"),
     )
     return scored.join(F.broadcast(cuts)).select(
         "doc_id",
         "n_bigrams",
-        "nll",
-        F.when(F.col("nll") <= F.col("c1"), "head")
-        .when(F.col("nll") <= F.col("c2"), "middle")
+        "nll_q",
+        F.when(F.col("nll_q") <= F.col("c1"), "head")
+        .when(F.col("nll_q") <= F.col("c2"), "middle")
         .otherwise("tail")
         .alias("bucket"),
     )
@@ -1187,8 +1233,7 @@ _CCNET_SQL = r"""
     scored AS (
         SELECT big.doc_id,
                CAST(count(*) AS BIGINT) AS n_bigrams,
-               round(-avg(ln((coalesce(cb, 0) + 1.0)
-                             / (coalesce(cu, 0) + 4096.0))), 4) AS nll
+               CAST(sum(__TERM__) // count(*) AS BIGINT) AS nll_q
         FROM big
         LEFT JOIN uni_lm USING (u)
         LEFT JOIN big_lm USING (b)
@@ -1196,21 +1241,21 @@ _CCNET_SQL = r"""
     ),
     ranked AS (
         SELECT *,
-               row_number() OVER (ORDER BY nll, doc_id) AS rn,
+               row_number() OVER (ORDER BY nll_q, doc_id) AS rn,
                count(*) OVER () AS n
         FROM scored
     ),
     cuts AS (
-        SELECT max(CASE WHEN rn = (n + 2) // 3 THEN nll END) AS c1,
-               max(CASE WHEN rn = (2 * n + 2) // 3 THEN nll END) AS c2
+        SELECT max(CASE WHEN rn = (n + 2) // 3 THEN nll_q END) AS c1,
+               max(CASE WHEN rn = (2 * n + 2) // 3 THEN nll_q END) AS c2
         FROM ranked
     )
-    SELECT doc_id, n_bigrams, nll,
-           CASE WHEN nll <= c1 THEN 'head'
-                WHEN nll <= c2 THEN 'middle'
+    SELECT doc_id, n_bigrams, nll_q,
+           CASE WHEN nll_q <= c1 THEN 'head'
+                WHEN nll_q <= c2 THEN 'middle'
                 ELSE 'tail' END AS bucket
     FROM scored, cuts
-    """
+    """.replace("__TERM__", _ccnet_term_sql("duckdb"))
 
 
 @register(
@@ -1237,10 +1282,15 @@ def q166_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame
     Tercile cutoffs are the q131-style DISCRETE rank picks (rows
     ceil(n/3), ceil(2n/3) under a tie-broken order) over the DOC-LEVEL
     score table — bounded by #docs, not tokens; at 100 TB the cutoffs fit
-    on a sample exactly as the paper does per-language.  Float discipline
-    per ORACLE_PARITY.md: ln of identically-formed double ratios, avg
-    rounded to 4 dp on both engines, bucket assignment by VALUE against
-    the picked cutoffs so ties can't straddle engines."""
+    on a sample exactly as the paper does per-language.  Exactness is
+    BY CONSTRUCTION (round 7, closing the one probabilistic oracle the
+    repo had): the per-bigram surprisal is the integer fixed-point log2
+    ``L(cu+B) - L(cb+1)`` (see _intlog2_fp — bit-length exponent +
+    interpolated mantissa, 2^-20 units, zero libm calls), the per-doc
+    score ``nll_q`` is an int64 sum div count, and buckets compare
+    integers against integer rank-picked cutoffs — no float appears
+    anywhere in either engine's plan, so a last-ulp ln divergence flipping
+    a tercile is structurally impossible, not just unobserved."""
     big = ccnet_bigrams(load(spark, sf_dir, "documents"))
     census = ccnet_lm_census(big.filter(F.col("lang") == "en"))
     return ccnet_score_and_bucket(big, census)
