@@ -59,7 +59,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q26_minhash_neardup_pairs",
     "q29_ngram_jaccard",
     "q47_simhash",
-    "q59_dedup_groups",
     # Incremental near-dup vs a persisted corpus — the daily production
     # dedup op (round-4 verdict ask #5: driver-check it; it displaced
     # q57_shipmode_priority_matrix, whose J1/A5 tags stay covered by
@@ -89,6 +88,15 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # V6/A1/A5/ext-quality/ext-langid/ext-curation tags are a strict
     # subset of q169's and which remains oracle-green in pytest.
     "q169_curation_pipeline",
+    # Daily incremental fold of the whole ladder (r7, r6 verdict ask #4):
+    # the most production-shaped query in the repo — batch curation against
+    # persisted corpus state with append-only training order — now under
+    # the driver's hash check.  ~24 s cold at sf0.01 (stage-bound, not
+    # row-bound; the window-runtime cost is accepted per the verdict).
+    # Displaced q59_dedup_groups, whose V6/ext-minhash-lsh tags stay
+    # covered by q23-q26/q159/q169/q170 and which remains oracle-green in
+    # pytest.
+    "q170_curation_pipeline_incremental",
     # Sketch layer — engine-independent probabilistic summaries
     "q114_hll_distinct",
     "q101_url_canonical_dedup",
