@@ -222,6 +222,188 @@ def register_bucketed(
     )
 
 
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class LayoutSpec:
+    """Physical layout prescription for one table: bucket (hash-cluster)
+    column, within-bucket sort order, bucket count — exactly the arguments
+    write_bucketed/register_bucketed take."""
+
+    bucket_col: str
+    sort_cols: tuple[str, ...]
+    buckets: int = 32
+
+
+def _top_level_groups(line: str) -> list[str]:
+    """Top-level ``[...]`` group contents of a plan line, in order —
+    nested brackets (lambdas, windowspecdefinition args) stay inside
+    their group."""
+    groups, depth, start = [], 0, -1
+    for i, ch in enumerate(line):
+        if ch == "[":
+            if depth == 0:
+                start = i + 1
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0 and start >= 0:
+                groups.append(line[start:i])
+                start = -1
+    return groups
+
+
+def advise_layout(
+    spark,
+    sf_dir: str,
+    queries: list[DataFrame],
+    buckets: int = 32,
+    min_bytes: int = 0,
+) -> dict[str, "LayoutSpec"]:
+    """Recommend the bucket/sort layout a query set wants — the mechanism
+    behind the clustered bench tier's hand-written spec (tools/clustered.py
+    _SPECS), so "store it co-clustered" is an engine decision, not folklore.
+
+    Reads each query's OPTIMIZED logical plan and tallies, per base table:
+      * equi-join keys        (weight 3 per occurrence — a co-bucketed join
+                               removes BOTH sides' exchanges),
+      * window partition keys (weight 3 — bucketing removes the exchange
+                               AND the bucket sort removes the window sort),
+      * aggregate grouping keys (weight 1 — partial aggregation already
+                               halves the shuffle, so layout helps less).
+    The winning column per table becomes the bucket key; if a window
+    partitions on that key, its order columns (same table only) extend the
+    within-bucket sort — the hypertable shape (user_id, ts, event_id).
+    Computed/aliased keys (e.g. q83's hour buckets) attribute to no base
+    table and correctly advise nothing.
+
+    Column->table attribution is BY NAME against the sf_dir table schemas
+    (this engine's data model prefixes every fact/dim column, so names are
+    unambiguous; ambiguous names are dropped rather than guessed).  Tables
+    whose on-disk size is below ``min_bytes`` are excluded — small dims
+    broadcast, so clustering them buys nothing (the same judgment
+    tools/clustered.py encodes as _FLAT_COPY).
+
+    At 100 TB this runs as a planning step over the workload's query log;
+    apply_layout materializes the verdict and the plan gates in
+    tests/test_layout_advisor.py prove the advised layout reproduces the
+    clustered tier's zero-exchange/zero-sort plans."""
+    import os
+    import re
+    from collections import Counter, defaultdict
+
+    from coldata_spark.session import dir_bytes
+    from coldata_spark.tables import TABLES, load
+
+    col_table: dict[str, str] = {}
+    ambiguous: set[str] = set()
+    sizes: dict[str, int] = {}
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if not os.path.exists(path):
+            continue
+        sizes[t] = dir_bytes(path) if os.path.isdir(path) else os.path.getsize(path)
+        for f in load(spark, sf_dir, t).schema.fields:
+            if f.name in col_table and col_table[f.name] != t:
+                ambiguous.add(f.name)
+            col_table[f.name] = t
+    for name in ambiguous:
+        col_table.pop(name, None)
+
+    attr = re.compile(r"(\w+)#\d+")
+    weight: dict[str, Counter] = defaultdict(Counter)
+    # (table, partition col) -> observed window order sequences
+    win_orders: dict[tuple[str, str], Counter] = defaultdict(Counter)
+
+    def bump(col: str, w: int) -> None:
+        t = col_table.get(col)
+        if t is not None:
+            weight[t][col] += w
+
+    for q in queries:
+        plan = q._jdf.queryExecution().optimizedPlan().toString()
+        for line in plan.splitlines():
+            s = line.lstrip(" +-:")
+            if s.startswith("Join "):
+                for a, b in re.findall(r"(\w+)#\d+L?\s*=\s*(\w+)#\d+", s):
+                    bump(a, 3)
+                    bump(b, 3)
+            elif s.startswith("Window "):
+                groups = _top_level_groups(s)
+                if len(groups) >= 3:
+                    parts = attr.findall(groups[-2])
+                    order = [
+                        m.group(1)
+                        for m in re.finditer(r"(\w+)#\d+L? (?:ASC|DESC)", groups[-1])
+                    ]
+                    for p in parts:
+                        bump(p, 3)
+                        t = col_table.get(p)
+                        if t is not None:
+                            same_t = tuple(
+                                o for o in order if col_table.get(o) == t
+                            )
+                            if same_t:
+                                win_orders[(t, p)][same_t] += 1
+            elif s.startswith("Aggregate "):
+                groups = _top_level_groups(s)
+                if groups:
+                    for g in attr.findall(groups[0]):
+                        bump(g, 1)
+
+    out: dict[str, LayoutSpec] = {}
+    for t, counts in weight.items():
+        if sizes.get(t, 0) < min_bytes:
+            continue
+        # deterministic winner: highest weight, then name
+        bucket_col = min(counts, key=lambda c: (-counts[c], c))
+        sort_cols = (bucket_col,)
+        orders = win_orders.get((t, bucket_col))
+        if orders:
+            best = min(orders, key=lambda o: (-orders[o], o))
+            sort_cols = (bucket_col,) + tuple(
+                o for o in best if o != bucket_col
+            )
+        out[t] = LayoutSpec(bucket_col=bucket_col, sort_cols=sort_cols, buckets=buckets)
+    return out
+
+
+def apply_layout(
+    spark,
+    sf_dir: str,
+    out_dir: str,
+    spec: dict[str, "LayoutSpec"],
+    table_suffix: str = "_a",
+    register: bool = True,
+) -> None:
+    """Materialize an advise_layout verdict: write each table bucketed and
+    sorted per its spec and (optionally) register the catalog DDL that
+    restores the zero-exchange property in this session."""
+    import os
+
+    from coldata_spark.tables import load
+
+    for t, ls in spec.items():
+        path = os.path.join(out_dir, t)
+        write_bucketed(
+            load(spark, sf_dir, t),
+            path,
+            bucket_col=ls.bucket_col,
+            sort_cols=list(ls.sort_cols),
+            buckets=ls.buckets,
+        )
+        if register:
+            register_bucketed(
+                spark,
+                path,
+                f"{t}{table_suffix}",
+                bucket_col=ls.bucket_col,
+                sort_cols=list(ls.sort_cols),
+                buckets=ls.buckets,
+            )
+
+
 def compact_parquet_dir(
     spark,
     src: str,
