@@ -30,6 +30,9 @@ from bench import _pretouch  # noqa: E402
 TIERS = {
     "16x": "/root/repo/.bench_cache/16x",
     "64x": "/root/repo/.bench_cache/64x",
+    # round-7 (verdict ask #7): one tier past page-cache comfort, to show
+    # whether the gates stay amortized when the corpus stops being cheap
+    "256x": "/root/repo/.bench_cache/256x",
 }
 
 
@@ -66,8 +69,9 @@ def main() -> None:
     spec = specs["q169_curation_pipeline"]
     spec.fn(spark, "/root/testdata/sf0.1").collect()  # JVM/codegen warm
 
+    wanted = sys.argv[1:] or list(TIERS)
     out: dict = {}
-    for tier, d in TIERS.items():
+    for tier, d in ((t, TIERS[t]) for t in wanted):
         _pretouch(d)
         s_runs, n_out = [], None
         for _ in range(3):
