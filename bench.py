@@ -188,10 +188,25 @@ def main() -> None:
 
 def _write_detail(result: dict) -> None:
     """Persist the full record so far — called after every tier so a
-    killed/timed-out run still leaves a usable partial record in-repo."""
+    killed/timed-out run still leaves a usable partial record in-repo.
+
+    Auxiliary records written by STANDALONE tools (``*_spread`` keys, e.g.
+    tools/spread_q163.py's ``q163_16x_spread``) are carried over from the
+    existing file: a fresh bench run must not silently erase a
+    deliberately-recorded resolution measurement."""
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
-        json.dump(result, f, indent=2)
+    path = os.path.join(here, "BENCH_DETAIL.json")
+    try:
+        with open(path) as f:
+            existing = json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        existing = {}
+    merged = dict(result)
+    for k, v in existing.items():
+        if k not in merged and k.endswith("_spread"):
+            merged[k] = v
+    with open(path, "w") as f:
+        json.dump(merged, f, indent=2)
 
 
 def emit(result: dict) -> None:
