@@ -115,14 +115,17 @@ def drop_table_clean(spark, name: str) -> None:
     location = None
     try:
         if spark.catalog.tableExists(name):
-            row = (
+            # take the LAST 'Location' row: DESCRIBE EXTENDED prints the
+            # schema first, so a data column literally named 'Location'
+            # would shadow the detailed-info row if we took the first
+            rows = (
                 spark.sql(f"DESCRIBE TABLE EXTENDED {name}")
                 .where("col_name = 'Location'")
                 .select("data_type")
-                .head()
+                .collect()
             )
-            if row is not None:
-                location = row[0].removeprefix("file:")
+            if rows:
+                location = rows[-1][0].removeprefix("file:")
     except Exception:
         location = None  # catalog edge (temp view, etc.) — fall back
     spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -1,12 +1,14 @@
 """Measure the knn_join arrow-vs-expr crossover (VERDICT r6 ask #1).
 
-The arrow strategy pays a fixed Python-worker round-trip per task; the expr
-strategy stays JVM-side but folds the dot product element-by-element.  Below
-some input size the fixed cost dominates and expr wins; above it the fused
-BLAS matmul wins.  This tool runs q30's exact shape at each replicated tier
-with both strategies (best-of-N in one warm JVM so the comparison is fair)
-and prints the observed crossover — the number backing AUTO_ARROW_MIN_BYTES
-in operators/similarity.py and the SCALE.md note.
+The round-6 hypothesis: the arrow strategy pays a fixed Python-worker
+round-trip, so below some input size the JVM expr path should win and
+`auto` should size-gate between them.  MEASURED CONCLUSION (recorded in
+SCALE.md "kNN strategy crossover" and knn_join's docstring): the
+crossover DOES NOT EXIST for this operator — arrow wins at every tier,
+warm and cold, because _sized_for_arrow_stage already amortizes the
+round-trip while the expr fold costs ~25 ns per vector element per pair.
+`auto` therefore resolves to arrow unconditionally; this tool is kept so
+the refutation stays reproducible against future engine versions.
 
 Usage: python tools/bench_knn_strategy.py [repeats]
 """

@@ -80,14 +80,19 @@ def main() -> None:
         f"fresh JVM, best-of-{repeats} after in-process warm",
     }
     detail_path = os.path.abspath(DETAIL)
+    # tolerate a truncated detail file (killed mid-dump) the same way
+    # bench._write_detail does — the measurement just completed and must
+    # not be discarded over a corrupt merge target
     try:
         with open(detail_path) as f:
             detail = json.load(f)
-    except FileNotFoundError:
+    except (FileNotFoundError, json.JSONDecodeError):
         detail = {}
     detail["q163_16x_spread"] = rec
+    # indent=2 matches bench._write_detail so alternating runs don't
+    # re-indent (and churn) the whole file
     with open(detail_path, "w") as f:
-        json.dump(detail, f, indent=1)
+        json.dump(detail, f, indent=2)
     print(json.dumps(rec))
 
 
