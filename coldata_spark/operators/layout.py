@@ -281,6 +281,13 @@ def advise_layout(
     Computed/aliased keys (e.g. q83's hour buckets) attribute to no base
     table and correctly advise nothing.
 
+    Each entry of ``queries`` is a DataFrame or a ``(DataFrame, weight)``
+    pair — weight models the query's frequency/cost share in the workload
+    log, so one hourly dashboard query counts more than a monthly backfill.
+    Conflicting workloads resolve by weighted vote: if custkey joins
+    dominate orderkey joins on ``orders``, the advisor buckets by custkey
+    — the advice tracks the workload, not a fixed prior.
+
     Column->table attribution is BY NAME against the sf_dir table schemas
     (this engine's data model prefixes every fact/dim column, so names are
     unambiguous; ambiguous names are dropped rather than guessed).  Tables
@@ -319,19 +326,20 @@ def advise_layout(
     # (table, partition col) -> observed window order sequences
     win_orders: dict[tuple[str, str], Counter] = defaultdict(Counter)
 
-    def bump(col: str, w: int) -> None:
+    def bump(col: str, w: float) -> None:
         t = col_table.get(col)
         if t is not None:
             weight[t][col] += w
 
-    for q in queries:
+    for entry in queries:
+        q, qw = entry if isinstance(entry, tuple) else (entry, 1.0)
         plan = q._jdf.queryExecution().optimizedPlan().toString()
         for line in plan.splitlines():
             s = line.lstrip(" +-:")
             if s.startswith("Join "):
                 for a, b in re.findall(r"(\w+)#\d+L?\s*=\s*(\w+)#\d+", s):
-                    bump(a, 3)
-                    bump(b, 3)
+                    bump(a, 3 * qw)
+                    bump(b, 3 * qw)
             elif s.startswith("Window "):
                 groups = _top_level_groups(s)
                 if len(groups) >= 3:
@@ -341,19 +349,19 @@ def advise_layout(
                         for m in re.finditer(r"(\w+)#\d+L? (?:ASC|DESC)", groups[-1])
                     ]
                     for p in parts:
-                        bump(p, 3)
+                        bump(p, 3 * qw)
                         t = col_table.get(p)
                         if t is not None:
                             same_t = tuple(
                                 o for o in order if col_table.get(o) == t
                             )
                             if same_t:
-                                win_orders[(t, p)][same_t] += 1
+                                win_orders[(t, p)][same_t] += qw
             elif s.startswith("Aggregate "):
                 groups = _top_level_groups(s)
                 if groups:
                     for g in attr.findall(groups[0]):
-                        bump(g, 1)
+                        bump(g, 1 * qw)
 
     out: dict[str, LayoutSpec] = {}
     for t, counts in weight.items():

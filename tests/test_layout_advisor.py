@@ -54,6 +54,53 @@ def test_advisor_size_gate_drops_small_dims(spark, sf_dir):
     assert out["customer"].bucket_col == "c_custkey"
 
 
+def test_advisor_weights_resolve_conflicting_workloads(spark, sf_dir):
+    """orders is joined on o_orderkey by q02 but on o_custkey by q04/q05
+    (anti/semi joins from customer).  The advice must track the WORKLOAD
+    mix, not a fixed prior: weighting the orderkey query up wins orderkey,
+    weighting the custkey queries up wins custkey."""
+    specs = registry.specs()
+    q02 = specs["q02_top_orders_by_revenue"].fn(spark, sf_dir)
+    q04 = specs["q04_customers_without_orders"].fn(spark, sf_dir)
+    q05 = specs["q05_customers_with_urgent_orders"].fn(spark, sf_dir)
+
+    orderkey_heavy = advise_layout(
+        spark, sf_dir, [(q02, 10.0), (q04, 1.0), (q05, 1.0)], min_bytes=0
+    )
+    assert orderkey_heavy["orders"].bucket_col == "o_orderkey"
+
+    custkey_heavy = advise_layout(
+        spark, sf_dir, [(q02, 1.0), (q04, 10.0), (q05, 10.0)], min_bytes=0
+    )
+    assert custkey_heavy["orders"].bucket_col == "o_custkey"
+
+
+def test_advisor_broad_workload_stays_sane(spark, sf_dir):
+    """Over a diverse slice of the registry the advice must stay
+    well-formed: every advised bucket column belongs to its table, and
+    the events hypertable spec is stable (nothing competes with user_id)."""
+    specs = registry.specs()
+    names = (
+        "q01_pricing_summary",
+        "q02_top_orders_by_revenue",
+        "q04_customers_without_orders",
+        "q06_kaggle_style_left_joins",
+        "q42_events_sessionize",
+        "q80_events_range_join",
+        "q112_gapfill_locf",
+        "q116_time_weighted_avg",
+    )
+    out = advise_layout(
+        spark, sf_dir, [specs[n].fn(spark, sf_dir) for n in names], min_bytes=0
+    )
+    for t, ls in out.items():
+        cols = {f.name for f in load(spark, sf_dir, t).schema.fields}
+        assert ls.bucket_col in cols, f"{t}: {ls.bucket_col} not a column"
+        assert set(ls.sort_cols) <= cols
+        assert ls.sort_cols[0] == ls.bucket_col
+    assert out["events"].bucket_col == "user_id"
+
+
 @pytest.fixture(scope="module")
 def advised_dir(spark, sf_dir, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("advised"))
