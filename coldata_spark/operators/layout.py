@@ -380,6 +380,84 @@ def advise_layout(
     return out
 
 
+def advise_zorder(
+    spark,
+    sf_dir: str,
+    queries,
+    min_cols: int = 2,
+    max_cols: int = 3,
+    min_bytes: int = 0,
+) -> dict[str, tuple[str, ...]]:
+    """The advisor's other half: Z-ORDER advice from range predicates.
+
+    advise_layout targets shuffle removal (joins/windows/aggs); this
+    targets SCAN removal.  It tallies the columns appearing in range
+    comparisons (>, <, >=, <=) in each query's optimized plan — equality
+    predicates are ignored (hash bucketing serves those) — and for any
+    table with >= ``min_cols`` distinct range-filtered columns recommends
+    the top-``max_cols`` (by workload weight) as a Z-order clustering,
+    the multi-dimension file-skipping layout write_zordered produces.
+    One sorted dimension prunes one predicate column and is blind on the
+    rest; Morton interleaving makes range filters on ANY advised column
+    skip files via footer min/max stats.
+
+    Same conventions as advise_layout: entries are DataFrames or
+    ``(DataFrame, weight)`` pairs, attribution is by unambiguous column
+    name, small tables fall to ``min_bytes``.  Combine: tables that got a
+    bucket spec keep it (their within-bucket sort already prunes the sort
+    prefix); Z-order is for the scan-heavy tables the bucket advisor left
+    flat."""
+    import os
+    import re
+    from collections import Counter, defaultdict
+
+    from coldata_spark.session import dir_bytes
+    from coldata_spark.tables import TABLES, load
+
+    col_table: dict[str, str] = {}
+    ambiguous: set[str] = set()
+    sizes: dict[str, int] = {}
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if not os.path.exists(path):
+            continue
+        sizes[t] = dir_bytes(path) if os.path.isdir(path) else os.path.getsize(path)
+        for f in load(spark, sf_dir, t).schema.fields:
+            if f.name in col_table and col_table[f.name] != t:
+                ambiguous.add(f.name)
+            col_table[f.name] = t
+    for name in ambiguous:
+        col_table.pop(name, None)
+
+    # attribute on either side of the comparison (Catalyst usually
+    # normalizes literals right, but not always)
+    left = re.compile(r"\((\w+)#\d+L?\s*(?:>=|<=|>|<)\s")
+    right = re.compile(r"(?:>=|<=|>|<)\s*(\w+)#\d+")
+    weight: dict[str, Counter] = defaultdict(Counter)
+    for entry in queries:
+        q, qw = entry if isinstance(entry, tuple) else (entry, 1.0)
+        plan = q._jdf.queryExecution().optimizedPlan().toString()
+        seen: set[str] = set()
+        for line in plan.splitlines():
+            s = line.lstrip(" +-:")
+            if s.startswith("Filter ") or s.startswith("Join "):
+                seen.update(left.findall(s))
+                seen.update(right.findall(s))
+        for c in seen:  # per-query dedup: a BETWEEN is one vote, not two
+            t = col_table.get(c)
+            if t is not None:
+                weight[t][c] += qw
+
+    out: dict[str, tuple[str, ...]] = {}
+    for t, counts in weight.items():
+        if sizes.get(t, 0) < min_bytes:
+            continue
+        cols = sorted(counts, key=lambda c: (-counts[c], c))[:max_cols]
+        if len(cols) >= min_cols:
+            out[t] = tuple(cols)
+    return out
+
+
 def apply_layout(
     spark,
     sf_dir: str,

@@ -101,6 +101,59 @@ def test_advisor_broad_workload_stays_sane(spark, sf_dir):
     assert out["events"].bucket_col == "user_id"
 
 
+def test_advise_zorder_from_range_predicates(spark, sf_dir, tmp_path):
+    """The advisor's scan-pruning half: range predicates on two lineitem
+    columns must yield a Z-order recommendation for exactly those columns
+    (weighted order), and materializing it must actually skip files in
+    BOTH dimensions (footer min/max stats — the same gate the hand-picked
+    zorder test uses)."""
+    from pyspark.sql import functions as F
+
+    from coldata_spark.operators.layout import (
+        advise_zorder,
+        files_overlapping,
+        write_zordered,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    qs = [
+        li.filter(
+            (F.col("l_partkey") > 10) & (F.col("l_partkey") < 100)
+        ).select("l_orderkey"),
+        (li.filter(F.col("l_suppkey") >= 3).select("l_orderkey"), 2.0),
+        li.filter(
+            (F.col("l_partkey") > 5) & (F.col("l_suppkey") <= 7)
+        ).select("l_orderkey"),
+    ]
+    advice = advise_zorder(spark, sf_dir, qs)
+    # l_suppkey outweighs l_partkey 3.0 (2.0 + 1.0) vs 2.0
+    assert advice == {"lineitem": ("l_suppkey", "l_partkey")}
+
+    # equality-only predicates advise nothing (hash bucketing serves them)
+    assert (
+        advise_zorder(
+            spark, sf_dir, [li.filter(F.col("l_partkey") == 7).select("l_orderkey")]
+        )
+        == {}
+    )
+
+    stats = li.selectExpr(
+        "min(l_partkey)", "max(l_partkey)", "min(l_suppkey)", "max(l_suppkey)"
+    ).first()
+    zpath = str(tmp_path / "advised_z")
+    write_zordered(
+        li.select("l_orderkey", "l_partkey", "l_suppkey"),
+        zpath,
+        list(advice["lineitem"]),
+        n_files=8,
+    )
+    pk = (stats[0], stats[0] + (stats[1] - stats[0]) // 8)
+    sk = (stats[2], stats[2] + (stats[3] - stats[2]) // 8)
+    pk_hit, total = files_overlapping(zpath, "l_partkey", *pk)
+    sk_hit, _ = files_overlapping(zpath, "l_suppkey", *sk)
+    assert pk_hit < total and sk_hit < total, "advised z-order must prune both dims"
+
+
 @pytest.fixture(scope="module")
 def advised_dir(spark, sf_dir, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("advised"))
