@@ -493,6 +493,81 @@ def apply_layout(
             )
 
 
+def maintain_layout(
+    spark,
+    sf_dir: str,
+    out_dir: str,
+    queries,
+    buckets: int = 32,
+    min_bytes: int = 0,
+    table_suffix: str = "_c",
+    register: bool = True,
+) -> dict:
+    """The advisor as a MAINTENANCE JOB: advise over the current workload,
+    rewrite only the tables whose prescription CHANGED since the last
+    pass, re-register everything advised (bucket specs are catalog
+    metadata — every fresh session needs the DDL even when no byte
+    moved).  The materialized prescription persists in a
+    ``_LAYOUT_SPEC.json`` sidecar next to the bucket dirs, so the
+    idempotence is durable across sessions, exactly like the bench tier's
+    marker files.
+
+    This is the piece that makes layout a CONTINUOUS engine decision:
+    drive it from scheduler.run_scheduled at the same cadence as the
+    reference's crawl refresh and the storage follows the workload as it
+    drifts — a new dominant join key triggers exactly one re-bucketing
+    pass, a stable workload costs one advise + sidecar compare.
+
+    Returns ``{"advised": spec, "rewritten": [...], "reused": [...]}``.
+    """
+    import json
+    import os
+
+    spec = advise_layout(
+        spark, sf_dir, queries, buckets=buckets, min_bytes=min_bytes
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    sidecar = os.path.join(out_dir, "_LAYOUT_SPEC.json")
+    try:
+        with open(sidecar) as f:
+            prev = json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        prev = {}
+    cur = {
+        t: {
+            "bucket_col": ls.bucket_col,
+            "sort_cols": list(ls.sort_cols),
+            "buckets": ls.buckets,
+        }
+        for t, ls in spec.items()
+    }
+    changed = sorted(t for t in cur if prev.get(t) != cur[t])
+    reused = sorted(t for t in cur if prev.get(t) == cur[t])
+    if changed:
+        apply_layout(
+            spark,
+            sf_dir,
+            out_dir,
+            {t: spec[t] for t in changed},
+            table_suffix=table_suffix,
+            register=register,
+        )
+    if register:
+        for t in reused:
+            ls = spec[t]
+            register_bucketed(
+                spark,
+                os.path.join(out_dir, t),
+                f"{t}{table_suffix}",
+                bucket_col=ls.bucket_col,
+                sort_cols=list(ls.sort_cols),
+                buckets=ls.buckets,
+            )
+    with open(sidecar, "w") as f:
+        json.dump(cur, f, indent=2, sort_keys=True)
+    return {"advised": cur, "rewritten": changed, "reused": reused}
+
+
 def compact_parquet_dir(
     spark,
     src: str,

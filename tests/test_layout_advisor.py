@@ -190,6 +190,45 @@ def test_advised_layout_reproduces_zero_exchange_plans(spark, advised_dir):
     assert not re.search(r"\+- Sort ", plan)
 
 
+def test_maintain_layout_rewrites_only_on_drift(spark, sf_dir, tmp_path):
+    """The maintenance form: first pass materializes everything, a stable
+    workload costs zero rewrites (sidecar compare), and a workload drift
+    re-buckets exactly the table whose prescription changed."""
+    from coldata_spark.operators.layout import maintain_layout
+
+    specs = registry.specs()
+    q02 = lambda: specs["q02_top_orders_by_revenue"].fn(spark, sf_dir)  # noqa: E731
+    q04 = lambda: specs["q04_customers_without_orders"].fn(spark, sf_dir)  # noqa: E731
+    out = str(tmp_path / "maint")
+    try:
+        r1 = maintain_layout(
+            spark, sf_dir, out, [(q02(), 10.0), (q04(), 1.0)],
+            buckets=4, min_bytes=0, table_suffix="_m",
+        )
+        assert "orders" in r1["rewritten"] and not r1["reused"]
+        assert r1["advised"]["orders"]["bucket_col"] == "o_orderkey"
+        stamp = os.path.getmtime(os.path.join(out, "orders"))
+
+        r2 = maintain_layout(
+            spark, sf_dir, out, [(q02(), 10.0), (q04(), 1.0)],
+            buckets=4, min_bytes=0, table_suffix="_m",
+        )
+        assert not r2["rewritten"] and set(r2["reused"]) == set(r1["rewritten"])
+        assert os.path.getmtime(os.path.join(out, "orders")) == stamp
+        assert spark.table("orders_m").count() > 0  # re-registered, readable
+
+        r3 = maintain_layout(
+            spark, sf_dir, out, [(q02(), 1.0), (q04(), 10.0)],
+            buckets=4, min_bytes=0, table_suffix="_m",
+        )
+        assert "orders" in r3["rewritten"], "drifted key must re-bucket"
+        assert r3["advised"]["orders"]["bucket_col"] == "o_custkey"
+        assert "lineitem" in r3["reused"], "stable table must not rewrite"
+    finally:
+        for t in ("orders", "lineitem", "customer", "events"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}_m")
+
+
 def test_advised_layout_results_match_flat(spark, sf_dir, advised_dir):
     """Layout changes plans, never answers."""
     specs = registry.specs()

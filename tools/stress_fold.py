@@ -32,6 +32,9 @@ from bench import _pretouch  # noqa: E402
 TIERS = {
     "16x": "/root/repo/.bench_cache/16x",
     "64x": "/root/repo/.bench_cache/64x",
+    # round-7: completes the curve at the tier where the corpus outgrows
+    # page-cache comfort (same extension as stress_pipeline's 256x row)
+    "256x": "/root/repo/.bench_cache/256x",
 }
 
 
@@ -56,8 +59,9 @@ def main() -> None:
         .getOrCreate()
     )
 
+    wanted = sys.argv[1:] or list(TIERS)
     out: dict = {}
-    for tier, d in TIERS.items():
+    for tier, d in ((t, TIERS[t]) for t in wanted):
         _pretouch(d)
         docs = load(spark, d, "documents")
         bench = docs.filter(F.col("doc_id") < 20)
