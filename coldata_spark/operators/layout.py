@@ -257,6 +257,32 @@ def _top_level_groups(line: str) -> list[str]:
     return groups
 
 
+def _column_attribution(spark, sf_dir: str) -> tuple[dict, dict]:
+    """Shared advisor attribution: (column name -> owning table, table ->
+    on-disk bytes) over the sf_dir fixtures.  Ambiguous names (present in
+    two tables) are dropped rather than guessed."""
+    import os
+
+    from coldata_spark.session import dir_bytes
+    from coldata_spark.tables import TABLES, load
+
+    col_table: dict[str, str] = {}
+    ambiguous: set[str] = set()
+    sizes: dict[str, int] = {}
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if not os.path.exists(path):
+            continue
+        sizes[t] = dir_bytes(path) if os.path.isdir(path) else os.path.getsize(path)
+        for f in load(spark, sf_dir, t).schema.fields:
+            if f.name in col_table and col_table[f.name] != t:
+                ambiguous.add(f.name)
+            col_table[f.name] = t
+    for name in ambiguous:
+        col_table.pop(name, None)
+    return col_table, sizes
+
+
 def advise_layout(
     spark,
     sf_dir: str,
@@ -299,28 +325,10 @@ def advise_layout(
     apply_layout materializes the verdict and the plan gates in
     tests/test_layout_advisor.py prove the advised layout reproduces the
     clustered tier's zero-exchange/zero-sort plans."""
-    import os
     import re
     from collections import Counter, defaultdict
 
-    from coldata_spark.session import dir_bytes
-    from coldata_spark.tables import TABLES, load
-
-    col_table: dict[str, str] = {}
-    ambiguous: set[str] = set()
-    sizes: dict[str, int] = {}
-    for t in TABLES:
-        path = os.path.join(sf_dir, f"{t}.parquet")
-        if not os.path.exists(path):
-            continue
-        sizes[t] = dir_bytes(path) if os.path.isdir(path) else os.path.getsize(path)
-        for f in load(spark, sf_dir, t).schema.fields:
-            if f.name in col_table and col_table[f.name] != t:
-                ambiguous.add(f.name)
-            col_table[f.name] = t
-    for name in ambiguous:
-        col_table.pop(name, None)
-
+    col_table, sizes = _column_attribution(spark, sf_dir)
     attr = re.compile(r"(\w+)#\d+")
     weight: dict[str, Counter] = defaultdict(Counter)
     # (table, partition col) -> observed window order sequences
@@ -407,32 +415,20 @@ def advise_zorder(
     bucket spec keep it (their within-bucket sort already prunes the sort
     prefix); Z-order is for the scan-heavy tables the bucket advisor left
     flat."""
-    import os
     import re
     from collections import Counter, defaultdict
 
-    from coldata_spark.session import dir_bytes
-    from coldata_spark.tables import TABLES, load
+    col_table, sizes = _column_attribution(spark, sf_dir)
 
-    col_table: dict[str, str] = {}
-    ambiguous: set[str] = set()
-    sizes: dict[str, int] = {}
-    for t in TABLES:
-        path = os.path.join(sf_dir, f"{t}.parquet")
-        if not os.path.exists(path):
-            continue
-        sizes[t] = dir_bytes(path) if os.path.isdir(path) else os.path.getsize(path)
-        for f in load(spark, sf_dir, t).schema.fields:
-            if f.name in col_table and col_table[f.name] != t:
-                ambiguous.add(f.name)
-            col_table[f.name] = t
-    for name in ambiguous:
-        col_table.pop(name, None)
-
-    # attribute on either side of the comparison (Catalyst usually
-    # normalizes literals right, but not always)
-    left = re.compile(r"\((\w+)#\d+L?\s*(?:>=|<=|>|<)\s")
-    right = re.compile(r"(?:>=|<=|>|<)\s*(\w+)#\d+")
+    # Attribute on either side of the comparison (Catalyst usually
+    # normalizes literals right, but not always), with the attribute
+    # either bare or cast-wrapped (type-promoted comparisons print as
+    # `cast(col#5 as decimal(12,4)) > 24.0`).  The right-side lookbehind
+    # keeps null-safe equality `<=>` (an equality, bucketing's job) from
+    # donating its trailing `>` as a fake range op.
+    _attr = r"(?:cast\()?(\w+)#\d+L?(?:\s+as\s+[^)]*\))?"
+    left = re.compile(r"\(" + _attr + r"\s*(?:>=|<=|>|<)\s")
+    right = re.compile(r"(?<![<=>])(?:>=|<=|>|<)\s*" + _attr)
     weight: dict[str, Counter] = defaultdict(Counter)
     for entry in queries:
         q, qw = entry if isinstance(entry, tuple) else (entry, 1.0)
@@ -500,7 +496,7 @@ def maintain_layout(
     queries,
     buckets: int = 32,
     min_bytes: int = 0,
-    table_suffix: str = "_c",
+    table_suffix: str = "_m",
     register: bool = True,
 ) -> dict:
     """The advisor as a MAINTENANCE JOB: advise over the current workload,
@@ -517,6 +513,11 @@ def maintain_layout(
     reference's crawl refresh and the storage follows the workload as it
     drifts — a new dominant join key triggers exactly one re-bucketing
     pass, a stable workload costs one advise + sidecar compare.
+
+    The default ``table_suffix`` is ``_m`` (maintenance) — deliberately
+    NOT the clustered bench tier's ``_c`` namespace, so a session that
+    registered the tier's tables can run maintenance without the
+    register step silently re-pointing the tier's catalog names.
 
     Returns ``{"advised": spec, "rewritten": [...], "reused": [...]}``.
     """
@@ -541,8 +542,15 @@ def maintain_layout(
         }
         for t, ls in spec.items()
     }
-    changed = sorted(t for t in cur if prev.get(t) != cur[t])
-    reused = sorted(t for t in cur if prev.get(t) == cur[t])
+    # self-heal: the FILESYSTEM is the truth, the sidecar is a cache — a
+    # spec match with a missing bucket dir (partial restore, cleanup)
+    # must rewrite, not report "reused" and fail registration forever
+    changed = sorted(
+        t
+        for t in cur
+        if prev.get(t) != cur[t] or not os.path.isdir(os.path.join(out_dir, t))
+    )
+    reused = sorted(t for t in cur if t not in changed)
     if changed:
         apply_layout(
             spark,
@@ -563,8 +571,18 @@ def maintain_layout(
                 sort_cols=list(ls.sort_cols),
                 buckets=ls.buckets,
             )
+    # merge over prev: a table the CURRENT query log happens not to
+    # mention keeps its sidecar entry while its materialized dir exists,
+    # so returning to the workload with an unchanged spec costs zero
+    # rewrites instead of a needless full re-bucketing
+    merged = {
+        t: v
+        for t, v in prev.items()
+        if t not in cur and os.path.isdir(os.path.join(out_dir, t))
+    }
+    merged.update(cur)
     with open(sidecar, "w") as f:
-        json.dump(cur, f, indent=2, sort_keys=True)
+        json.dump(merged, f, indent=2, sort_keys=True)
     return {"advised": cur, "rewritten": changed, "reused": reused}
 
 

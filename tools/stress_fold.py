@@ -39,6 +39,10 @@ TIERS = {
 
 
 def main() -> None:
+    wanted = sys.argv[1:] or list(TIERS)
+    unknown = [t for t in wanted if t not in TIERS]
+    if unknown:  # fail BEFORE the ~30 s Spark startup, with the menu
+        raise SystemExit(f"unknown tier(s) {unknown}; valid: {list(TIERS)}")
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
@@ -59,7 +63,6 @@ def main() -> None:
         .getOrCreate()
     )
 
-    wanted = sys.argv[1:] or list(TIERS)
     out: dict = {}
     for tier, d in ((t, TIERS[t]) for t in wanted):
         _pretouch(d)

@@ -53,6 +53,10 @@ def duck_time(sql: str, tier_dir: str) -> float:
 
 
 def main() -> None:
+    wanted = sys.argv[1:] or list(TIERS)
+    unknown = [t for t in wanted if t not in TIERS]
+    if unknown:  # fail BEFORE the ~30 s Spark startup, with the menu
+        raise SystemExit(f"unknown tier(s) {unknown}; valid: {list(TIERS)}")
     from pyspark.sql import SparkSession
 
     from coldata_spark import registry
@@ -69,7 +73,6 @@ def main() -> None:
     spec = specs["q169_curation_pipeline"]
     spec.fn(spark, "/root/testdata/sf0.1").collect()  # JVM/codegen warm
 
-    wanted = sys.argv[1:] or list(TIERS)
     out: dict = {}
     for tier, d in ((t, TIERS[t]) for t in wanted):
         _pretouch(d)
