@@ -229,6 +229,86 @@ def test_maintain_layout_rewrites_only_on_drift(spark, sf_dir, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {t}_m")
 
 
+def test_maintain_layout_self_heals_missing_dir(spark, sf_dir, tmp_path):
+    """The filesystem is the truth, the sidecar a cache: a bucket dir
+    deleted out from under an unchanged spec must re-materialize, not be
+    reported 'reused' while registration fails forever."""
+    import shutil
+
+    from coldata_spark.operators.layout import maintain_layout
+
+    specs = registry.specs()
+    q02 = lambda: specs["q02_top_orders_by_revenue"].fn(spark, sf_dir)  # noqa: E731
+    out = str(tmp_path / "heal")
+    try:
+        r1 = maintain_layout(
+            spark, sf_dir, out, [q02()], buckets=4, min_bytes=0, table_suffix="_h"
+        )
+        assert "orders" in r1["rewritten"]
+        shutil.rmtree(os.path.join(out, "orders"))
+        r2 = maintain_layout(
+            spark, sf_dir, out, [q02()], buckets=4, min_bytes=0, table_suffix="_h"
+        )
+        assert "orders" in r2["rewritten"], "missing dir must count as drift"
+        assert "lineitem" in r2["reused"]
+        assert spark.table("orders_h").count() > 0
+    finally:
+        for t in ("orders", "lineitem", "customer"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}_h")
+
+
+def test_maintain_layout_sidecar_survives_workload_gaps(spark, sf_dir, tmp_path):
+    """A table temporarily absent from the query log keeps its sidecar
+    entry while its dir exists, so returning with an unchanged spec costs
+    zero rewrites instead of a needless full re-bucketing."""
+    from coldata_spark.operators.layout import maintain_layout
+
+    specs = registry.specs()
+    q02 = lambda: specs["q02_top_orders_by_revenue"].fn(spark, sf_dir)  # noqa: E731
+    q116 = lambda: specs["q116_time_weighted_avg"].fn(spark, sf_dir)  # noqa: E731
+    out = str(tmp_path / "gap")
+    try:
+        r1 = maintain_layout(
+            spark, sf_dir, out, [q02(), q116()], buckets=4, min_bytes=0,
+            table_suffix="_g",
+        )
+        assert {"orders", "events"} <= set(r1["rewritten"])
+        # day 2: the log happens to contain no events queries
+        r2 = maintain_layout(
+            spark, sf_dir, out, [q02()], buckets=4, min_bytes=0, table_suffix="_g"
+        )
+        assert "events" not in r2["advised"]
+        stamp = os.path.getmtime(os.path.join(out, "events"))
+        # day 3: events queries return with the identical spec
+        r3 = maintain_layout(
+            spark, sf_dir, out, [q02(), q116()], buckets=4, min_bytes=0,
+            table_suffix="_g",
+        )
+        assert "events" in r3["reused"], "unchanged returning spec must reuse"
+        assert os.path.getmtime(os.path.join(out, "events")) == stamp
+    finally:
+        for t in ("orders", "lineitem", "customer", "events"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}_g")
+
+
+def test_advise_zorder_attributes_cast_wrapped_columns(spark, sf_dir):
+    """Type-promoted comparisons print as cast(col#id as ...) > lit in
+    the optimized plan; the attribution must still land the vote."""
+    from pyspark.sql import functions as F
+
+    from coldata_spark.operators.layout import advise_zorder
+
+    li = load(spark, sf_dir, "lineitem")
+    # integer column vs fractional literal forces a cast around the attr
+    qs = [
+        li.filter(
+            (F.col("l_partkey") > 10.5) & (F.col("l_suppkey") < 99.5)
+        ).select("l_orderkey")
+    ]
+    advice = advise_zorder(spark, sf_dir, qs)
+    assert advice.get("lineitem") == ("l_partkey", "l_suppkey")
+
+
 def test_advised_layout_results_match_flat(spark, sf_dir, advised_dir):
     """Layout changes plans, never answers."""
     specs = registry.specs()
