@@ -191,9 +191,14 @@ def _write_detail(result: dict) -> None:
     killed/timed-out run still leaves a usable partial record in-repo.
 
     Auxiliary records written by STANDALONE tools (``*_spread`` keys, e.g.
-    tools/spread_q163.py's ``q163_16x_spread``) are carried over from the
+    tools/spread.py's ``q30_256x_spread``) are carried over from the
     existing file: a fresh bench run must not silently erase a
-    deliberately-recorded resolution measurement."""
+    deliberately-recorded resolution measurement.  But a spread is only
+    evidence about the build it measured — each record carries a
+    ``measured`` stamp plus the tier's per-query ratio at measurement
+    time (``tier_ratio_at_measurement``), and a carried spread whose tier
+    entry has since moved MATERIALLY (>30% relative) is dropped rather
+    than published next to numbers it no longer explains."""
     here = os.path.dirname(os.path.abspath(__file__))
     path = os.path.join(here, "BENCH_DETAIL.json")
     try:
@@ -203,10 +208,28 @@ def _write_detail(result: dict) -> None:
         existing = {}
     merged = dict(result)
     for k, v in existing.items():
-        if k not in merged and k.endswith("_spread"):
+        if k in merged or not k.endswith("_spread"):
+            continue
+        if isinstance(v, dict) and not _spread_is_stale(v, result):
             merged[k] = v
     with open(path, "w") as f:
         json.dump(merged, f, indent=2)
+
+
+def _spread_is_stale(spread: dict, result: dict) -> bool:
+    """True when a carried ``*_spread`` record contradicts the fresh tier
+    record it would sit beside: the spread names its (query, tier) and the
+    tier ratio it was resolving; if this run's same entry moved >30%
+    relative, the spread measured a different build/fixture state and
+    must be re-taken (tools/spread.py), not carried forward forever."""
+    q, tier = spread.get("query"), spread.get("tier_key")
+    then = spread.get("tier_ratio_at_measurement")
+    if not q or not tier or not isinstance(then, (int, float)) or then <= 0:
+        return False  # unstamped legacy record: carry, stamping is the fix
+    now = (result.get(tier) or {}).get("per_query_ratio", {}).get(q)
+    if not isinstance(now, (int, float)):
+        return False  # tier/query not re-measured this run — nothing moved
+    return abs(now - then) / then > 0.30
 
 
 def emit(result: dict) -> None:

@@ -239,6 +239,15 @@ class LayoutSpec:
     buckets: int = 32
 
 
+# One plan-line attribute reference, bare or cast-wrapped — type-promoted
+# expressions print as `cast(col#5 as bigint)`, and the target type may
+# itself carry parenthesized parameters (`cast(col#5 as decimal(12,4))`),
+# so the type part tolerates ONE nested paren group before the closing
+# paren.  Shared by advise_layout's join-key tally and advise_zorder's
+# range-predicate tally so both halves attribute the same spellings.
+_CAST_ATTR = r"(?:cast\()?(\w+)#\d+L?(?:\s+as\s+[^()]*(?:\([^)]*\))?\))?"
+
+
 def _top_level_groups(line: str) -> list[str]:
     """Top-level ``[...]`` group contents of a plan line, in order —
     nested brackets (lambdas, windowspecdefinition args) stay inside
@@ -345,7 +354,12 @@ def advise_layout(
         for line in plan.splitlines():
             s = line.lstrip(" +-:")
             if s.startswith("Join "):
-                for a, b in re.findall(r"(\w+)#\d+L?\s*=\s*(\w+)#\d+", s):
+                # either key may be cast-wrapped (type-promoted joins,
+                # e.g. `cast(a#1 as bigint) = b#2`) — a bare-attr pattern
+                # would silently drop those weight-3 votes
+                for a, b in re.findall(
+                    _CAST_ATTR + r"\s*=\s*" + _CAST_ATTR, s
+                ):
                     bump(a, 3 * qw)
                     bump(b, 3 * qw)
             elif s.startswith("Window "):
@@ -422,13 +436,13 @@ def advise_zorder(
 
     # Attribute on either side of the comparison (Catalyst usually
     # normalizes literals right, but not always), with the attribute
-    # either bare or cast-wrapped (type-promoted comparisons print as
-    # `cast(col#5 as decimal(12,4)) > 24.0`).  The right-side lookbehind
-    # keeps null-safe equality `<=>` (an equality, bucketing's job) from
-    # donating its trailing `>` as a fake range op.
-    _attr = r"(?:cast\()?(\w+)#\d+L?(?:\s+as\s+[^)]*\))?"
-    left = re.compile(r"\(" + _attr + r"\s*(?:>=|<=|>|<)\s")
-    right = re.compile(r"(?<![<=>])(?:>=|<=|>|<)\s*" + _attr)
+    # either bare or cast-wrapped — including paren-typed casts like
+    # `cast(col#5 as decimal(12,4)) > 24.0` (_CAST_ATTR allows one nested
+    # paren group in the type).  The right-side lookbehind keeps null-safe
+    # equality `<=>` (an equality, bucketing's job) from donating its
+    # trailing `>` as a fake range op.
+    left = re.compile(r"\(" + _CAST_ATTR + r"\s*(?:>=|<=|>|<)\s")
+    right = re.compile(r"(?<![<=>])(?:>=|<=|>|<)\s*" + _CAST_ATTR)
     weight: dict[str, Counter] = defaultdict(Counter)
     for entry in queries:
         q, qw = entry if isinstance(entry, tuple) else (entry, 1.0)
@@ -580,6 +594,20 @@ def maintain_layout(
         for t, v in prev.items()
         if t not in cur and os.path.isdir(os.path.join(out_dir, t))
     }
+    if register:
+        # sidecar-retained tables (workload gap: dir kept, spec preserved,
+        # absent from the CURRENT query log) still need their catalog DDL —
+        # a fresh session running maintenance mid-gap would otherwise lack
+        # the `<table><suffix>` entry until the workload returns
+        for t, v in sorted(merged.items()):
+            register_bucketed(
+                spark,
+                os.path.join(out_dir, t),
+                f"{t}{table_suffix}",
+                bucket_col=v["bucket_col"],
+                sort_cols=list(v["sort_cols"]),
+                buckets=v["buckets"],
+            )
     merged.update(cur)
     with open(sidecar, "w") as f:
         json.dump(merged, f, indent=2, sort_keys=True)

@@ -95,6 +95,34 @@ def test_compact_of_committed_detail_under_1500_bytes():
     assert json.loads(line)["value"] == round(detail["value"], 3)
 
 
+def test_spread_staleness_gate():
+    """A carried *_spread record must be dropped when the tier entry it
+    was resolving has since moved materially (round-7 ADVICE): a spread
+    is evidence about the build it measured, not a permanent fact."""
+    from bench import _spread_is_stale
+
+    spread = {
+        "query": "q163_bloom_decontaminate",
+        "tier_key": "replicated_16x",
+        "tier_ratio_at_measurement": 1.61,
+    }
+    fresh = {"replicated_16x": {"per_query_ratio": {"q163_bloom_decontaminate": 1.70}}}
+    assert not _spread_is_stale(spread, fresh)  # within 30% — still explains
+    moved = {"replicated_16x": {"per_query_ratio": {"q163_bloom_decontaminate": 3.5}}}
+    assert _spread_is_stale(spread, moved)  # tier moved — re-measure
+    assert not _spread_is_stale({}, moved)  # unstamped legacy record: carry
+    assert not _spread_is_stale(spread, {})  # tier not re-measured this run
+    # the committed record must be stamped so the gate can ever fire
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)), "BENCH_DETAIL.json")
+    detail = json.load(open(path))
+    for k, v in detail.items():
+        if k.endswith("_spread"):
+            assert v.get("query") and v.get("tier_key"), f"{k} unstamped"
+            assert v.get("measured"), f"{k} missing measured stamp"
+
+
 def test_q83_duckdb_rewrite_value_identical():
     """The bench's 'engine-best DuckDB' q83 rewrite must compute exactly
     what the canonical oracle computes — otherwise its recorded time is a

@@ -273,11 +273,18 @@ def test_maintain_layout_sidecar_survives_workload_gaps(spark, sf_dir, tmp_path)
             table_suffix="_g",
         )
         assert {"orders", "events"} <= set(r1["rewritten"])
-        # day 2: the log happens to contain no events queries
+        # day 2: the log happens to contain no events queries — and a
+        # FRESH session (catalog entry gone) runs maintenance mid-gap; the
+        # sidecar-retained table must be re-registered, not left without
+        # its catalog entry until the workload returns (round-7 ADVICE)
+        spark.sql("DROP TABLE IF EXISTS events_g")
         r2 = maintain_layout(
             spark, sf_dir, out, [q02()], buckets=4, min_bytes=0, table_suffix="_g"
         )
         assert "events" not in r2["advised"]
+        assert spark.table("events_g").count() > 0, (
+            "gap table must be registered from the sidecar"
+        )
         stamp = os.path.getmtime(os.path.join(out, "events"))
         # day 3: events queries return with the identical spec
         r3 = maintain_layout(
@@ -307,6 +314,45 @@ def test_advise_zorder_attributes_cast_wrapped_columns(spark, sf_dir):
     ]
     advice = advise_zorder(spark, sf_dir, qs)
     assert advice.get("lineitem") == ("l_partkey", "l_suppkey")
+
+
+def test_advise_zorder_handles_paren_typed_casts(spark, sf_dir):
+    """A decimal-typed cast prints NESTED parens — `cast(col#5 as
+    decimal(12,4)) > 24.5000` — which a `[^)]*` type pattern cuts short
+    at the inner ')', silently dropping the vote (round-7 ADVICE).
+    double→decimal casts survive UnwrapCastInBinaryComparison, so this is
+    a real plan shape, not a contrived one."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from coldata_spark.operators.layout import advise_zorder
+
+    li = load(spark, sf_dir, "lineitem")
+    qs = [
+        li.filter(
+            (F.col("l_extendedprice").cast("decimal(12,4)") > F.lit(Decimal("24.5")))
+            & (F.col("l_discount").cast("decimal(12,4)") < F.lit(Decimal("0.05")))
+        ).select("l_orderkey")
+    ]
+    advice = advise_zorder(spark, sf_dir, qs)
+    assert advice.get("lineitem") == ("l_discount", "l_extendedprice")
+
+
+def test_advise_layout_attributes_cast_wrapped_join_keys(spark, sf_dir):
+    """Type-promoted equi-joins print cast-wrapped keys — `Join Inner,
+    (cast(l_partkey#1L as decimal(20,0)) = cast(p_partkey#11L as
+    decimal(20,0)))` — whose weight-3 votes a bare-attr pattern silently
+    dropped (round-7 ADVICE)."""
+    li = load(spark, sf_dir, "lineitem")
+    pt = load(spark, sf_dir, "part")
+    q = li.join(
+        pt,
+        li.l_partkey.cast("decimal(20,0)") == pt.p_partkey.cast("decimal(20,0)"),
+    ).select("l_orderkey", "p_name")
+    out = advise_layout(spark, sf_dir, [q], min_bytes=0)
+    assert "lineitem" in out and out["lineitem"].bucket_col == "l_partkey"
+    assert "part" in out and out["part"].bucket_col == "p_partkey"
 
 
 def test_advised_layout_results_match_flat(spark, sf_dir, advised_dir):

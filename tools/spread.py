@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Best-of-N spread for ONE registry query at ONE replicated tier — the
+generic form of tools/spread_q163.py (which resolved q163's at-the-bar 16x
+entry in round 6/7).  A single-run tier entry near the 2x bar is noise
+until a spread puts it on one side (q83@64x read 2.93 in round 7 while its
+16x improved and its 256x-4096x entries stayed excellent); this tool
+re-measures under the pinned protocol — fixture pre-touched so both
+engines run page-cache-hot, fresh JVM, best-of-N after an in-process warm
+— and merges the record into BENCH_DETAIL.json under
+``q<id>_<tier>_spread``.
+
+Each record is STAMPED (round-7 ADVICE, bench.py:206): ``measured`` date,
+the (query, tier_key) it resolves, and the tier's per-query ratio at
+measurement time — bench._write_detail drops a carried spread whose tier
+entry has since moved >30%, so a stale spread can't be published next to
+numbers it no longer explains.
+
+Run standalone (fresh JVM, nothing else benching):
+    python tools/spread.py q30_knn_cosine_topk 256x [repeats]
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import _median, _pretouch  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DETAIL = os.path.join(REPO, "BENCH_DETAIL.json")
+
+
+def measure(spec_name: str, tier: str, repeats: int = 7) -> dict:
+    import duckdb
+
+    from coldata_spark import registry
+    from coldata_spark.session import dir_bytes, get_spark, tune_for_input
+
+    tier_dir = os.path.join(REPO, ".bench_cache", tier)
+    if not os.path.isdir(tier_dir):
+        raise SystemExit(
+            f"tier fixture {tier_dir} missing — run bench.py first to build it"
+        )
+    spec = registry.specs()[spec_name]
+
+    pretouch_s = _pretouch(tier_dir)
+
+    spark = get_spark(app_name=f"spread_{spec_name}")
+    tune_for_input(spark, dir_bytes(tier_dir))
+    spec.fn(spark, "/root/testdata/sf0.001").collect()  # codegen warm
+    spec.fn(spark, tier_dir).collect()  # tier warm (broadcast, page cache)
+    spark._jvm.System.gc()
+    s_runs = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        spec.fn(spark, tier_dir).collect()
+        s_runs.append(round(time.perf_counter() - t0, 3))
+    spark.stop()
+
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count()}")
+    for name in sorted(os.listdir(tier_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        t = name[: -len(".parquet")]
+        p = os.path.join(tier_dir, name)
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
+    con.execute(spec.sql).df()  # warm
+    d_runs = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        con.execute(spec.sql).df()
+        d_runs.append(round(time.perf_counter() - t0, 3))
+    con.close()
+
+    s_best, d_best = min(s_runs), min(d_runs)
+    tier_key = f"replicated_{tier}"
+    try:
+        with open(DETAIL) as f:
+            detail = json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        detail = {}
+    tier_ratio = (
+        (detail.get(tier_key) or {}).get("per_query_ratio", {}).get(spec_name)
+    )
+    return {
+        "query": spec_name,
+        "tier_key": tier_key,
+        "tier_ratio_at_measurement": tier_ratio,
+        "measured": datetime.date.today().isoformat(),
+        "times": int(re.match(r"\d+", tier).group()) if tier[0].isdigit() else tier,
+        "spark_sec": s_best,
+        "duckdb_sec": d_best,
+        "ratio": round(s_best / d_best, 2),
+        "ratio_median": round(_median(s_runs) / _median(d_runs), 2),
+        "spark_spread": [min(s_runs), round(_median(s_runs), 3), max(s_runs)],
+        "duckdb_spread": [min(d_runs), round(_median(d_runs), 3), max(d_runs)],
+        "spark_runs": s_runs,
+        "duckdb_runs": d_runs,
+        "pretouch_s": pretouch_s,
+        "protocol": "page-cache-hot both engines (fixture pre-touched), "
+        f"fresh JVM, best-of-{repeats} after in-process warm",
+    }
+
+
+def main() -> None:
+    spec_name, tier = sys.argv[1], sys.argv[2]
+    repeats = int(sys.argv[3]) if len(sys.argv) > 3 else 7
+    rec = measure(spec_name, tier, repeats)
+    key = f"{spec_name.split('_')[0]}_{tier}_spread"
+    # tolerate a truncated detail file (killed mid-dump) the same way
+    # bench._write_detail does — the measurement just completed and must
+    # not be discarded over a corrupt merge target
+    try:
+        with open(DETAIL) as f:
+            detail = json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        detail = {}
+    detail[key] = rec
+    # indent=2 matches bench._write_detail so alternating runs don't
+    # re-indent (and churn) the whole file
+    with open(DETAIL, "w") as f:
+        json.dump(detail, f, indent=2)
+    print(key)
+    print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()
