@@ -48,7 +48,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q36_embed_documents",
     "q37_knn_ip_topk",
     "q38_embedding_dim_stats",
-    "q152_embedding_neardup_exact",
     "q86_ivf_pq_search",
     "q89_filtered_knn",
     "q90_hybrid_search_rrf",
@@ -106,6 +105,15 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # ext-multimodal-image stays covered by q50)
     "q162_dsir_importance",
     "q163_bloom_decontaminate",
+    # CCNet perplexity buckets (r8, r7 verdict ask #7): the most cited
+    # curation rung not under the driver's hash check, exact-by-
+    # construction since the integer fixed-point log2 (_intlog2_fp).  The
+    # verdict suggested displacing q24/q47, but their ext-fingerprint /
+    # ext-simhash tags are uniquely held — the window coverage gate
+    # forbids it.  Displaced q152_embedding_neardup_exact instead, whose
+    # V6/ext-embedding-dedup tags stay covered by q164/q165 and which
+    # remains oracle-green in pytest.
+    "q166_ccnet_perplexity_buckets",
     # Events / time-series layer
     "q41_events_json_props",
     "q112_gapfill_locf",
