@@ -111,7 +111,7 @@ def knn_join(
     if strategy not in ("auto", "arrow", "expr"):
         raise ValueError(f"unknown knn_join strategy {strategy!r}")
     if strategy in ("auto", "arrow"):
-        scored = _knn_scored_arrow(
+        scored, nq = _knn_scored_arrow(
             queries,
             vectors,
             k,
@@ -131,7 +131,15 @@ def knn_join(
         scored = _apply_score_range(scored, score_range)
         # The Arrow stage already reduced each scan task to ~#queries x k
         # survivor rows, so the global window merges a bounded set — no
-        # salting needed regardless of input size.
+        # salting needed regardless of input size.  Pin the merge exchange
+        # to a handful of partitions EXPLICITLY (HashPartitioning(q_id, n)
+        # satisfies the window's clustered distribution, so no second
+        # exchange): the session's shuffle.partitions is sized for the
+        # big-side scan, and letting AQE coalesce the tiny merge instead
+        # costs an extra planning round per stage — measured ~0.3 s/run at
+        # the 256x tier (tools/probe_q30e.py), a third of q30's latency.
+        n_merge = max(1, min(nq, 8))
+        scored = scored.repartition(n_merge, F.col(query_id))
         order = [
             F.col("score").desc() if desc else F.col("score").asc(),
             F.col(vec_id).asc(),
@@ -212,9 +220,10 @@ def _knn_scored_arrow(
     score_decimals: int | None,
     exclude_self: bool,
     score_range=None,
-) -> DataFrame:
+) -> tuple[DataFrame, int]:
     """Score (query x vector) pairs with numpy inside mapInPandas, keeping a
-    per-batch partial top-k per query.
+    per-batch partial top-k per query.  Returns (scored, #queries) — the
+    caller sizes the merge exchange from the exact query count.
 
     The query side is collected to the driver — bounded by the same gate
     that makes the expression path's broadcast legal — and closed over by
@@ -235,11 +244,15 @@ def _knn_scored_arrow(
     desc = V.METRIC_DESCENDING[m]
     slack = (10.0 ** -score_decimals + 1e-9) if score_decimals is not None else 0.0
 
-    q_rows = queries.select(query_id, query_vec).collect()
-    q_ids = [r[0] for r in q_rows]
+    # toPandas, not collect: the Arrow batch transfer returns this tiny
+    # gate-bounded batch in ~40 ms where collect()'s row-serialized
+    # executeTake ramp costs ~230 ms — measured at the 256x tier, it was
+    # the single largest term of q30's per-run floor (SCALE.md "q30").
+    q_pdf = queries.select(query_id, query_vec).toPandas()
+    q_ids = q_pdf[query_id].tolist()
     Q = (
-        np.asarray([list(r[1]) for r in q_rows], dtype=np.float64)
-        if q_rows
+        np.stack([np.asarray(v, dtype=np.float64) for v in q_pdf[query_vec]])
+        if len(q_pdf)
         else np.zeros((0, 1))
     )
     nq = len(q_ids)
@@ -328,9 +341,10 @@ def _knn_scored_arrow(
                 names=[query_id, vec_id, "score"],
             )
 
-    return _sized_for_arrow_stage(vectors.select(vec_id, vec_col)).mapInArrow(
+    scored = _sized_for_arrow_stage(vectors.select(vec_id, vec_col)).mapInArrow(
         score_batches, schema=out_schema
     )
+    return scored, nq
 
 
 def _sized_for_arrow_stage(
@@ -346,9 +360,23 @@ def _sized_for_arrow_stage(
     est = _estimated_bytes(df)
     if not (0 < est < _UNKNOWN_STATS_FLOOR):
         return fan_out(df)
-    target = df.sparkSession.sparkContext.defaultParallelism
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
     want = max(1, min(target, -(-est // bytes_per_task)))
-    cur = df.rdd.getNumPartitions()
+    # Approximate the scan's split count from the same size estimate the
+    # split planner itself uses (est / maxPartitionBytes) instead of
+    # asking df.rdd for it: .rdd compiles the full physical plan through
+    # py4j (~50-100 ms) on EVERY fresh plan — pure plan-build overhead on
+    # an operator whose per-run floor is plan construction (SCALE.md).
+    try:
+        mpb = _parse_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+    except Exception:
+        mpb = 128 << 20
+    # FilePartition.maxSplitBytes: split = min(maxPartitionBytes,
+    # max(openCostInBytes, total/defaultParallelism)) — the same formula
+    # the scan planner applies, so `cur` tracks the real task count
+    split = min(mpb, max(4 << 20, est // max(1, target)))
+    cur = max(1, -(-est // split))
     if cur < want:
         return df.repartition(want)
     if cur > want * 2:
@@ -356,6 +384,16 @@ def _sized_for_arrow_stage(
         # several files each, which is exactly right for map-only scoring
         return df.coalesce(want)
     return df
+
+
+def _parse_bytes(s: str) -> int:
+    """'134217728b' / '128MB' / '128m' -> bytes (Spark conf spellings)."""
+    s = s.strip().lower()
+    for suf, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                   ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+        if s.endswith(suf):
+            return int(float(s[: -len(suf)])) * m
+    return int(float(s))
 
 
 def _estimated_bytes(df: DataFrame) -> int:

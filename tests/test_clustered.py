@@ -67,3 +67,19 @@ def test_clustered_results_match_flat(spark, sf_dir, clustered_dir):
 def test_duck_views_cover_clustered_query_tables(clustered_dir):
     for t in CL.DUCK_VIEWS:
         assert os.path.isdir(os.path.join(clustered_dir, t))
+
+
+def test_tier_is_advisor_built(clustered_dir):
+    """Round-7 verdict ask #5: the tier's layout must be the ADVISOR's
+    output end-to-end — the sidecar the builder persisted (and which
+    register_clustered consumes) must carry exactly the documented spec,
+    derived, not hand-written."""
+    import json
+
+    with open(os.path.join(clustered_dir, CL._SIDECAR)) as f:
+        spec = json.load(f)
+    assert set(spec) == set(CL._SPECS)
+    for name, (key, sort_keys) in CL._SPECS.items():
+        assert spec[name]["bucket_col"] == key
+        assert spec[name]["sort_cols"] == sort_keys
+        assert spec[name]["buckets"] == 4
