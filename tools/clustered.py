@@ -294,6 +294,38 @@ def build_events_tier(
     return out_dir
 
 
+def build_embeddings_tier(
+    spark: SparkSession, tier256_dir: str, out_dir: str, replicas: int = 4
+) -> str:
+    """Embeddings-only deep fixture (the q30 analogue of the q83 events
+    tiers): ``replicas`` shifted copies of the 256x embeddings table
+    (4 -> 1024x, ~344 MB) — the tier where knn_join's fixed per-run cost
+    (plan build + query-side toPandas + merge stage) amortizes against
+    per-row scoring work that grows in both engines.  vec_id shifts one
+    step above the 256x tier's 10M-per-replica spacing so ids stay unique;
+    the base vectors (vec_id < 8, the query batch) live in replica 0
+    unchanged, so q30's semantics are the same query against 4x the
+    corpus."""
+    marker = os.path.join(out_dir, "_OK")
+    stamp = f"v1|{replicas}"
+    if os.path.exists(marker) and open(marker).read() == stamp:
+        return out_dir
+    emb = spark.read.parquet(os.path.join(tier256_dir, "embeddings.parquet"))
+    parts = [
+        emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * 4_000_000_000))
+        for i in range(replicas)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "embeddings.parquet")
+    )
+    with open(marker, "w") as f:
+        f.write(stamp)
+    return out_dir
+
+
 if __name__ == "__main__":
     import sys
 
