@@ -170,6 +170,31 @@ def queries() -> dict[str, QueryFn]:
     return {n: s.fn for n, s in specs().items()}
 
 
+# Serving-path plan cache: (session-id, sf_dir, query) -> built DataFrame.
+# Client-side plan CONSTRUCTION is py4j round-trip bound (~1.3 s for the
+# 12-query headline batch, GIL-serialized across submitter threads) while
+# the engine's own re-analysis of an existing Dataset is ~0.01 s/batch —
+# so a serving deployment keeps the built plan, exactly like a prepared
+# statement / Thrift-server plan cache.
+_PLAN_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
+def serve(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Serving entry point: build ``name``'s plan once per (session,
+    sf_dir) and reuse it across submissions.  A DataFrame is an immutable
+    plan, so reuse is safe while the input files are unchanged (the same
+    contract as tables.load's catalog cache); a client that mutates
+    fixture dirs mid-session must call ``specs()[name].fn`` directly.
+    Every submission still executes the full physical plan — only the
+    client-side construction and analysis are amortized."""
+    _ensure_loaded()
+    key = (id(spark), sf_dir, name)
+    df = _PLAN_CACHE.get(key)
+    if df is None:
+        df = _PLAN_CACHE[key] = _REGISTRY[name].fn(spark, sf_dir)
+    return df
+
+
 def oracle_sql() -> dict[str, str]:
     return {n: s.sql for n, s in specs().items() if s.sql is not None}
 

@@ -57,6 +57,22 @@ def test_window_includes_vector_and_dedup_core():
     assert required <= window
 
 
+def test_serve_caches_plan_per_session_and_sfdir(spark):
+    """registry.serve (round-7 verdict ask #6): the serving entry must
+    return the SAME built plan for repeated submissions of a (query,
+    sf_dir) pair — client-side plan construction is the concurrent cold
+    path's floor — and distinct plans for distinct sf_dirs, with results
+    identical to a freshly built plan."""
+    sf = "/root/testdata/sf0.001"
+    a = registry.serve(spark, sf, "q01_pricing_summary")
+    b = registry.serve(spark, sf, "q01_pricing_summary")
+    assert a is b, "repeat submission must reuse the built plan"
+    c = registry.serve(spark, "/root/testdata/sf0.01", "q01_pricing_summary")
+    assert c is not a, "different sf_dir must not share a plan"
+    fresh = registry.specs()["q01_pricing_summary"].fn(spark, sf)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, fresh.collect()))
+
+
 def test_window_oracle_density():
     """The window should be mostly hard oracle checks, not rows-only."""
     all_specs = registry.specs()
