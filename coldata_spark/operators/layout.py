@@ -574,17 +574,6 @@ def maintain_layout(
             table_suffix=table_suffix,
             register=register,
         )
-    if register:
-        for t in reused:
-            ls = spec[t]
-            register_bucketed(
-                spark,
-                os.path.join(out_dir, t),
-                f"{t}{table_suffix}",
-                bucket_col=ls.bucket_col,
-                sort_cols=list(ls.sort_cols),
-                buckets=ls.buckets,
-            )
     # merge over prev: a table the CURRENT query log happens not to
     # mention keeps its sidecar entry while its materialized dir exists,
     # so returning to the workload with an unchanged spec costs zero
@@ -595,11 +584,16 @@ def maintain_layout(
         if t not in cur and os.path.isdir(os.path.join(out_dir, t))
     }
     if register:
-        # sidecar-retained tables (workload gap: dir kept, spec preserved,
-        # absent from the CURRENT query log) still need their catalog DDL —
-        # a fresh session running maintenance mid-gap would otherwise lack
-        # the `<table><suffix>` entry until the workload returns
-        for t, v in sorted(merged.items()):
+        # one registration pass over everything apply_layout didn't just
+        # register itself: reused tables (bucket specs are catalog
+        # metadata — every fresh session needs the DDL even when no byte
+        # moved) AND sidecar-retained gap tables (workload gap: dir kept,
+        # spec preserved, absent from the CURRENT query log — a fresh
+        # session running maintenance mid-gap would otherwise lack the
+        # `<table><suffix>` entry until the workload returns)
+        regs = {t: cur[t] for t in reused}
+        regs.update(merged)
+        for t, v in sorted(regs.items()):
             register_bucketed(
                 spark,
                 os.path.join(out_dir, t),

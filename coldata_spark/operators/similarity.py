@@ -368,15 +368,25 @@ def _sized_for_arrow_stage(
     # asking df.rdd for it: .rdd compiles the full physical plan through
     # py4j (~50-100 ms) on EVERY fresh plan — pure plan-build overhead on
     # an operator whose per-run floor is plan construction (SCALE.md).
-    try:
-        mpb = _parse_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes"))
-    except Exception:
-        mpb = 128 << 20
-    # FilePartition.maxSplitBytes: split = min(maxPartitionBytes,
-    # max(openCostInBytes, total/defaultParallelism)) — the same formula
-    # the scan planner applies, so `cur` tracks the real task count
-    split = min(mpb, max(4 << 20, est // max(1, target)))
-    cur = max(1, -(-est // split))
+    # The formula is only VALID for scan-rooted plans (a shuffle/
+    # mapInPandas/coalesce child partitions however its own plan says,
+    # not by file splits) — for those, pay the .rdd compile rather than
+    # silently under-parallelizing the CPU-heavy scoring stage.
+    if _scan_shaped(df):
+        try:
+            mpb = _parse_bytes(
+                spark.conf.get("spark.sql.files.maxPartitionBytes")
+            )
+        except Exception:
+            mpb = 128 << 20
+        # FilePartition.maxSplitBytes: split = min(maxPartitionBytes,
+        # max(openCostInBytes, total/defaultParallelism)) — the same
+        # formula the scan planner applies, so `cur` tracks the real
+        # task count
+        split = min(mpb, max(4 << 20, est // max(1, target)))
+        cur = max(1, -(-est // split))
+    else:
+        cur = df.rdd.getNumPartitions()
     if cur < want:
         return df.repartition(want)
     if cur > want * 2:
@@ -384,6 +394,25 @@ def _sized_for_arrow_stage(
         # several files each, which is exactly right for map-only scoring
         return df.coalesce(want)
     return df
+
+
+_SCAN_NODES = ("Project", "Filter", "Relation", "GlobalLimit", "LocalLimit")
+
+
+def _scan_shaped(df: DataFrame) -> bool:
+    """True when the optimized plan is a plain column-pruned/filtered
+    parquet scan — the only shape whose task count file-split arithmetic
+    predicts.  One toString py4j call (~ms) vs df.rdd's full physical
+    planning pass."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        return False
+    return all(
+        s.startswith(_SCAN_NODES)
+        for s in (line.lstrip(" +-:") for line in plan.splitlines())
+        if s
+    )
 
 
 def _parse_bytes(s: str) -> int:

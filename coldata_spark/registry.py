@@ -13,6 +13,7 @@ order-insensitive value hash, so:
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -170,17 +171,22 @@ def queries() -> dict[str, QueryFn]:
     return {n: s.fn for n, s in specs().items()}
 
 
-# Serving-path plan cache: (session-id, sf_dir, query) -> built DataFrame.
-# Client-side plan CONSTRUCTION is py4j round-trip bound (~1.3 s for the
-# 12-query headline batch, GIL-serialized across submitter threads) while
-# the engine's own re-analysis of an existing Dataset is ~0.01 s/batch —
-# so a serving deployment keeps the built plan, exactly like a prepared
-# statement / Thrift-server plan cache.
-_PLAN_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# Serving-path plan cache: (applicationId, sf_dir, query) -> built
+# DataFrame.  Client-side plan CONSTRUCTION is py4j round-trip bound
+# (~1.3 s for the 12-query headline batch, GIL-serialized across
+# submitter threads) while the engine's own re-analysis of an existing
+# Dataset is ~0.01 s/batch — so a serving deployment keeps the built
+# plan, exactly like a prepared statement / Thrift-server plan cache.
+# Keyed by the Spark APPLICATION id, not id(session): a stopped session's
+# Python object can be GC'd and its address reused, which would hand a
+# new session a DataFrame bound to a dead context.  FIFO-bounded so
+# session churn can't pin dead-session plans forever.
+_PLAN_CACHE: "OrderedDict[tuple[str, str, str], DataFrame]" = OrderedDict()
+_PLAN_CACHE_MAX = 512
 
 
 def serve(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Serving entry point: build ``name``'s plan once per (session,
+    """Serving entry point: build ``name``'s plan once per (application,
     sf_dir) and reuse it across submissions.  A DataFrame is an immutable
     plan, so reuse is safe while the input files are unchanged (the same
     contract as tables.load's catalog cache); a client that mutates
@@ -188,10 +194,12 @@ def serve(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Every submission still executes the full physical plan — only the
     client-side construction and analysis are amortized."""
     _ensure_loaded()
-    key = (id(spark), sf_dir, name)
+    key = (spark.sparkContext.applicationId, sf_dir, name)
     df = _PLAN_CACHE.get(key)
     if df is None:
         df = _PLAN_CACHE[key] = _REGISTRY[name].fn(spark, sf_dir)
+        while len(_PLAN_CACHE) > _PLAN_CACHE_MAX:
+            _PLAN_CACHE.popitem(last=False)
     return df
 
 

@@ -118,15 +118,23 @@ def test_spread_staleness_gate():
     assert _spread_is_stale(spread, moved)  # tier moved — re-measure
     assert not _spread_is_stale({}, moved)  # unstamped legacy record: carry
     assert not _spread_is_stale(spread, {})  # tier not re-measured this run
-    # the committed record must be stamped so the gate can ever fire
+    # the committed record must be stamped so the gate can ever fire; a
+    # spread-only tier (no bench entry to compare against) must carry its
+    # fixture stamp instead of a tier_key the bench never writes (which
+    # would leave the gate permanently inert while looking armed)
     import os
 
     path = os.path.join(os.path.dirname(os.path.dirname(__file__)), "BENCH_DETAIL.json")
     detail = json.load(open(path))
     for k, v in detail.items():
         if k.endswith("_spread"):
-            assert v.get("query") and v.get("tier_key"), f"{k} unstamped"
+            assert v.get("query"), f"{k} unstamped"
             assert v.get("measured"), f"{k} missing measured stamp"
+            tk = v.get("tier_key")
+            if tk is not None:
+                assert tk in detail, f"{k} stamps tier_key {tk} the bench never wrote"
+            else:
+                assert v.get("fixture_stamp"), f"{k} needs a fixture stamp"
 
 
 def test_q83_duckdb_rewrite_value_identical():

@@ -90,6 +90,17 @@ def build_clustered_fixture(
     from coldata_spark.tables import load
 
     spec = advised_specs(spark, tier_dir, buckets=buckets)
+    # fail BEFORE writing anything: if the advisor (size floor, a plan
+    # spelling its regexes miss) ever drops a table the clustered query
+    # twins require, a marker written now would cache a broken fixture
+    # that every later register/bench run trips over with no self-heal
+    missing = set(_SPECS) - set(spec)
+    if missing:
+        raise AssertionError(
+            f"advised_specs dropped required clustered tables {sorted(missing)} "
+            f"(advised: {sorted(spec)}); the tier build refuses to cache a "
+            "fixture CLUSTERED_QUERIES cannot run against"
+        )
     os.makedirs(out_dir, exist_ok=True)
     for name, ls in spec.items():
         # tables.load (not raw spark.read) so the events ts variants are

@@ -81,19 +81,34 @@ def measure(spec_name: str, tier: str, repeats: int = 7) -> dict:
     con.close()
 
     s_best, d_best = min(s_runs), min(d_runs)
-    tier_key = f"replicated_{tier}"
     try:
         with open(DETAIL) as f:
             detail = json.load(f)
     except (FileNotFoundError, json.JSONDecodeError):
         detail = {}
+    # Stamp the tier_key ONLY when bench.py actually records that tier —
+    # bench._spread_is_stale compares against it, and a key the bench
+    # never writes would make the gate permanently inert while looking
+    # armed.  Spread-only tiers (e.g. emb_1024x) instead stamp the
+    # fixture's marker content: re-measurement there is by re-running
+    # this tool after a fixture/build change, and the stamp records what
+    # was measured.
+    bench_key = f"replicated_{tier}"
     tier_ratio = (
-        (detail.get(tier_key) or {}).get("per_query_ratio", {}).get(spec_name)
+        (detail.get(bench_key) or {}).get("per_query_ratio", {}).get(spec_name)
     )
+    tier_key = bench_key if bench_key in detail else None
+    fixture_stamp = None
+    for marker in ("_REPLICATED_OK", "_OK", "_CLUSTERED_OK"):
+        mp = os.path.join(tier_dir, marker)
+        if os.path.exists(mp):
+            fixture_stamp = open(mp).read()
+            break
     return {
         "query": spec_name,
         "tier_key": tier_key,
         "tier_ratio_at_measurement": tier_ratio,
+        "fixture_stamp": fixture_stamp,
         "measured": datetime.date.today().isoformat(),
         "times": int(re.match(r"\d+", tier).group()) if tier[0].isdigit() else tier,
         "spark_sec": s_best,
