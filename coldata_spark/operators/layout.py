@@ -512,6 +512,8 @@ def maintain_layout(
     min_bytes: int = 0,
     table_suffix: str = "_m",
     register: bool = True,
+    zorder: bool = False,
+    zorder_files: int = 8,
 ) -> dict:
     """The advisor as a MAINTENANCE JOB: advise over the current workload,
     rewrite only the tables whose prescription CHANGED since the last
@@ -521,6 +523,17 @@ def maintain_layout(
     ``_LAYOUT_SPEC.json`` sidecar next to the bucket dirs, so the
     idempotence is durable across sessions, exactly like the bench tier's
     marker files.
+
+    With ``zorder=True`` the job owns BOTH advisor halves: tables that
+    won a bucket spec get shuffle removal, and scan-heavy tables the
+    bucket advisor left flat get advise_zorder's multi-dimension
+    file-skipping layout (write_zordered), same sidecar drift rules.  A
+    bucket spec wins when both halves advise the same table — its
+    within-bucket sort already prunes the sort prefix, and one table
+    can't hold two physical orders.  Z-ordered tables are plain parquet
+    (footer min/max stats do the pruning, no catalog spec), so
+    registration is a session temp view under the same
+    ``<table><suffix>`` naming.
 
     This is the piece that makes layout a CONTINUOUS engine decision:
     drive it from scheduler.run_scheduled at the same cadence as the
@@ -533,21 +546,18 @@ def maintain_layout(
     registered the tier's tables can run maintenance without the
     register step silently re-pointing the tier's catalog names.
 
-    Returns ``{"advised": spec, "rewritten": [...], "reused": [...]}``.
+    Returns ``{"advised": spec, "rewritten": [...], "reused": [...]}``
+    (zorder entries appear in all three under the same table names, as
+    ``{"zorder": [cols], "files": n}`` values in "advised").
     """
     import json
     import os
 
+    from coldata_spark.tables import load
+
     spec = advise_layout(
         spark, sf_dir, queries, buckets=buckets, min_bytes=min_bytes
     )
-    os.makedirs(out_dir, exist_ok=True)
-    sidecar = os.path.join(out_dir, "_LAYOUT_SPEC.json")
-    try:
-        with open(sidecar) as f:
-            prev = json.load(f)
-    except (FileNotFoundError, json.JSONDecodeError):
-        prev = {}
     cur = {
         t: {
             "bucket_col": ls.bucket_col,
@@ -556,6 +566,19 @@ def maintain_layout(
         }
         for t, ls in spec.items()
     }
+    if zorder:
+        for t, cols in advise_zorder(
+            spark, sf_dir, queries, min_bytes=min_bytes
+        ).items():
+            if t not in cur:  # bucket spec wins where both halves advise
+                cur[t] = {"zorder": list(cols), "files": zorder_files}
+    os.makedirs(out_dir, exist_ok=True)
+    sidecar = os.path.join(out_dir, "_LAYOUT_SPEC.json")
+    try:
+        with open(sidecar) as f:
+            prev = json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        prev = {}
     # self-heal: the FILESYSTEM is the truth, the sidecar is a cache — a
     # spec match with a missing bucket dir (partial restore, cleanup)
     # must rewrite, not report "reused" and fail registration forever
@@ -565,14 +588,32 @@ def maintain_layout(
         if prev.get(t) != cur[t] or not os.path.isdir(os.path.join(out_dir, t))
     )
     reused = sorted(t for t in cur if t not in changed)
-    if changed:
+    bucket_changed = {t for t in changed if "bucket_col" in cur[t]}
+    if bucket_changed:
+        if register:
+            # advice can flip zorder -> bucket: a stale session temp view
+            # would shadow the catalog table apply_layout registers
+            for t in bucket_changed:
+                try:
+                    spark.catalog.dropTempView(f"{t}{table_suffix}")
+                except Exception:
+                    pass
         apply_layout(
             spark,
             sf_dir,
             out_dir,
-            {t: spec[t] for t in changed},
+            {t: spec[t] for t in bucket_changed},
             table_suffix=table_suffix,
             register=register,
+        )
+    for t in changed:
+        if t in bucket_changed:
+            continue
+        write_zordered(
+            load(spark, sf_dir, t),
+            os.path.join(out_dir, t),
+            cur[t]["zorder"],
+            n_files=cur[t]["files"],
         )
     # merge over prev: a table the CURRENT query log happens not to
     # mention keeps its sidecar entry while its materialized dir exists,
@@ -587,21 +628,33 @@ def maintain_layout(
         # one registration pass over everything apply_layout didn't just
         # register itself: reused tables (bucket specs are catalog
         # metadata — every fresh session needs the DDL even when no byte
-        # moved) AND sidecar-retained gap tables (workload gap: dir kept,
-        # spec preserved, absent from the CURRENT query log — a fresh
-        # session running maintenance mid-gap would otherwise lack the
-        # `<table><suffix>` entry until the workload returns)
+        # moved), freshly-zordered tables (write_zordered registers
+        # nothing), AND sidecar-retained gap tables (workload gap: dir
+        # kept, spec preserved, absent from the CURRENT query log — a
+        # fresh session running maintenance mid-gap would otherwise lack
+        # the `<table><suffix>` entry until the workload returns)
         regs = {t: cur[t] for t in reused}
+        regs.update({t: cur[t] for t in changed if t not in bucket_changed})
         regs.update(merged)
         for t, v in sorted(regs.items()):
-            register_bucketed(
-                spark,
-                os.path.join(out_dir, t),
-                f"{t}{table_suffix}",
-                bucket_col=v["bucket_col"],
-                sort_cols=list(v["sort_cols"]),
-                buckets=v["buckets"],
-            )
+            name = f"{t}{table_suffix}"
+            if "bucket_col" in v:
+                try:  # see the zorder->bucket shadowing note above
+                    spark.catalog.dropTempView(name)
+                except Exception:
+                    pass
+                register_bucketed(
+                    spark,
+                    os.path.join(out_dir, t),
+                    name,
+                    bucket_col=v["bucket_col"],
+                    sort_cols=list(v["sort_cols"]),
+                    buckets=v["buckets"],
+                )
+            else:
+                spark.read.parquet(
+                    os.path.join(out_dir, t)
+                ).createOrReplaceTempView(name)
     merged.update(cur)
     with open(sidecar, "w") as f:
         json.dump(merged, f, indent=2, sort_keys=True)

@@ -298,6 +298,77 @@ def test_maintain_layout_sidecar_survives_workload_gaps(spark, sf_dir, tmp_path)
             spark.sql(f"DROP TABLE IF EXISTS {t}_g")
 
 
+def test_maintain_layout_owns_both_advisor_halves(spark, sf_dir, tmp_path):
+    """zorder=True makes the maintenance job own scan pruning too: a
+    range-scanned table the bucket advisor leaves flat is z-ordered
+    (files prune in both advised dimensions), registered as a session
+    view under the same naming, reused while the advice is stable, and
+    rewritten when the workload's range columns drift — while a
+    bucket-advised table in the same workload stays on the bucket path."""
+    from pyspark.sql import functions as F
+
+    from coldata_spark.operators.layout import files_overlapping, maintain_layout
+
+    specs = registry.specs()
+    q116 = lambda: specs["q116_time_weighted_avg"].fn(spark, sf_dir)  # noqa: E731
+    li = lambda: load(spark, sf_dir, "lineitem")  # noqa: E731
+    scan_pk_sk = lambda: li().filter(  # noqa: E731
+        (F.col("l_partkey") > 10) & (F.col("l_suppkey") < 90)
+    ).select("l_orderkey")
+    scan_pk_ln = lambda: li().filter(  # noqa: E731
+        (F.col("l_partkey") > 10) & (F.col("l_linenumber") < 3)
+    ).select("l_orderkey")
+    out = str(tmp_path / "zmaint")
+    try:
+        r1 = maintain_layout(
+            spark, sf_dir, out, [q116(), scan_pk_sk()],
+            buckets=4, min_bytes=0, table_suffix="_zm", zorder=True,
+        )
+        assert r1["advised"]["events"]["bucket_col"] == "user_id"
+        assert r1["advised"]["lineitem"] == {
+            "zorder": ["l_partkey", "l_suppkey"], "files": 8,
+        }
+        assert {"events", "lineitem"} <= set(r1["rewritten"])
+        # the materialized layout must actually skip files in BOTH dims
+        stats = li().selectExpr(
+            "min(l_partkey)", "max(l_partkey)", "min(l_suppkey)", "max(l_suppkey)"
+        ).first()
+        pk_hit, total = files_overlapping(
+            os.path.join(out, "lineitem"), "l_partkey",
+            stats[0], stats[0] + (stats[1] - stats[0]) // 8,
+        )
+        sk_hit, _ = files_overlapping(
+            os.path.join(out, "lineitem"), "l_suppkey",
+            stats[2], stats[2] + (stats[3] - stats[2]) // 8,
+        )
+        assert pk_hit < total and sk_hit < total
+        assert spark.table("lineitem_zm").count() == li().count()
+        # stable advice: second pass reuses both halves, no rewrite
+        stamp = os.path.getmtime(os.path.join(out, "lineitem"))
+        r2 = maintain_layout(
+            spark, sf_dir, out, [q116(), scan_pk_sk()],
+            buckets=4, min_bytes=0, table_suffix="_zm", zorder=True,
+        )
+        assert not r2["rewritten"]
+        assert {"events", "lineitem"} <= set(r2["reused"])
+        assert os.path.getmtime(os.path.join(out, "lineitem")) == stamp
+        # drifted range columns: exactly the z-ordered table rewrites
+        r3 = maintain_layout(
+            spark, sf_dir, out, [q116(), scan_pk_ln()],
+            buckets=4, min_bytes=0, table_suffix="_zm", zorder=True,
+        )
+        assert r3["rewritten"] == ["lineitem"]
+        assert r3["advised"]["lineitem"]["zorder"] == ["l_linenumber", "l_partkey"]
+        assert "events" in r3["reused"]
+    finally:
+        for t in ("events", "lineitem", "orders", "customer"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}_zm")
+            try:
+                spark.catalog.dropTempView(f"{t}_zm")
+            except Exception:
+                pass
+
+
 def test_advise_zorder_attributes_cast_wrapped_columns(spark, sf_dir):
     """Type-promoted comparisons print as cast(col#id as ...) > lit in
     the optimized plan; the attribution must still land the vote."""
