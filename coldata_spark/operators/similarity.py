@@ -132,13 +132,19 @@ def knn_join(
         # The Arrow stage already reduced each scan task to ~#queries x k
         # survivor rows, so the global window merges a bounded set — no
         # salting needed regardless of input size.  Pin the merge exchange
-        # to a handful of partitions EXPLICITLY (HashPartitioning(q_id, n)
-        # satisfies the window's clustered distribution, so no second
-        # exchange): the session's shuffle.partitions is sized for the
-        # big-side scan, and letting AQE coalesce the tiny merge instead
-        # costs an extra planning round per stage — measured ~0.3 s/run at
-        # the 256x tier (tools/probe_q30e.py), a third of q30's latency.
-        n_merge = max(1, min(nq, 8))
+        # width EXPLICITLY (HashPartitioning(q_id, n) satisfies the
+        # window's clustered distribution, so no second exchange): the
+        # session's shuffle.partitions is sized for the big-side scan,
+        # and letting AQE coalesce the tiny merge instead costs an extra
+        # planning round per stage — measured ~0.3 s/run at the 256x tier
+        # (tools/probe_q30e.py), a third of q30's latency.  Width: one
+        # partition per query up to the cluster's parallelism — a window
+        # partitioned by q_id can never use more reducers than distinct
+        # queries, and capping at defaultParallelism keeps a 1000-query
+        # batch on a big cluster fully parallel while an 8-query batch
+        # locally merges in 8 cheap tasks.
+        par = queries.sparkSession.sparkContext.defaultParallelism
+        n_merge = max(1, min(nq, par))
         scored = scored.repartition(n_merge, F.col(query_id))
         order = [
             F.col("score").desc() if desc else F.col("score").asc(),
