@@ -69,6 +69,15 @@ def test_knn_arrow_matches_expr_strategy(spark, sf_dir, metric):
     assert a == e
 
 
+def test_knn_join_empty_query_batch(spark):
+    """nq = 0 must degrade to an empty result, not a crash: the merge
+    width derives from the collected query count (max(1, min(0, par)))
+    and the Arrow stage emits no batches."""
+    qs = spark.createDataFrame([], "q_id long, q_vec array<double>")
+    vs = spark.createDataFrame([(1, [1.0, 0.0])], ["vec_id", "embedding"])
+    assert knn_join(qs, vs, k=2).count() == 0
+
+
 def test_topk_subset_of_full_ranking(spark, sf_dir):
     """Property: top-2 is a prefix of top-4 (SURVEY §5.4)."""
     emb = load(spark, sf_dir, "embeddings")

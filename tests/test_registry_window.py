@@ -73,6 +73,31 @@ def test_serve_caches_plan_per_session_and_sfdir(spark):
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, fresh.collect()))
 
 
+def test_serve_under_concurrent_submissions(spark):
+    """The concurrent bench's cold mode routes parallel client threads
+    through serve(); racing builds must all land on working plans (a
+    benign double-build is fine, a broken/cross-session plan is not)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    registry._PLAN_CACHE.clear()
+    sf = "/root/testdata/sf0.001"
+    names = [
+        "q01_pricing_summary",
+        "q02_top_orders_by_revenue",
+        "q04_customers_without_orders",
+        "q92_bag_set_ops",
+    ] * 3
+    with ThreadPoolExecutor(8) as ex:
+        counts = list(
+            ex.map(lambda n: registry.serve(spark, sf, n).count(), names)
+        )
+    assert all(c >= 0 for c in counts)
+    # repeats of the same (query, sf_dir) share one cache entry
+    assert (
+        len([k for k in registry._PLAN_CACHE if k[1] == sf]) == 4
+    )
+
+
 def test_window_oracle_density():
     """The window should be mostly hard oracle checks, not rows-only."""
     all_specs = registry.specs()
