@@ -36,6 +36,12 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 8) -> Column:
     n = len(cols)
     key: Column | None = None
     for idx, c in enumerate(cols):
+        if rng[f"mn_{c}"] is None or rng[f"mx_{c}"] is None:
+            raise TypeError(
+                f"zorder_key: column {c!r} has no long-castable range "
+                "(string/date/all-null columns cannot ride the Morton "
+                "curve) — z-order numeric or timestamp columns"
+            )
         mn = int(rng[f"mn_{c}"])
         span = max(1, int(rng[f"mx_{c}"]) - mn + 1)
         bucket = F.floor(
@@ -567,11 +573,24 @@ def maintain_layout(
         for t, ls in spec.items()
     }
     if zorder:
+        # Only long-castable columns can ride the Morton curve
+        # (zorder_key min/max-scales via cast('long'); strings/dates
+        # yield null and would crash the whole scheduled job after the
+        # bucket half already rewrote tables).  The advisor tallies ANY
+        # range predicate — the materializer validates types.
+        _Z_OK = (
+            "tinyint", "smallint", "int", "bigint",
+            "float", "double", "decimal", "timestamp",
+        )
         for t, cols in advise_zorder(
             spark, sf_dir, queries, min_bytes=min_bytes
         ).items():
-            if t not in cur:  # bucket spec wins where both halves advise
-                cur[t] = {"zorder": list(cols), "files": zorder_files}
+            if t in cur:  # bucket spec wins where both halves advise
+                continue
+            dtypes = dict(load(spark, sf_dir, t).dtypes)
+            keep = [c for c in cols if dtypes.get(c, "").startswith(_Z_OK)]
+            if len(keep) >= 2:  # one dimension is a plain sort, not zorder
+                cur[t] = {"zorder": keep, "files": zorder_files}
     os.makedirs(out_dir, exist_ok=True)
     sidecar = os.path.join(out_dir, "_LAYOUT_SPEC.json")
     try:
@@ -652,6 +671,12 @@ def maintain_layout(
                     buckets=v["buckets"],
                 )
             else:
+                # advice can also flip bucket -> zorder: the catalog
+                # table a previous bucket pass registered would resolve
+                # for qualified names (default.<name>) and in fresh
+                # sessions over the now-plain-parquet files ("Invalid
+                # bucket file") — drop it before the view takes over
+                spark.sql(f"DROP TABLE IF EXISTS {name}")
                 spark.read.parquet(
                     os.path.join(out_dir, t)
                 ).createOrReplaceTempView(name)

@@ -171,30 +171,34 @@ def queries() -> dict[str, QueryFn]:
     return {n: s.fn for n, s in specs().items()}
 
 
-# Serving-path plan cache: (applicationId, sf_dir, query) -> built
+# Serving-path plan cache: (session key, sf_dir, query) -> built
 # DataFrame.  Client-side plan CONSTRUCTION is py4j round-trip bound
 # (~1.3 s for the 12-query headline batch, GIL-serialized across
 # submitter threads) while the engine's own re-analysis of an existing
 # Dataset is ~0.01 s/batch — so a serving deployment keeps the built
 # plan, exactly like a prepared statement / Thrift-server plan cache.
-# Keyed by the Spark APPLICATION id, not id(session): a stopped session's
-# Python object can be GC'd and its address reused, which would hand a
-# new session a DataFrame bound to a dead context.  FIFO-bounded so
+# Keyed by tables.session_key — (applicationId, id(session)) — which
+# misses on BOTH identity hazards: a stopped-and-GC'd session whose
+# address is reused (fresh context => fresh appId) and newSession()
+# siblings with divergent session confs (fresh id); the memoized appId
+# costs one py4j call per session, not per submission.  FIFO-bounded so
 # session churn can't pin dead-session plans forever.
-_PLAN_CACHE: "OrderedDict[tuple[str, str, str], DataFrame]" = OrderedDict()
+_PLAN_CACHE: "OrderedDict[tuple, DataFrame]" = OrderedDict()
 _PLAN_CACHE_MAX = 512
 
 
 def serve(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Serving entry point: build ``name``'s plan once per (application,
+    """Serving entry point: build ``name``'s plan once per (session,
     sf_dir) and reuse it across submissions.  A DataFrame is an immutable
     plan, so reuse is safe while the input files are unchanged (the same
     contract as tables.load's catalog cache); a client that mutates
     fixture dirs mid-session must call ``specs()[name].fn`` directly.
     Every submission still executes the full physical plan — only the
     client-side construction and analysis are amortized."""
+    from coldata_spark.tables import session_key
+
     _ensure_loaded()
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    key = (session_key(spark), sf_dir, name)
     df = _PLAN_CACHE.get(key)
     if df is None:
         df = _PLAN_CACHE[key] = _REGISTRY[name].fn(spark, sf_dir)

@@ -32,18 +32,42 @@ BROADCAST_SAFE = {"region", "nation", "supplier", "part"}
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
-# Catalog cache: (session-id, sf_dir, table) -> resolved DataFrame.  Listing
-# files + reading parquet footers for schema on EVERY load() call costs
-# ~100ms per table per query in plan-build time alone; a real engine resolves
-# a table once in its catalog.  DataFrames are immutable plans, so reuse is
-# safe; the fixture dirs are read-only so schemas never go stale.
-_CATALOG: dict[tuple[int, str, str], DataFrame] = {}
+# Session identity for plan/catalog caches: (applicationId, id(session)).
+# id() alone is unsafe — a stopped session's object can be GC'd and its
+# address reused, handing a new session a DataFrame bound to a dead
+# context; applicationId alone merges spark.newSession() siblings, whose
+# session state/confs differ.  The pair misses on both hazards (a fresh
+# context gets a fresh appId; a sibling gets a fresh id).  The appId is
+# memoized per LIVE session object in a WeakKeyDictionary (string
+# values, so eviction actually happens) — one py4j call per session,
+# not per cache lookup.
+import weakref  # noqa: E402
+
+_APP_IDS: "weakref.WeakKeyDictionary[SparkSession, str]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def session_key(spark: SparkSession) -> tuple[str, int]:
+    app = _APP_IDS.get(spark)
+    if app is None:
+        app = _APP_IDS[spark] = spark.sparkContext.applicationId
+    return (app, id(spark))
+
+
+# Catalog cache: (session key, sf_dir, table) -> resolved DataFrame.
+# Listing files + reading parquet footers for schema on EVERY load() call
+# costs ~100ms per table per query in plan-build time alone; a real
+# engine resolves a table once in its catalog.  DataFrames are immutable
+# plans, so reuse is safe; the fixture dirs are read-only so schemas
+# never go stale.
+_CATALOG: dict[tuple[tuple[str, int], str, str], DataFrame] = {}
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    key = (id(spark), sf_dir, name)
+    key = (session_key(spark), sf_dir, name)
     df = _CATALOG.get(key)
     if df is None:
         if name == "events":

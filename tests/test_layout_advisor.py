@@ -369,6 +369,29 @@ def test_maintain_layout_owns_both_advisor_halves(spark, sf_dir, tmp_path):
                 pass
 
 
+def test_maintain_layout_skips_non_numeric_zorder_advice(spark, sf_dir, tmp_path):
+    """String range predicates get advisor votes, but strings can't ride
+    the Morton curve (zorder_key's cast('long') nulls out) — the
+    maintenance job must filter advised columns by type and skip a table
+    left with <2 usable dimensions, not crash the scheduled run."""
+    from pyspark.sql import functions as F
+
+    from coldata_spark.operators.layout import maintain_layout
+
+    orders = load(spark, sf_dir, "orders")
+    q = orders.filter(
+        (F.col("o_totalprice") > 100.5) & (F.col("o_orderpriority") > "1")
+    ).select("o_orderkey")
+    out = str(tmp_path / "zskip")
+    r = maintain_layout(
+        spark, sf_dir, out, [q], min_bytes=0, zorder=True,
+        table_suffix="_zs", register=False,
+    )
+    # one numeric survivor (o_totalprice) is a plain sort, not a z-order
+    assert "orders" not in r["advised"]
+    assert r["rewritten"] == []
+
+
 def test_advise_zorder_attributes_cast_wrapped_columns(spark, sf_dir):
     """Type-promoted comparisons print as cast(col#id as ...) > lit in
     the optimized plan; the attribution must still land the vote."""

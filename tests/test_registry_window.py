@@ -81,17 +81,21 @@ def test_serve_under_concurrent_submissions(spark):
 
     registry._PLAN_CACHE.clear()
     sf = "/root/testdata/sf0.001"
-    names = [
+    base = [
         "q01_pricing_summary",
         "q02_top_orders_by_revenue",
         "q04_customers_without_orders",
         "q92_bag_set_ops",
-    ] * 3
+    ]
+    expected = {n: registry.specs()[n].fn(spark, sf).count() for n in base}
+    names = base * 3
     with ThreadPoolExecutor(8) as ex:
         counts = list(
-            ex.map(lambda n: registry.serve(spark, sf, n).count(), names)
+            ex.map(lambda n: (n, registry.serve(spark, sf, n).count()), names)
         )
-    assert all(c >= 0 for c in counts)
+    for n, c in counts:  # each served plan answers ITS query, not a
+        # cross-keyed cache neighbor's
+        assert c == expected[n], f"{n}: served {c}, fresh plan {expected[n]}"
     # repeats of the same (query, sf_dir) share one cache entry
     assert (
         len([k for k in registry._PLAN_CACHE if k[1] == sf]) == 4

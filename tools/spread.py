@@ -97,7 +97,11 @@ def measure(spec_name: str, tier: str, repeats: int = 7) -> dict:
     tier_ratio = (
         (detail.get(bench_key) or {}).get("per_query_ratio", {}).get(spec_name)
     )
-    tier_key = bench_key if bench_key in detail else None
+    # the gate needs BOTH a real tier entry AND this query's ratio in it;
+    # stamping a tier_key with a None ratio would leave the staleness
+    # gate permanently inert while looking armed (a non-headline query
+    # at a bench tier has the tier entry but no per-query row)
+    tier_key = bench_key if isinstance(tier_ratio, (int, float)) else None
     fixture_stamp = None
     for marker in ("_REPLICATED_OK", "_OK", "_CLUSTERED_OK"):
         mp = os.path.join(tier_dir, marker)
