@@ -164,6 +164,13 @@ def main() -> None:
             spark, sf_dir, specs, times=4096
         )
         _write_detail(result)
+    if os.environ.get("SPARK_GRAFT_BENCH_1024V", "1") != "0":
+        spark.stop()
+        spark = get_spark(app_name="coldata_spark_bench_1024v")
+        result["q30_amortization_1024x"] = bench_q30_embeddings_tier(
+            spark, sf_dir, specs
+        )
+        _write_detail(result)
     spark.stop()
     spark = get_spark(
         app_name="coldata_spark_bench_concurrent",
@@ -267,11 +274,16 @@ def compact_record(result: dict) -> dict:
         "replicated_256x_clustered",
         "q83_amortization_1024x",
         "q83_amortization_4096x",
+        "q30_amortization_1024x",
     ):
         if key in result:
-            compact[key] = {
-                k: _r(result[key][k])
-                for k in (
+            # amortization tiers keep only the headline numbers in the
+            # driver line (their spreads live in BENCH_DETAIL.json) —
+            # the line must stay under the driver's 2 KB stdout tail
+            fields = (
+                ("times", "spark_sec", "duckdb_sec", "ratio")
+                if "amortization" in key
+                else (
                     "times",
                     "spark_sec",
                     "duckdb_sec",
@@ -279,7 +291,9 @@ def compact_record(result: dict) -> dict:
                     "spark_spread",
                     "duckdb_spread",
                 )
-                if k in result[key]
+            )
+            compact[key] = {
+                k: _r(result[key][k]) for k in fields if k in result[key]
             }
     if "concurrent_batch" in result:
         cb = result["concurrent_batch"]
@@ -384,6 +398,63 @@ SELECT coalesce(day_e, -1) AS day_epoch,
 FROM (SELECT (hour_e // 86400) * 86400 AS day_e, hour_e, n, sv FROM hourly)
 GROUP BY ROLLUP (day_e, hour_e)
 """
+
+
+def bench_q30_embeddings_tier(spark, sf_dir: str, specs) -> dict:
+    """q30's closing datapoint (round 8): the kNN ratio at 16x-256x is a
+    per-run floor (plan construction + query-side toPandas + merge
+    stage, decomposed in SCALE.md), not per-row cost.  The embeddings-
+    only 1024x tier (~1.3 GB of vectors) is where per-row scoring
+    dominates both engines — Spark's Arrow matmul beats DuckDB's
+    list_* scoring there (0.74x best-of-7 when first recorded).
+    Recording it per round keeps the amortization claim a measured,
+    self-maintaining number instead of a hand-run spread."""
+    import duckdb
+
+    from tools.clustered import build_embeddings_tier
+
+    dst = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".bench_cache", "emb_1024x"
+    )
+    build_embeddings_tier(spark, _tier_dir(sf_dir, 256), dst, replicas=4)
+    pretouch_s = _pretouch(dst)  # pinned cache protocol (see _pretouch)
+    tune_for_input(spark, dir_bytes(dst))
+    repeats = 3
+    fn = specs["q30_knn_cosine_topk"].fn
+
+    fn(spark, dst).toPandas()  # warm
+    spark._jvm.System.gc()
+    s_runs = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        fn(spark, dst).toPandas()
+        s_runs.append(round(time.perf_counter() - t0, 3))
+
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count()}")
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{os.path.abspath(dst)}/embeddings.parquet/*.parquet')"
+    )
+    sql = specs["q30_knn_cosine_topk"].sql
+    con.execute(sql).df()  # warm
+    d_runs = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        con.execute(sql).df()
+        d_runs.append(round(time.perf_counter() - t0, 3))
+    con.close()
+
+    s_best, d_best = min(s_runs), min(d_runs)
+    return {
+        "times": 1024,
+        "spark_sec": s_best,
+        "duckdb_sec": d_best,
+        "ratio": round(s_best / d_best, 2),
+        "spark_spread": [min(s_runs), round(_median(s_runs), 3), max(s_runs)],
+        "duckdb_spread": [min(d_runs), round(_median(d_runs), 3), max(d_runs)],
+        "pretouch_s": pretouch_s,
+    }
 
 
 def bench_q83_events_tier(spark, sf_dir: str, specs, times: int = 1024) -> dict:

@@ -43,6 +43,7 @@ def test_compact_line_under_1500_bytes():
         "replicated_256x_clustered": _fat_tier(256),
         "q83_amortization_1024x": _fat_tier(1024),
         "q83_amortization_4096x": _fat_tier(4096),
+        "q30_amortization_1024x": _fat_tier(1024),
         "concurrent_batch": {
             "spark_sec": 1.234567,
             "duckdb_sec": 6.543210,
@@ -75,6 +76,7 @@ def test_compact_line_under_1500_bytes():
         "replicated_256x_clustered",
         "q83_amortization_1024x",
         "q83_amortization_4096x",
+        "q30_amortization_1024x",
     ):
         assert "ratio" in parsed[tier]
         assert "per_query_ratio" not in parsed[tier]
