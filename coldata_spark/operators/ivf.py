@@ -427,9 +427,15 @@ def pq_train(
     """
     import numpy as np
 
-    sample = np.array(
-        [r[0] for r in vectors.select(vec_col).limit(sample_limit).collect()],
-        dtype=np.float64,
+    # toPandas, not collect: limit().collect()'s row-serialized
+    # CollectLimit take-ramp is the slow path for array columns (measured
+    # ~6x on knn_join's 8-row query batch, SCALE.md "q30"; this sample is
+    # thousands of rows), while toPandas streams one Arrow batch
+    pdf = vectors.select(vec_col).limit(sample_limit).toPandas()
+    sample = (
+        np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        if len(pdf)
+        else np.zeros((0,))
     )
     if sample.ndim != 2 or sample.shape[0] == 0:
         raise ValueError("pq_train: no vectors to train on")
