@@ -60,8 +60,12 @@ def session_key(spark: SparkSession) -> tuple[str, int]:
 # costs ~100ms per table per query in plan-build time alone; a real
 # engine resolves a table once in its catalog.  DataFrames are immutable
 # plans, so reuse is safe; the fixture dirs are read-only so schemas
-# never go stale.
-_CATALOG: dict[tuple[tuple[str, int], str, str], DataFrame] = {}
+# never go stale.  FIFO-bounded like registry._PLAN_CACHE so session
+# churn can't pin dead-session entries forever.
+from collections import OrderedDict  # noqa: E402
+
+_CATALOG: "OrderedDict[tuple, DataFrame]" = OrderedDict()
+_CATALOG_MAX = 1024
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -75,6 +79,8 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         else:
             df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         _CATALOG[key] = df
+        while len(_CATALOG) > _CATALOG_MAX:
+            _CATALOG.popitem(last=False)
     return df
 
 
