@@ -432,11 +432,18 @@ def pq_train(
     # ~6x on knn_join's 8-row query batch, SCALE.md "q30"; this sample is
     # thousands of rows), while toPandas streams one Arrow batch
     pdf = vectors.select(vec_col).limit(sample_limit).toPandas()
-    sample = (
-        np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-        if len(pdf)
-        else np.zeros((0,))
-    )
+    try:
+        sample = (
+            np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            if len(pdf)
+            else np.zeros((0,))
+        )
+    except ValueError as e:
+        # np.stack raises a bare shape error on ragged input; the old
+        # np.array path fell through to the guarded ndim check below
+        raise ValueError(
+            f"pq_train: ragged vectors in {vec_col!r} (mixed lengths)"
+        ) from e
     if sample.ndim != 2 or sample.shape[0] == 0:
         raise ValueError("pq_train: no vectors to train on")
     n, d = sample.shape

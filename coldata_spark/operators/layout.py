@@ -509,6 +509,25 @@ def apply_layout(
             )
 
 
+# Only long-castable columns can ride the Morton curve (zorder_key
+# min/max-scales via cast('long'); strings/dates yield null and would
+# crash the whole scheduled job after the bucket half already rewrote
+# tables).  Exact names, not prefixes: startswith("int") also matched
+# "interval ..." dtypes, whose cast('long') probe yields null; decimal
+# carries "(p,s)" so it is matched on the name before the paren.
+_Z_OK = {
+    "tinyint", "smallint", "int", "bigint",
+    "float", "double", "decimal", "timestamp",
+}
+
+
+def zorder_type_ok(dtype: str) -> bool:
+    """True when a column of this Spark dtype can be a z-order dimension
+    (advise_zorder tallies ANY range predicate — the materializer
+    validates types here before committing to a rewrite)."""
+    return dtype.split("(", 1)[0] in _Z_OK
+
+
 def maintain_layout(
     spark,
     sf_dir: str,
@@ -573,22 +592,13 @@ def maintain_layout(
         for t, ls in spec.items()
     }
     if zorder:
-        # Only long-castable columns can ride the Morton curve
-        # (zorder_key min/max-scales via cast('long'); strings/dates
-        # yield null and would crash the whole scheduled job after the
-        # bucket half already rewrote tables).  The advisor tallies ANY
-        # range predicate — the materializer validates types.
-        _Z_OK = (
-            "tinyint", "smallint", "int", "bigint",
-            "float", "double", "decimal", "timestamp",
-        )
         for t, cols in advise_zorder(
             spark, sf_dir, queries, min_bytes=min_bytes
         ).items():
             if t in cur:  # bucket spec wins where both halves advise
                 continue
             dtypes = dict(load(spark, sf_dir, t).dtypes)
-            keep = [c for c in cols if dtypes.get(c, "").startswith(_Z_OK)]
+            keep = [c for c in cols if zorder_type_ok(dtypes.get(c, ""))]
             if len(keep) >= 2:  # one dimension is a plain sort, not zorder
                 cur[t] = {"zorder": keep, "files": zorder_files}
     os.makedirs(out_dir, exist_ok=True)

@@ -402,7 +402,10 @@ def _sized_for_arrow_stage(
     return df
 
 
-_SCAN_NODES = ("Project", "Filter", "Relation", "GlobalLimit", "LocalLimit")
+# No Limit nodes: a limit-rooted plan executes as CollectLimit with far
+# fewer effective partitions than the file-split arithmetic predicts, so
+# limited plans must take the exact getNumPartitions path below
+_SCAN_NODES = ("Project", "Filter", "Relation")
 
 
 def _scan_shaped(df: DataFrame) -> bool:

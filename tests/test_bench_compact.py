@@ -49,16 +49,16 @@ def test_compact_line_under_1500_bytes():
             "duckdb_sec": 6.543210,
             "ratio": 0.188888,
             "spark_mode": "prepared plans, FAIR scheduler, 8 workers",
-            "spark_cold_sec": 8.765432,
-            "cold_ratio": 1.339999,
-            "cold_mode": "fresh clients via registry.serve (engine plan cache)",
+            "serve_sec": 8.765432,
+            "serve_ratio": 1.339999,
+            "serve_mode": "fresh clients via registry.serve (engine plan cache)",
             "uncached_client_sec": 9.876543,
             "uncached_client_ratio": 1.509999,
             "uncached_plan_build_s": 1.325111,
             "uncached_note": "x" * 120,
             "spark_workers": 8,
             "duckdb_workers": 4,
-            "spark_cold_by_workers": {str(w): 9.9 for w in (1, 2, 4, 8)},
+            "spark_serve_by_workers": {str(w): 9.9 for w in (1, 2, 4, 8)},
             "spark_prepared_by_workers": {str(w): 1.1 for w in (1, 2, 4, 8)},
             "spark_uncached_by_workers": {str(w): 9.9 for w in (1, 2, 4, 8)},
             "duckdb_by_workers": {str(w): 6.6 for w in (1, 2, 4)},

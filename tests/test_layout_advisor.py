@@ -456,3 +456,22 @@ def test_advised_layout_results_match_flat(spark, sf_dir, advised_dir):
         got = sorted(map(tuple, CL.CLUSTERED_QUERIES[name](spark, advised_dir).collect()))
         want = sorted(map(tuple, specs[name].fn(spark, sf_dir).collect()))
         assert got == want, f"{name} diverges under the advised layout"
+
+
+def test_zorder_type_ok_exact_names_not_prefixes():
+    """Round-8 ADVICE: prefix matching let 'interval day to second'
+    through the gate (startswith('int')); cast('long') on an interval
+    yields null and zorder_key raises after the bucket half already
+    rewrote tables.  The gate must match exact type names, with
+    decimal's '(p,s)' suffix handled."""
+    from coldata_spark.operators.layout import zorder_type_ok
+
+    assert zorder_type_ok("int")
+    assert zorder_type_ok("bigint")
+    assert zorder_type_ok("decimal(12,4)")
+    assert zorder_type_ok("timestamp")
+    assert not zorder_type_ok("interval day to second")
+    assert not zorder_type_ok("interval")
+    assert not zorder_type_ok("string")
+    assert not zorder_type_ok("date")
+    assert not zorder_type_ok("")

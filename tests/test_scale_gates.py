@@ -133,3 +133,16 @@ def test_ivf_arrow_scoring_matches_expr(spark, sf_dir, ivf_index):
         assert sorted(map(tuple, a.collect())) == sorted(map(tuple, e.collect()))
     finally:
         qdf.unpersist()
+
+
+def test_scan_shaped_rejects_limit_plans(spark, sf_dir):
+    """Round-8 ADVICE: a limit-rooted plan executes as CollectLimit with
+    far fewer effective partitions than file-split arithmetic predicts,
+    so _scan_shaped must send it down the exact getNumPartitions path
+    instead of the planner-formula sizing."""
+    from coldata_spark.operators.similarity import _scan_shaped
+
+    emb = load(spark, sf_dir, "embeddings")
+    assert _scan_shaped(emb.select("vec_id", "embedding"))
+    assert not _scan_shaped(emb.select("vec_id", "embedding").limit(5))
+    assert not _scan_shaped(emb.limit(5))

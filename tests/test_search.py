@@ -192,3 +192,18 @@ def test_search_parent_ids_with_underscores(spark, sf_dir, tmp_path):
     for qid, t in enumerate(targets):
         got = [r.doc_id for r in rows if r.q_id == qid]
         assert t.doc_id in got, f"query {qid}: {t.doc_id} not in {got}"
+
+
+def test_pq_train_ragged_vectors_clear_error(spark):
+    """Round-8 ADVICE: np.stack raises numpy's bare 'all input arrays must
+    have the same shape' on mixed-length vectors, losing the guarded
+    pq_train error the old np.array object-array path produced."""
+    import pytest
+
+    from coldata_spark.operators import ivf
+
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0]), (2, [1.0, 2.0])], ["id", "embedding"]
+    )
+    with pytest.raises(ValueError, match="ragged"):
+        ivf.pq_train(ragged, m=2, k=4, sample_limit=10)
