@@ -171,8 +171,8 @@ def queries() -> dict[str, QueryFn]:
     return {n: s.fn for n, s in specs().items()}
 
 
-# Serving-path plan cache: (session key, sf_dir, query) -> built
-# DataFrame.  Client-side plan CONSTRUCTION is py4j round-trip bound
+# Serving-path plan cache: (session key, sf_dir, data version, query) ->
+# built DataFrame.  Client-side plan CONSTRUCTION is py4j round-trip bound
 # (~1.3 s for the 12-query headline batch, GIL-serialized across
 # submitter threads) while the engine's own re-analysis of an existing
 # Dataset is ~0.01 s/batch — so a serving deployment keeps the built
@@ -189,16 +189,21 @@ _PLAN_CACHE_MAX = 512
 
 def serve(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Serving entry point: build ``name``'s plan once per (session,
-    sf_dir) and reuse it across submissions.  A DataFrame is an immutable
-    plan, so reuse is safe while the input files are unchanged (the same
-    contract as tables.load's catalog cache); a client that mutates
-    fixture dirs mid-session must call ``specs()[name].fn`` directly.
+    sf_dir, data version) and reuse it across submissions.  A DataFrame
+    is an immutable plan whose parquet file listing is snapshotted at
+    construction, so the cache key includes ``tables.data_version`` — a
+    mutated fixture dir (new part files, sidecar rewrite, atomic publish)
+    changes the stamp and the next ``serve`` call rebuilds instead of
+    serving stale pruning decisions (round-8 verdict #3; same key shape
+    as tables.load's catalog cache, so the rebuilt plan also re-resolves
+    its tables).  In-place byte edits deeper than two directory levels
+    are outside the stamp's contract — see ``data_version``'s docstring.
     Every submission still executes the full physical plan — only the
     client-side construction and analysis are amortized."""
-    from coldata_spark.tables import session_key
+    from coldata_spark.tables import data_version, session_key
 
     _ensure_loaded()
-    key = (session_key(spark), sf_dir, name)
+    key = (session_key(spark), sf_dir, data_version(sf_dir), name)
     df = _PLAN_CACHE.get(key)
     if df is None:
         df = _PLAN_CACHE[key] = _REGISTRY[name].fn(spark, sf_dir)

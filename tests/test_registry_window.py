@@ -112,3 +112,38 @@ def test_window_oracle_density():
     # q39 itself became oracle-bearing in round 4 (same operator, second
     # operating point) but stays outside the window by design.
     assert len(rows_only) <= 1, f"too many rows-only in window: {rows_only}"
+
+
+def test_serve_rebuilds_on_fixture_mutation(spark, tmp_path):
+    """Round-8 verdict #3: a serving mode must not silently serve plans
+    against mutated inputs.  spark.read.parquet snapshots its file
+    listing at construction, so serve()'s cache key carries
+    tables.data_version — a rewritten table (or a touched sidecar) must
+    yield a REBUILT plan that sees the new files."""
+    import pyspark.sql.functions as F
+
+    from coldata_spark.tables import load
+
+    sf = str(tmp_path)
+    src = load(spark, "/root/testdata/sf0.001", "lineitem")
+    src.limit(200).write.parquet(f"{sf}/lineitem.parquet")
+    a = registry.serve(spark, sf, "q01_pricing_summary")
+    assert registry.serve(spark, sf, "q01_pricing_summary") is a
+    n_a = a.agg(F.sum("count_order")).collect()[0][0]
+    assert n_a <= 200
+
+    # the normal Spark mutation: overwrite replaces the part files
+    src.limit(400).write.mode("overwrite").parquet(f"{sf}/lineitem.parquet")
+    b = registry.serve(spark, sf, "q01_pricing_summary")
+    assert b is not a, "mutated fixture dir served a stale plan"
+    n_b = b.agg(F.sum("count_order")).collect()[0][0]
+    assert n_b > n_a, f"rebuilt plan still reads old files ({n_b} vs {n_a})"
+
+    # a metadata-only change (new sidecar in the dir root) also re-keys:
+    # layout sidecars change pruning decisions without touching data
+    (tmp_path / "_LAYOUT_SPEC.json").write_text("{}")
+    c = registry.serve(spark, sf, "q01_pricing_summary")
+    assert c is not b
+
+    # and an unchanged dir keeps hitting the cache
+    assert registry.serve(spark, sf, "q01_pricing_summary") is c
