@@ -51,7 +51,16 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q38_embedding_dim_stats",
     "q86_ivf_pq_search",
     "q89_filtered_knn",
-    "q90_hybrid_search_rrf",
+    # As-of join under the driver's hash check (r9, r8 verdict ask #4):
+    # the union-stream asof_join operator (operators/asof.py) is the
+    # highest-traffic events op that had never had a window row — q80 is
+    # a range join, not as-of.  The verdict suggested displacing q05, but
+    # its J4/S11 tags are uniquely held in-window (q56/q65/q14 hold them
+    # only OUTSIDE the window) — the coverage gate forbids it, exactly as
+    # it forbade r7's q24/q47 suggestion.  Displaced
+    # q90_hybrid_search_rrf instead, whose J5/W1/J2/A2 tags stay covered
+    # by q30/q31/q34/q37 and which remains oracle-green in pytest.
+    "q107_asof_join_tolerance",
     # Dedup layer — reference crawler.py dedup semantics
     "q23_exact_dedup",
     "q24_fingerprint_dedup",
