@@ -475,3 +475,26 @@ def test_zorder_type_ok_exact_names_not_prefixes():
     assert not zorder_type_ok("string")
     assert not zorder_type_ok("date")
     assert not zorder_type_ok("")
+
+
+def test_advised_vector_spec_verdict(spark, sf_dir):
+    """Round-8 verdict #1: the vector workload's advised layout.  The
+    join-backs (hits->embeddings on vec_id, parents->documents on doc_id)
+    are the only layout-addressable operations; q30's top-k partitions on
+    the computed q_id and must advise nothing for it."""
+    spec = CL.advised_vector_spec(spark, sf_dir, buckets=4)
+    assert spec["embeddings"].bucket_col == "vec_id"
+    assert spec["documents"].bucket_col == "doc_id"
+
+
+def test_vector_fixture_layout_only_same_answers(spark, sf_dir, tmp_path):
+    """build_vector_fixture rewrites files, never semantics: the
+    registered flat q30/q31 read the advised dirs unchanged and must
+    return identical rows."""
+    out = str(tmp_path / "vec_advised")
+    CL.build_vector_fixture(spark, sf_dir, sf_dir, out, buckets=4)
+    specs = registry.specs()
+    for name in ("q30_knn_cosine_topk", "q31_search_group_best"):
+        got = sorted(map(tuple, specs[name].fn(spark, out).collect()))
+        want = sorted(map(tuple, specs[name].fn(spark, sf_dir).collect()))
+        assert got == want, f"{name} diverges on the advised vector layout"

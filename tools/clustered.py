@@ -337,6 +337,103 @@ def build_embeddings_tier(
     return out_dir
 
 
+# ---- Vector-workload advised layout (round-8 verdict #1) ----------------
+# The one r7 lever never pulled: the embeddings table was the last
+# headline table with no advised layout.  The advisor runs over the FULL
+# vector workload — exact kNN (q30/q34/q37), search-with-join-back (q31),
+# filtered kNN (q89), and IVF/PQ probes (q35/q86) — and its verdict is
+# what build_vector_fixture materializes, so whatever the q30@256x record
+# shows, it shows it on the layout the ENGINE derives, not a hand guess.
+VECTOR_QUERIES = (
+    "q30_knn_cosine_topk",
+    "q31_search_group_best",
+    "q34_knn_l2_topk",
+    "q37_knn_ip_topk",
+    "q89_filtered_knn",
+    "q35_ann_ivf_search",
+    "q86_ivf_pq_search",
+)
+
+
+def advised_vector_spec(spark: SparkSession, sf_dir: str, buckets: int = BUCKETS):
+    """advise_layout over the vector workload.  Runs at the BASE sf_dir,
+    not the replicated tier: the advisor only reads optimized plans
+    (scale-invariant), while building q35/q86's DataFrames constructs
+    their IVF index fixture — cheap at sf, pointless at tier scale.
+    Expected verdict (gated in tests/test_layout_advisor.py):
+    embeddings bucketed+sorted by vec_id (q31's hits->vectors join-back
+    and the query-batch point filter), documents by doc_id (q31's
+    parent join).  q30's own top-k partitions on the COMPUTED q_id, which
+    attributes to no base table — the advisor correctly claims no layout
+    can remove that exchange."""
+    from coldata_spark import registry
+    from coldata_spark.operators.layout import advise_layout
+
+    specs = registry.specs()
+    qs = [specs[n].fn(spark, sf_dir) for n in VECTOR_QUERIES]
+    return advise_layout(spark, sf_dir, qs, buckets=buckets, min_bytes=0)
+
+
+def build_vector_fixture(
+    spark: SparkSession,
+    sf_dir: str,
+    tier_dir: str,
+    out_dir: str,
+    buckets: int = BUCKETS,
+) -> str:
+    """Rewrite the replicated tier's vector-side tables (embeddings +
+    documents) into the advisor-derived layout, as plain ``<name>.parquet``
+    dirs so the REGISTERED flat queries (and DuckDB) read them unchanged —
+    the probe is layout-only, not plan-only.  Idempotent per
+    (tier_dir, buckets) via marker; advised spec persists in the sidecar."""
+    import json
+
+    marker = os.path.join(out_dir, _MARKER)
+    stamp = f"vec-v1|{tier_dir}|{buckets}"
+    if os.path.exists(marker) and open(marker).read() == stamp:
+        return out_dir
+    from coldata_spark.operators.layout import write_bucketed
+    from coldata_spark.tables import load
+
+    spec = advised_vector_spec(spark, sf_dir, buckets=buckets)
+    if "embeddings" not in spec:
+        raise AssertionError(
+            f"vector advisor dropped embeddings (advised: {sorted(spec)}); "
+            "refusing to cache a fixture the kNN queries cannot probe"
+        )
+    os.makedirs(out_dir, exist_ok=True)
+    written = {}
+    for name in ("embeddings", "documents"):
+        ls = spec.get(name)
+        if ls is None:
+            continue
+        write_bucketed(
+            load(spark, tier_dir, name),
+            os.path.join(out_dir, f"{name}.parquet"),
+            bucket_col=ls.bucket_col,
+            sort_cols=list(ls.sort_cols),
+            buckets=ls.buckets,
+        )
+        written[name] = ls
+    with open(os.path.join(out_dir, _SIDECAR), "w") as f:
+        json.dump(
+            {
+                t: {
+                    "bucket_col": ls.bucket_col,
+                    "sort_cols": list(ls.sort_cols),
+                    "buckets": ls.buckets,
+                }
+                for t, ls in written.items()
+            },
+            f,
+            indent=2,
+            sort_keys=True,
+        )
+    with open(marker, "w") as f:
+        f.write(stamp)
+    return out_dir
+
+
 if __name__ == "__main__":
     import sys
 
