@@ -42,7 +42,13 @@ def measure(spec_name: str, tier: str, repeats: int = 7) -> dict:
     from coldata_spark import registry
     from coldata_spark.session import dir_bytes, get_spark, tune_for_input
 
-    tier_dir = os.path.join(REPO, ".bench_cache", tier)
+    if tier == "headline":
+        # the headline fixture is the sf dir itself (round-8 verdict #2:
+        # spread-stamp headline movers, e.g. q44/q23, the same way tier
+        # entries are)
+        tier_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    else:
+        tier_dir = os.path.join(REPO, ".bench_cache", tier)
     if not os.path.isdir(tier_dir):
         raise SystemExit(
             f"tier fixture {tier_dir} missing — run bench.py first to build it"
@@ -53,13 +59,34 @@ def measure(spec_name: str, tier: str, repeats: int = 7) -> dict:
 
     spark = get_spark(app_name=f"spread_{spec_name}")
     tune_for_input(spark, dir_bytes(tier_dir))
-    spec.fn(spark, "/root/testdata/sf0.001").collect()  # codegen warm
-    spec.fn(spark, tier_dir).collect()  # tier warm (broadcast, page cache)
+    # headline mode must time what the headline bench times: run_plan's
+    # noop sink, NOT collect() — q44/q23 emit thousands of rows at sf0.1
+    # and driver row-serialization would dominate their sub-second plans
+    # (first headline stamps read 2-3x the bench numbers for exactly this
+    # reason).  Tier mode keeps collect(): its stamped records were taken
+    # under that protocol and tier queries' output is small.
+    if tier == "headline":
+        from bench import run_plan
+
+        execute = lambda df: run_plan(df)  # noqa: E731
+    else:
+        execute = lambda df: df.collect()  # noqa: E731
+    execute(spec.fn(spark, "/root/testdata/sf0.001"))  # codegen warm
+    # headline queries are SUB-second and run mid-batch in a fully warmed
+    # shared session in bench.py — one tier warm leaves C2 JIT compilation
+    # bleeding into all 7 measured runs (q44's first stamp decayed
+    # monotonically 0.636 -> 0.389 across the repeats).  Deep-warm the
+    # headline mode so the spread measures the steady state the headline
+    # number approximates; tier mode keeps the pinned 1-warm protocol its
+    # existing stamped records were taken under.
+    warms = 6 if tier == "headline" else 1
+    for _ in range(warms):
+        execute(spec.fn(spark, tier_dir))  # tier warm (broadcast, cache)
     spark._jvm.System.gc()
     s_runs = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        spec.fn(spark, tier_dir).collect()
+        execute(spec.fn(spark, tier_dir))
         s_runs.append(round(time.perf_counter() - t0, 3))
     spark.stop()
 
@@ -125,7 +152,7 @@ def measure(spec_name: str, tier: str, repeats: int = 7) -> dict:
         "duckdb_runs": d_runs,
         "pretouch_s": pretouch_s,
         "protocol": "page-cache-hot both engines (fixture pre-touched), "
-        f"fresh JVM, best-of-{repeats} after in-process warm",
+        f"fresh JVM, best-of-{repeats} after {warms} in-process warm run(s)",
     }
 
 
