@@ -135,6 +135,13 @@ def measure(spec_name: str, tier: str, repeats: int = 7) -> dict:
         if os.path.exists(mp):
             fixture_stamp = open(mp).read()
             break
+    if fixture_stamp is None and tier == "headline":
+        # the sf dir has no build marker; stamp its content version so
+        # the record states what data it measured (testdata is read-only,
+        # so this is stable until the driver regenerates fixtures)
+        from coldata_spark.tables import data_version
+
+        fixture_stamp = f"headline|{tier_dir}|dv={data_version(tier_dir)}"
     return {
         "query": spec_name,
         "tier_key": tier_key,
