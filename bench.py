@@ -58,6 +58,21 @@ def run_plan(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def fresh_exec(df):
+    """Wrap a prepared Dataset so the next action runs a FRESH
+    QueryExecution: a no-op filter Catalyst removes — identical optimized
+    plan, new shuffle ids.  Without this, an action on the same Dataset
+    reuses its RDD lineage and the DAGScheduler SKIPS shuffle map stages
+    whose outputs are already materialized, so a prepared/serve loop
+    measures merge-stage re-execution, not per-submission work (round-9
+    correction, SCALE.md).  One py4j call per submission — the
+    prepared-statement contract (client skips tree reconstruction, engine
+    executes fully)."""
+    from pyspark.sql import functions as F
+
+    return df.filter(F.lit(True))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -575,19 +590,31 @@ def bench_concurrent(spark, sf_dir: str, specs) -> dict:
     GIL-serialized py4j — not execution; round-7 verdict ask #6 closes it
     with the engine's serving-path plan cache):
 
-      * cold    — fresh client submissions through ``registry.serve``, the
+      * serve   — fresh client submissions through ``registry.serve``, the
         engine's serving entry: the plan cache (registry._PLAN_CACHE)
-        builds each query's plan once per (session, sf_dir) and reuses it
-        — what any query service does (prepared statements / Thrift-server
-        plan cache).  Every submission still executes the full physical
-        plan and client materialization.
+        builds each query's plan once per (session, sf_dir, data version)
+        and reuses it — what any query service does (prepared statements /
+        Thrift-server plan cache).
       * prepared — Dataset objects held by the client and re-executed
-        (the round-3..7 "prepared" mode; same engine behavior as cold-via-
-        serve once the cache is warm — kept for cross-round comparability);
+        (the round-3..7 "prepared" mode — kept for cross-round
+        comparability);
       * uncached_client — every submission rebuilds its DataFrame from
         code (a client that refuses the serving entry); this is the
         adversarial number older rounds published as "cold", retained
         itemized with its plan-construction floor.
+
+    EXECUTION IS FORCED FRESH PER SUBMISSION (round-9 self-review): an
+    action on the SAME Dataset reuses its RDD lineage, and Spark's
+    DAGScheduler skips shuffle map stages whose outputs are already
+    materialized — so naive prepared/serve loops were partially measuring
+    skipped stages, not per-submission execution.  A real concurrent
+    workload submits different parameters and gets no such reuse, so both
+    reuse modes wrap each submission in ``fresh_exec`` (a no-op filter
+    Catalyst removes: identical optimized plan, fresh QueryExecution,
+    fresh shuffle ids — one py4j call instead of full tree
+    reconstruction, which is the prepared-statement contract).  Rounds
+    <=8 published prepared/serve numbers WITHOUT this forcing; at sf0.1
+    the flattery was ~0.1 s of the ~0.25 s batch (SCALE.md).
 
     DuckDB re-parses its SQL per submission, but its parse+plan is ~ms;
     the headline ratio uses the prepared mode.  The session runs FAIR
@@ -614,7 +641,9 @@ def bench_concurrent(spark, sf_dir: str, specs) -> dict:
         with ThreadPoolExecutor(workers) as ex:
             list(
                 ex.map(
-                    lambda n: registry.serve(spark, sf_dir, n).toPandas(),
+                    lambda n: fresh_exec(
+                        registry.serve(spark, sf_dir, n)
+                    ).toPandas(),
                     HEADLINE,
                 )
             )
@@ -625,7 +654,7 @@ def bench_concurrent(spark, sf_dir: str, specs) -> dict:
     def spark_prepared(workers: int) -> float:
         t0 = time.perf_counter()
         with ThreadPoolExecutor(workers) as ex:
-            list(ex.map(lambda n: dfs[n].toPandas(), HEADLINE))
+            list(ex.map(lambda n: fresh_exec(dfs[n]).toPandas(), HEADLINE))
         return time.perf_counter() - t0
 
     def duck_one(name: str) -> None:
@@ -685,6 +714,10 @@ def bench_concurrent(spark, sf_dir: str, specs) -> dict:
         "uncached_plan_build_s": plan_build_s,
         "uncached_note": "uncached - prepared ~= client plan construction "
         "(py4j, GIL-serialized); engine re-analysis is ~0.01 s/batch",
+        "exec_note": "fresh QueryExecution forced per submission since r9 "
+        "(rounds <=8 prepared/serve re-collected the same Dataset and "
+        "rode materialized shuffle map outputs — skipped stages, not "
+        "execution)",
         "spark_workers": pw,
         "duckdb_workers": dw,
         "spark_serve_by_workers": cold_best,

@@ -161,3 +161,36 @@ def test_q83_duckdb_rewrite_value_identical():
     ).df()
     assert a.columns.tolist() == b.columns.tolist()
     assert a.astype("float64").equals(b.astype("float64"))
+
+
+def test_fresh_exec_same_plan_fresh_execution(spark):
+    """Round-9 correction: an action on the SAME Dataset reuses its RDD
+    lineage and skips materialized shuffle map stages, so prepared/serve
+    loops must wrap submissions in bench.fresh_exec — which must (a) not
+    change the optimized plan (Catalyst removes the no-op filter), (b)
+    return identical results, and (c) produce a genuinely fresh RDD
+    lineage so map stages re-run."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from bench import fresh_exec
+    from coldata_spark.tables import load
+
+    df = (
+        load(spark, "/root/testdata/sf0.001", "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"))
+    )
+    a = sorted(map(tuple, df.collect()))
+    w = fresh_exec(df)
+    strip = lambda s: re.sub(r"#\d+L?", "#x", s)  # noqa: E731
+    p0 = df._jdf.queryExecution().optimizedPlan().toString()
+    p1 = w._jdf.queryExecution().optimizedPlan().toString()
+    assert strip(p1) == strip(p0), "no-op filter must optimize away"
+    assert "Filter" not in p1
+    assert sorted(map(tuple, w.collect())) == a
+    assert (
+        w._jdf.queryExecution().toRdd().id()
+        != df._jdf.queryExecution().toRdd().id()
+    ), "fresh_exec must yield a new RDD lineage (else stages are skipped)"
