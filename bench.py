@@ -315,9 +315,9 @@ def compact_record(result: dict) -> dict:
         compact["concurrent_batch"] = {
             k: _r(cb[k])
             for k in (
-                "spark_sec",
+                "prepared_sec",
                 "duckdb_sec",
-                "ratio",
+                "prepared_ratio",
                 "serve_sec",
                 "serve_ratio",
                 "uncached_client_ratio",
@@ -427,15 +427,16 @@ def bench_q30_embeddings_tier(spark, sf_dir: str, specs) -> dict:
     import duckdb
 
     from tools.clustered import build_embeddings_tier
-    from tools.replicate import replicate_fixture
 
     dst = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), ".bench_cache", "emb_1024x"
     )
-    # this tier derives from the 256x tier; with 256X/256C both env-off the
-    # main loop never replicated it — marker-gated, so near-free when built
-    replicate_fixture(spark, sf_dir, _tier_dir(sf_dir, 256), times=256)
-    build_embeddings_tier(spark, _tier_dir(sf_dir, 256), dst, replicas=4)
+    # sf_dir lets the builder replicate the 256x source on demand — only
+    # when THIS tier's marker is missing/stale (a valid cached deep tier
+    # must not trigger a multi-GB source rebuild)
+    build_embeddings_tier(
+        spark, _tier_dir(sf_dir, 256), dst, replicas=4, sf_dir=sf_dir
+    )
     pretouch_s = _pretouch(dst)  # pinned cache protocol (see _pretouch)
     tune_for_input(spark, dir_bytes(dst))
     repeats = 3
@@ -490,16 +491,16 @@ def bench_q83_events_tier(spark, sf_dir: str, specs, times: int = 1024) -> dict:
     import duckdb
 
     from tools.clustered import build_events_tier
-    from tools.replicate import replicate_fixture
 
     dst = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         ".bench_cache",
         f"events_{times}x",
     )
-    # same 256x-tier dependency as the embeddings tier (marker-gated)
-    replicate_fixture(spark, sf_dir, _tier_dir(sf_dir, 256), times=256)
-    build_events_tier(spark, _tier_dir(sf_dir, 256), dst, replicas=times // 256)
+    # sf_dir: 256x source replicated on demand, only on a real (re)build
+    build_events_tier(
+        spark, _tier_dir(sf_dir, 256), dst, replicas=times // 256, sf_dir=sf_dir
+    )
     pretouch_s = _pretouch(dst)  # pinned cache protocol (see _pretouch)
     tune_for_input(spark, dir_bytes(dst))
     repeats = 3
@@ -698,10 +699,15 @@ def bench_concurrent(spark, sf_dir: str, specs) -> dict:
     uw = min(unc_best, key=unc_best.get)
     dw = min(duck_best, key=duck_best.get)
     return {
-        "spark_sec": prep_best[pw],
+        # "prepared_*", not the r3-r8 "spark_sec"/"ratio": the semantics
+        # changed with fresh_exec (pre-r9 records partially measured
+        # skipped stages), so the old keys must not be key-compatible —
+        # same reasoning as the serve_* rename
+        "prepared_sec": prep_best[pw],
         "duckdb_sec": duck_best[dw],
-        "ratio": round(prep_best[pw] / duck_best[dw], 2),
-        "spark_mode": "prepared plans (FAIR scheduling)",
+        "prepared_ratio": round(prep_best[pw] / duck_best[dw], 2),
+        "spark_mode": "prepared plans (FAIR scheduling), fresh execution "
+        "per submission",
         # "serve", not "cold": rounds <=7 published "spark_cold_sec" for
         # the uncached-client rebuild mode (now itemized below), so reusing
         # that key for the plan-cache-warm serve path would silently

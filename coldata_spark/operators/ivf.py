@@ -440,7 +440,11 @@ def pq_train(
         )
     except ValueError as e:
         # np.stack raises a bare shape error on ragged input; the old
-        # np.array path fell through to the guarded ndim check below
+        # np.array path fell through to the guarded ndim check below.
+        # Only shape errors are relabeled — np.asarray conversion errors
+        # (non-numeric payloads) keep their own diagnosis
+        if "same shape" not in str(e):
+            raise
         raise ValueError(
             f"pq_train: ragged vectors in {vec_col!r} (mixed lengths)"
         ) from e

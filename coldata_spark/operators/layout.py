@@ -518,6 +518,10 @@ def apply_layout(
 _Z_OK = {
     "tinyint", "smallint", "int", "bigint",
     "float", "double", "decimal", "timestamp",
+    # ntz is long-castable exactly like ltz (micros value); the exact-name
+    # fix must not narrow the gate past the interval bug it fixed — Spark 4
+    # infers un-normalized parquet timestamps as TIMESTAMP_NTZ
+    "timestamp_ntz",
 }
 
 

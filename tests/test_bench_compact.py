@@ -45,9 +45,9 @@ def test_compact_line_under_1500_bytes():
         "q83_amortization_4096x": _fat_tier(4096),
         "q30_amortization_1024x": _fat_tier(1024),
         "concurrent_batch": {
-            "spark_sec": 1.234567,
+            "prepared_sec": 1.234567,
             "duckdb_sec": 6.543210,
-            "ratio": 0.188888,
+            "prepared_ratio": 0.188888,
             "spark_mode": "prepared plans, FAIR scheduler, 8 workers",
             "serve_sec": 8.765432,
             "serve_ratio": 1.339999,
@@ -82,7 +82,7 @@ def test_compact_line_under_1500_bytes():
         assert "per_query_ratio" not in parsed[tier]
         assert "spark_queries" not in parsed[tier]
     assert "queries" not in parsed
-    assert "ratio" in parsed["concurrent_batch"]
+    assert "prepared_ratio" in parsed["concurrent_batch"]
 
 
 def test_compact_tolerates_missing_tiers():

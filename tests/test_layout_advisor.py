@@ -470,6 +470,7 @@ def test_zorder_type_ok_exact_names_not_prefixes():
     assert zorder_type_ok("bigint")
     assert zorder_type_ok("decimal(12,4)")
     assert zorder_type_ok("timestamp")
+    assert zorder_type_ok("timestamp_ntz")  # long-castable like ltz
     assert not zorder_type_ok("interval day to second")
     assert not zorder_type_ok("interval")
     assert not zorder_type_ok("string")

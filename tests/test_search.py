@@ -207,3 +207,11 @@ def test_pq_train_ragged_vectors_clear_error(spark):
     )
     with pytest.raises(ValueError, match="ragged"):
         ivf.pq_train(ragged, m=2, k=4, sample_limit=10)
+    # non-numeric payloads keep numpy's own conversion diagnosis — the
+    # ragged relabel must not swallow a different defect
+    bad = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, ["c", "d"])], ["id", "embedding"]
+    )
+    with pytest.raises(ValueError) as ei:
+        ivf.pq_train(bad, m=2, k=4, sample_limit=10)
+    assert "ragged" not in str(ei.value)

@@ -270,17 +270,29 @@ DUCK_VIEWS = {
 
 
 def build_events_tier(
-    spark: SparkSession, tier256_dir: str, out_dir: str, replicas: int = 4
+    spark: SparkSession,
+    tier256_dir: str,
+    out_dir: str,
+    replicas: int = 4,
+    sf_dir: str | None = None,
 ) -> str:
     """Events-only deep fixture: ``replicas`` shifted copies of the 256x
     events table (4 -> 1024x ~1.6 GB, 16 -> 4096x ~6.5 GB) — the tiers
     where q83's fixed per-stage cost amortizes (at 256x, 4x more data costs
     Spark only +42% time — the rollup is still floor-dominated there).
-    Events-only keeps the extra disk bounded to the one table q83 reads."""
+    Events-only keeps the extra disk bounded to the one table q83 reads.
+    The 256x source dependency is resolved HERE, only when this tier's own
+    marker is missing/stale — with ``sf_dir`` given, an absent 256x tier is
+    replicated on demand instead of unconditionally by the caller (a valid
+    cached deep tier must not trigger a multi-GB source rebuild)."""
     marker = os.path.join(out_dir, "_OK")
     stamp = "v2"  # unique-ts + INT64-micros fixtures (see replicate.py)
     if os.path.exists(marker) and open(marker).read() == stamp:
         return out_dir
+    if sf_dir is not None:
+        from tools.replicate import replicate_fixture
+
+        replicate_fixture(spark, sf_dir, tier256_dir, times=256)
     ev = spark.read.parquet(os.path.join(tier256_dir, "events.parquet"))
     parts = [
         ev.withColumn(
@@ -306,7 +318,11 @@ def build_events_tier(
 
 
 def build_embeddings_tier(
-    spark: SparkSession, tier256_dir: str, out_dir: str, replicas: int = 4
+    spark: SparkSession,
+    tier256_dir: str,
+    out_dir: str,
+    replicas: int = 4,
+    sf_dir: str | None = None,
 ) -> str:
     """Embeddings-only deep fixture (the q30 analogue of the q83 events
     tiers): ``replicas`` shifted copies of the 256x embeddings table
@@ -321,6 +337,12 @@ def build_embeddings_tier(
     stamp = f"v1|{replicas}"
     if os.path.exists(marker) and open(marker).read() == stamp:
         return out_dir
+    if sf_dir is not None:
+        # source dependency resolved only on a real (re)build — see
+        # build_events_tier
+        from tools.replicate import replicate_fixture
+
+        replicate_fixture(spark, sf_dir, tier256_dir, times=256)
     emb = spark.read.parquet(os.path.join(tier256_dir, "embeddings.parquet"))
     parts = [
         emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * 4_000_000_000))
@@ -389,7 +411,15 @@ def build_vector_fixture(
     import json
 
     marker = os.path.join(out_dir, _MARKER)
-    stamp = f"vec-v1|{tier_dir}|{buckets}"
+    # the stamp carries the SOURCE tier's own content stamp and the
+    # advisor's workload dir: a rebuilt source tier (replicate.py stamp
+    # bump) or a different advice source must invalidate this fixture,
+    # not silently reuse data the flat record beside it no longer matches
+    src_marker = os.path.join(tier_dir, "_REPLICATED_OK")
+    src_stamp = (
+        open(src_marker).read() if os.path.exists(src_marker) else "unstamped"
+    )
+    stamp = f"vec-v1|{tier_dir}|{buckets}|src={src_stamp}|advise={sf_dir}"
     if os.path.exists(marker) and open(marker).read() == stamp:
         return out_dir
     from coldata_spark.operators.layout import write_bucketed

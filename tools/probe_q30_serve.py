@@ -88,12 +88,9 @@ for _ in range(repeats):
     d_runs.append(round(time.perf_counter() - t0, 3))
 con.close()
 
-fixture_stamp = None
-for marker in ("_REPLICATED_OK", "_OK", "_CLUSTERED_OK"):
-    mp = os.path.join(tier_dir, marker)
-    if os.path.exists(mp):
-        fixture_stamp = open(mp).read()
-        break
+from tools.spread import fixture_stamp_of
+
+fixture_stamp = fixture_stamp_of(tier_dir)
 
 d_best = min(d_runs)
 rec = {

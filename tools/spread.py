@@ -36,6 +36,17 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DETAIL = os.path.join(REPO, "BENCH_DETAIL.json")
 
 
+def fixture_stamp_of(tier_dir: str) -> str | None:
+    """The fixture's build-marker content (what data a record measured);
+    shared by every spread-family tool so a new marker name is added in
+    ONE place."""
+    for marker in ("_REPLICATED_OK", "_OK", "_CLUSTERED_OK"):
+        mp = os.path.join(tier_dir, marker)
+        if os.path.exists(mp):
+            return open(mp).read()
+    return None
+
+
 def measure(spec_name: str, tier: str, repeats: int = 7) -> dict:
     import duckdb
 
@@ -90,24 +101,34 @@ def measure(spec_name: str, tier: str, repeats: int = 7) -> dict:
         s_runs.append(round(time.perf_counter() - t0, 3))
     spark.stop()
 
-    con = duckdb.connect()
-    con.execute(f"SET threads TO {os.cpu_count()}")
-    for name in sorted(os.listdir(tier_dir)):
-        if not name.endswith(".parquet"):
-            continue
-        t = name[: -len(".parquet")]
-        p = os.path.join(tier_dir, name)
-        src = f"{p}/*.parquet" if os.path.isdir(p) else p
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
-    con.execute(spec.sql).df()  # warm
-    d_runs = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        con.execute(spec.sql).df()
-        d_runs.append(round(time.perf_counter() - t0, 3))
-    con.close()
+    d_runs = None
+    if tier != "headline":
+        # headline mode is SPARK-ONLY: the headline metric itself has no
+        # DuckDB side, and its noop-sink protocol has no symmetric DuckDB
+        # twin — pairing it with .df() client materialization would
+        # publish an asymmetric ratio (the exact protocol violation
+        # bench.py's tier loops document against)
+        con = duckdb.connect()
+        con.execute(f"SET threads TO {os.cpu_count()}")
+        for name in sorted(os.listdir(tier_dir)):
+            if not name.endswith(".parquet"):
+                continue
+            t = name[: -len(".parquet")]
+            p = os.path.join(tier_dir, name)
+            src = f"{p}/*.parquet" if os.path.isdir(p) else p
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
+            )
+        con.execute(spec.sql).df()  # warm
+        d_runs = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            con.execute(spec.sql).df()
+            d_runs.append(round(time.perf_counter() - t0, 3))
+        con.close()
 
-    s_best, d_best = min(s_runs), min(d_runs)
+    s_best = min(s_runs)
+    d_best = min(d_runs) if d_runs else None
     try:
         with open(DETAIL) as f:
             detail = json.load(f)
@@ -129,12 +150,7 @@ def measure(spec_name: str, tier: str, repeats: int = 7) -> dict:
     # gate permanently inert while looking armed (a non-headline query
     # at a bench tier has the tier entry but no per-query row)
     tier_key = bench_key if isinstance(tier_ratio, (int, float)) else None
-    fixture_stamp = None
-    for marker in ("_REPLICATED_OK", "_OK", "_CLUSTERED_OK"):
-        mp = os.path.join(tier_dir, marker)
-        if os.path.exists(mp):
-            fixture_stamp = open(mp).read()
-            break
+    fixture_stamp = fixture_stamp_of(tier_dir)
     if fixture_stamp is None and tier == "headline":
         # the sf dir has no build marker; stamp its content version so
         # the record states what data it measured (testdata is read-only,
@@ -150,16 +166,32 @@ def measure(spec_name: str, tier: str, repeats: int = 7) -> dict:
         "measured": datetime.date.today().isoformat(),
         "times": int(re.match(r"\d+", tier).group()) if tier[0].isdigit() else tier,
         "spark_sec": s_best,
-        "duckdb_sec": d_best,
-        "ratio": round(s_best / d_best, 2),
-        "ratio_median": round(_median(s_runs) / _median(d_runs), 2),
         "spark_spread": [min(s_runs), round(_median(s_runs), 3), max(s_runs)],
-        "duckdb_spread": [min(d_runs), round(_median(d_runs), 3), max(d_runs)],
         "spark_runs": s_runs,
-        "duckdb_runs": d_runs,
         "pretouch_s": pretouch_s,
-        "protocol": "page-cache-hot both engines (fixture pre-touched), "
-        f"fresh JVM, best-of-{repeats} after {warms} in-process warm run(s)",
+        "protocol": (
+            "page-cache-hot (fixture pre-touched), fresh JVM, "
+            f"best-of-{repeats} after {warms} in-process warm run(s), "
+            "noop sink, SPARK-ONLY (the headline metric has no DuckDB "
+            "side and the noop sink no symmetric DuckDB twin)"
+            if tier == "headline"
+            else "page-cache-hot both engines (fixture pre-touched), "
+            f"fresh JVM, best-of-{repeats} after {warms} in-process "
+            "warm run(s)"
+        ),
+        **(
+            {
+                "duckdb_sec": d_best,
+                "ratio": round(s_best / d_best, 2),
+                "ratio_median": round(_median(s_runs) / _median(d_runs), 2),
+                "duckdb_spread": [
+                    d_best, round(_median(d_runs), 3), max(d_runs)
+                ],
+                "duckdb_runs": d_runs,
+            }
+            if d_runs
+            else {}
+        ),
     }
 
 
