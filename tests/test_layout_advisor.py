@@ -499,3 +499,53 @@ def test_vector_fixture_layout_only_same_answers(spark, sf_dir, tmp_path):
         got = sorted(map(tuple, specs[name].fn(spark, out).collect()))
         want = sorted(map(tuple, specs[name].fn(spark, sf_dir).collect()))
         assert got == want, f"{name} diverges on the advised vector layout"
+
+
+def test_advised_vector_layout_join_back_no_exchange_on_bucketed_side(
+    spark, sf_dir, tmp_path
+):
+    """The vector advisor's verdict (embeddings bucketed by vec_id) exists
+    for the hits->vectors join-back at scale: registered as a bucketed
+    catalog table, the EMBEDDINGS side of that join must read in place —
+    no Exchange above its scan (the probe side still shuffles to match
+    buckets; at 100 TB that is the difference between shuffling the
+    corpus per search batch and never shuffling it).  q30 itself gets no
+    such win (computed q_id) — measured and published in SCALE.md; this
+    gate proves the advice pays where it was derived."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from coldata_spark.operators.layout import apply_layout
+
+    spec = CL.advised_vector_spec(spark, sf_dir, buckets=4)
+    out = str(tmp_path / "vec_bucketed")
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try:
+        apply_layout(
+            spark,
+            sf_dir,
+            out,
+            {"embeddings": spec["embeddings"]},
+            table_suffix="_vb",
+            register=True,
+        )
+        hits = (
+            load(spark, sf_dir, "embeddings")
+            .select(F.col("vec_id"), F.lit(0.5).alias("score"))
+        )
+        emb = spark.table("embeddings_vb")
+        joined = emb.join(hits.hint("merge"), "vec_id").select(
+            "vec_id", "score", "embedding"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # exactly ONE exchange (the probe side); the bucketed corpus scan
+        # feeds the SMJ directly
+        n_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+        assert n_exchanges == 1, f"expected 1 exchange (probe side):\n{plan}"
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS embeddings_vb")
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "false"
+        )
