@@ -83,3 +83,31 @@ def test_tier_is_advisor_built(clustered_dir):
         assert spec[name]["bucket_col"] == key
         assert spec[name]["sort_cols"] == sort_keys
         assert spec[name]["buckets"] == 4
+
+
+def test_deep_tier_builders_skip_source_when_cached(spark, tmp_path, monkeypatch):
+    """Round-9 review: a valid cached deep tier must NOT trigger a
+    multi-GB 256x source replication — the source dependency is resolved
+    inside the builder, only when the derived tier's own marker is
+    missing/stale."""
+    import tools.replicate as R
+    from tools.clustered import build_embeddings_tier, build_events_tier
+
+    out_e = tmp_path / "emb_tier"
+    out_v = tmp_path / "ev_tier"
+    out_e.mkdir(), out_v.mkdir()
+    (out_e / "_OK").write_text("v1|4")
+    (out_v / "_OK").write_text("v2")
+
+    def boom(*a, **k):
+        raise AssertionError("source replicated despite a valid tier cache")
+
+    monkeypatch.setattr(R, "replicate_fixture", boom)
+    # source tier dir doesn't even exist — the cached marker must win
+    missing_src = str(tmp_path / "no_such_256x")
+    assert build_embeddings_tier(
+        spark, missing_src, str(out_e), replicas=4, sf_dir=str(tmp_path)
+    ) == str(out_e)
+    assert build_events_tier(
+        spark, missing_src, str(out_v), replicas=4, sf_dir=str(tmp_path)
+    ) == str(out_v)
