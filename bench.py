@@ -179,6 +179,19 @@ def main() -> None:
             spark, sf_dir, specs, times=4096
         )
         _write_detail(result)
+    if os.environ.get("SPARK_GRAFT_BENCH_Q30S", "1") != "0" and os.path.isdir(
+        _tier_dir(sf_dir, 256)
+    ):
+        # q30 under the serving entry: the per-round self-maintaining
+        # record of "the 256x straddle is the plan-construction floor,
+        # removed by registry.serve" (round-9; creates its own fresh
+        # session; skipped when the 256x tier was env-disabled and absent)
+        spark.stop()
+        from tools.probe_q30_serve import measure_serve
+
+        result["q30_256x_serve"] = measure_serve("256x", repeats=5)
+        spark = get_spark(app_name="coldata_spark_bench_resume")
+        _write_detail(result)
     if os.environ.get("SPARK_GRAFT_BENCH_1024V", "1") != "0":
         spark.stop()
         spark = get_spark(app_name="coldata_spark_bench_1024v")
@@ -290,6 +303,7 @@ def compact_record(result: dict) -> dict:
         "q83_amortization_1024x",
         "q83_amortization_4096x",
         "q30_amortization_1024x",
+        "q30_256x_serve",
     ):
         if key in result:
             # amortization tiers keep only the headline numbers in the
@@ -297,7 +311,7 @@ def compact_record(result: dict) -> dict:
             # the line must stay under the driver's 2 KB stdout tail
             fields = (
                 ("times", "spark_sec", "duckdb_sec", "ratio")
-                if "amortization" in key
+                if "amortization" in key or key.endswith("_serve")
                 else (
                     "times",
                     "spark_sec",

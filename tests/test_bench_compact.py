@@ -44,6 +44,7 @@ def test_compact_line_under_1500_bytes():
         "q83_amortization_1024x": _fat_tier(1024),
         "q83_amortization_4096x": _fat_tier(4096),
         "q30_amortization_1024x": _fat_tier(1024),
+        "q30_256x_serve": _fat_tier(256),
         "concurrent_batch": {
             "prepared_sec": 1.234567,
             "duckdb_sec": 6.543210,

@@ -14,8 +14,13 @@ re-render case, recorded separately as ``cached_shuffle_*``, not
 per-submission execution.  Three modes in one fresh JVM, same pinned
 protocol as tools/spread.py (pretouch, tune, warm, best-of-N; DuckDB
 re-parses its SQL per run, but its parse+plan is ~ms, so the
-comparison stays symmetric for the serve mode).  Merged into
-BENCH_DETAIL.json as ``q30_256x_serve_spread``.
+comparison stays symmetric for the serve mode).
+
+``measure_serve`` is called by bench.py's main loop every round (env
+``SPARK_GRAFT_BENCH_Q30S``) so the serving record self-maintains as a
+tier-style entry (``q30_256x_serve``); running this file standalone
+additionally merges the record into BENCH_DETAIL.json under
+``q30_256x_serve_spread`` for ad-hoc re-measurement.
 
 Usage: python tools/probe_q30_serve.py [tier] [repeats]
 """
@@ -29,110 +34,119 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import duckdb
-
-from bench import _median, _pretouch, fresh_exec
-from coldata_spark import registry
-from coldata_spark.session import dir_bytes, get_spark, tune_for_input
-
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DETAIL = os.path.join(REPO, "BENCH_DETAIL.json")
-
-tier = sys.argv[1] if len(sys.argv) > 1 else "256x"
-repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 7
-tier_dir = os.path.join(REPO, ".bench_cache", tier)
 NAME = "q30_knn_cosine_topk"
 
-spec = registry.specs()[NAME]
-pretouch_s = _pretouch(tier_dir)
-spark = get_spark(app_name="probe_q30_serve")
-tune_for_input(spark, dir_bytes(tier_dir))
 
-spec.fn(spark, "/root/testdata/sf0.001").collect()  # codegen warm
-spec.fn(spark, tier_dir).collect()  # tier warm
-spark._jvm.System.gc()
+def measure_serve(tier: str = "256x", repeats: int = 7) -> dict:
+    import duckdb
 
-rebuild_runs = []
-for _ in range(repeats):
-    t0 = time.perf_counter()
-    spec.fn(spark, tier_dir).collect()
-    rebuild_runs.append(round(time.perf_counter() - t0, 3))
+    from bench import _median, _pretouch, fresh_exec
+    from coldata_spark import registry
+    from coldata_spark.session import dir_bytes, get_spark, tune_for_input
+    from tools.spread import fixture_stamp_of
 
-registry.serve(spark, tier_dir, NAME).collect()  # build + first-exec warm
-spark._jvm.System.gc()
-serve_runs = []
-for _ in range(repeats):
-    t0 = time.perf_counter()
-    fresh_exec(registry.serve(spark, tier_dir, NAME)).collect()
-    serve_runs.append(round(time.perf_counter() - t0, 3))
-# disclosed separately: re-collecting the same Dataset (what a client
-# re-rendering the IDENTICAL query gets) — merge-stage-only time, the
-# scan+score map stage is skipped via MapOutputTracker reuse
-cached_runs = []
-for _ in range(repeats):
-    t0 = time.perf_counter()
-    registry.serve(spark, tier_dir, NAME).collect()
-    cached_runs.append(round(time.perf_counter() - t0, 3))
-spark.stop()
+    tier_dir = os.path.join(REPO, ".bench_cache", tier)
+    spec = registry.specs()[NAME]
+    pretouch_s = _pretouch(tier_dir)
+    spark = get_spark(app_name="probe_q30_serve")
+    tune_for_input(spark, dir_bytes(tier_dir))
 
-con = duckdb.connect()
-con.execute(f"SET threads TO {os.cpu_count()}")
-p = os.path.join(tier_dir, "embeddings.parquet")
-src = f"{p}/*.parquet" if os.path.isdir(p) else p
-con.execute(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{src}')")
-con.execute(spec.sql).df()  # warm
-d_runs = []
-for _ in range(repeats):
-    t0 = time.perf_counter()
-    con.execute(spec.sql).df()
-    d_runs.append(round(time.perf_counter() - t0, 3))
-con.close()
+    spec.fn(spark, "/root/testdata/sf0.001").collect()  # codegen warm
+    spec.fn(spark, tier_dir).collect()  # tier warm
+    spark._jvm.System.gc()
 
-from tools.spread import fixture_stamp_of
+    rebuild_runs = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        spec.fn(spark, tier_dir).collect()
+        rebuild_runs.append(round(time.perf_counter() - t0, 3))
 
-fixture_stamp = fixture_stamp_of(tier_dir)
+    registry.serve(spark, tier_dir, NAME).collect()  # build + first-exec warm
+    spark._jvm.System.gc()
+    serve_runs = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        fresh_exec(registry.serve(spark, tier_dir, NAME)).collect()
+        serve_runs.append(round(time.perf_counter() - t0, 3))
+    # disclosed separately: re-collecting the same Dataset (what a client
+    # re-rendering the IDENTICAL query gets) — merge-stage-only time, the
+    # scan+score map stage is skipped via MapOutputTracker reuse
+    cached_runs = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        registry.serve(spark, tier_dir, NAME).collect()
+        cached_runs.append(round(time.perf_counter() - t0, 3))
+    spark.stop()
 
-d_best = min(d_runs)
-rec = {
-    "query": NAME,
-    "tier_key": None,  # serve-mode: no bench tier entry measures this path
-    "tier_ratio_at_measurement": None,
-    "fixture_stamp": fixture_stamp,
-    "measured": datetime.date.today().isoformat(),
-    "times": int(tier.rstrip("x")) if tier.rstrip("x").isdigit() else tier,
-    "spark_sec": min(serve_runs),
-    "duckdb_sec": d_best,
-    "ratio": round(min(serve_runs) / d_best, 2),
-    "ratio_median": round(_median(serve_runs) / _median(d_runs), 2),
-    "spark_spread": [min(serve_runs), round(_median(serve_runs), 3), max(serve_runs)],
-    "duckdb_spread": [d_best, round(_median(d_runs), 3), max(d_runs)],
-    "spark_runs": serve_runs,
-    "duckdb_runs": d_runs,
-    "rebuild_runs": rebuild_runs,
-    "rebuild_sec": min(rebuild_runs),
-    "rebuild_ratio": round(min(rebuild_runs) / d_best, 2),
-    "plan_floor_sec": round(
-        max(0.0, _median(rebuild_runs) - _median(serve_runs)), 3
-    ),
-    "cached_shuffle_runs": cached_runs,
-    "cached_shuffle_sec": min(cached_runs),
-    "pretouch_s": pretouch_s,
-    "protocol": "page-cache-hot both engines (fixture pre-touched), fresh "
-    f"JVM, best-of-{repeats}; serve mode executes the registry.serve-cached "
-    "plan through a fresh QueryExecution per run (full re-execution, "
-    "prepared-statement semantics), rebuild mode reconstructs the "
-    "DataFrame per run, cached_shuffle re-collects the same Dataset "
-    "(skipped map stages — identical-query re-render only); DuckDB "
-    "re-parses per run (~ms)",
-}
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count()}")
+    p = os.path.join(tier_dir, "embeddings.parquet")
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{src}')"
+    )
+    con.execute(spec.sql).df()  # warm
+    d_runs = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        con.execute(spec.sql).df()
+        d_runs.append(round(time.perf_counter() - t0, 3))
+    con.close()
 
-try:
-    with open(DETAIL) as f:
-        detail = json.load(f)
-except (FileNotFoundError, json.JSONDecodeError):
-    detail = {}
-detail[f"q30_{tier}_serve_spread"] = rec
-with open(DETAIL, "w") as f:
-    json.dump(detail, f, indent=2)
-print(f"q30_{tier}_serve_spread")
-print(json.dumps(rec))
+    d_best = min(d_runs)
+    return {
+        "query": NAME,
+        "tier_key": None,  # serve path: no rebuild-mode tier entry matches
+        "tier_ratio_at_measurement": None,
+        "fixture_stamp": fixture_stamp_of(tier_dir),
+        "measured": datetime.date.today().isoformat(),
+        "times": int(tier.rstrip("x")) if tier.rstrip("x").isdigit() else tier,
+        "spark_sec": min(serve_runs),
+        "duckdb_sec": d_best,
+        "ratio": round(min(serve_runs) / d_best, 2),
+        "ratio_median": round(_median(serve_runs) / _median(d_runs), 2),
+        "spark_spread": [
+            min(serve_runs), round(_median(serve_runs), 3), max(serve_runs)
+        ],
+        "duckdb_spread": [d_best, round(_median(d_runs), 3), max(d_runs)],
+        "spark_runs": serve_runs,
+        "duckdb_runs": d_runs,
+        "rebuild_runs": rebuild_runs,
+        "rebuild_sec": min(rebuild_runs),
+        "rebuild_ratio": round(min(rebuild_runs) / d_best, 2),
+        "plan_floor_sec": round(
+            max(0.0, _median(rebuild_runs) - _median(serve_runs)), 3
+        ),
+        "cached_shuffle_runs": cached_runs,
+        "cached_shuffle_sec": min(cached_runs),
+        "pretouch_s": pretouch_s,
+        "protocol": "page-cache-hot both engines (fixture pre-touched), "
+        f"fresh JVM, best-of-{repeats}; serve mode executes the "
+        "registry.serve-cached plan through a fresh QueryExecution per run "
+        "(full re-execution, prepared-statement semantics), rebuild mode "
+        "reconstructs the DataFrame per run, cached_shuffle re-collects "
+        "the same Dataset (skipped map stages — identical-query re-render "
+        "only); DuckDB re-parses per run (~ms)",
+    }
+
+
+def main() -> None:
+    tier = sys.argv[1] if len(sys.argv) > 1 else "256x"
+    repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 7
+    rec = measure_serve(tier, repeats)
+    try:
+        with open(DETAIL) as f:
+            detail = json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        detail = {}
+    detail[f"q30_{tier}_serve_spread"] = rec
+    with open(DETAIL, "w") as f:
+        json.dump(detail, f, indent=2)
+    print(f"q30_{tier}_serve_spread")
+    print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()
