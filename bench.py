@@ -242,6 +242,26 @@ def _write_detail(result: dict) -> None:
     except (FileNotFoundError, json.JSONDecodeError):
         existing = {}
     merged = dict(result)
+    # Section entries (tiers, amortization, serve, concurrent) from a
+    # previous run are carried when THIS run skipped them (env-gated
+    # partial runs exist as a debugging tool and must not silently erase
+    # the latest full record) — marked "carried": true so a reader can
+    # tell them from this run's fresh sections.  A full run measures
+    # every section, so it overwrites everything and the mark vanishes.
+    _SECTIONS = (
+        "replicated_16x",
+        "replicated_64x",
+        "replicated_256x",
+        "replicated_256x_clustered",
+        "q83_amortization_1024x",
+        "q83_amortization_4096x",
+        "q30_amortization_1024x",
+        "q30_256x_serve",
+        "concurrent_batch",
+    )
+    for k in _SECTIONS:
+        if k not in merged and isinstance(existing.get(k), dict):
+            merged[k] = {**existing[k], "carried": True}
     for k, v in existing.items():
         if k in merged or not k.endswith("_spread"):
             continue

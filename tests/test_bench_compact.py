@@ -195,3 +195,37 @@ def test_fresh_exec_same_plan_fresh_execution(spark):
         w._jdf.queryExecution().toRdd().id()
         != df._jdf.queryExecution().toRdd().id()
     ), "fresh_exec must yield a new RDD lineage (else stages are skipped)"
+
+
+def test_write_detail_carries_skipped_sections(tmp_path, monkeypatch):
+    """An env-gated partial bench run must not silently erase the latest
+    full record's section entries (round-9: a Q30S-only validation run
+    dropped every tier entry from BENCH_DETAIL).  Skipped sections are
+    carried with an explicit mark; re-measured sections shed it."""
+    import bench
+
+    detail = tmp_path / "BENCH_DETAIL.json"
+    # point _write_detail at a temp file by faking the module dir
+    real_dirname = bench.os.path.dirname
+
+    def fake_dirname(p):
+        if p == bench.os.path.abspath(bench.__file__):
+            return str(tmp_path)
+        return real_dirname(p)
+
+    monkeypatch.setattr(bench.os.path, "dirname", fake_dirname)
+    full = {
+        "metric": "headline_queries_total",
+        "value": 1.0,
+        "replicated_16x": {"ratio": 1.3, "spark_sec": 2.0},
+        "q30_256x_serve": {"ratio": 1.5},
+    }
+    bench._write_detail(full)
+    partial = {"metric": "headline_queries_total", "value": 1.1,
+               "q30_256x_serve": {"ratio": 1.4}}
+    bench._write_detail(partial)
+    got = json.loads(detail.read_text())
+    assert got["value"] == 1.1
+    assert got["replicated_16x"]["ratio"] == 1.3
+    assert got["replicated_16x"]["carried"] is True
+    assert got["q30_256x_serve"] == {"ratio": 1.4}  # fresh: no mark
