@@ -83,7 +83,14 @@ def data_version(sf_dir: str) -> int:
     mtime within two levels.  A byte-level in-place edit three levels
     deep is not seen; the versioned table's manifests
     (operators/table.py) are the honest key at that granularity, and its
-    snapshots publish atomically anyway."""
+    snapshots publish atomically anyway.
+
+    Non-local paths (s3a://, hdfs://...) make os.stat raise, yielding
+    the constant -1 stamp: the caches then behave exactly like the
+    pre-stamp "inputs are read-only" contract — reads still work through
+    Hadoop, but mutation is NOT detected there.  A serving deployment
+    over object storage should key on the versioned table's snapshot ids
+    instead."""
     try:
         newest = os.stat(sf_dir).st_mtime_ns
         with os.scandir(sf_dir) as it:
