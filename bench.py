@@ -24,6 +24,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from coldata_spark import registry
 from coldata_spark.session import dir_bytes, get_spark, tune_for_input
 
+# module-level seam: tests point this at a temp file instead of
+# monkeypatching process-global os.path functions
+DETAIL_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+)
+
 # Headline set: one per engine layer — agg scan, multi-join, window,
 # chunking flatMap, minhash dedup, kNN similarity join, sessionization,
 # selective scan, n-gram jaccard join, as-of join, outer-join distribution.
@@ -189,8 +195,19 @@ def main() -> None:
         spark.stop()
         from tools.probe_q30_serve import measure_serve
 
-        result["q30_256x_serve"] = measure_serve("256x", repeats=5)
-        spark = get_spark(app_name="coldata_spark_bench_resume")
+        result["q30_256x_serve"] = measure_serve(
+            "256x",
+            repeats=5,
+            # the SAME env-overridable path the gate above checked — gate
+            # and measurement must not disagree
+            tier_dir=_tier_dir(sf_dir, 256),
+            # honest context: spark.stop() does not kill the py4j JVM
+            session_note="bench-process JVM after tier sections "
+            "(fresh SparkSession)",
+        )
+        # no resume session here: measure_serve stops its own, and every
+        # later section begins with an (idempotent) spark.stop() before
+        # creating the session it needs
         _write_detail(result)
     if os.environ.get("SPARK_GRAFT_BENCH_1024V", "1") != "0":
         spark.stop()
@@ -234,8 +251,7 @@ def _write_detail(result: dict) -> None:
     time (``tier_ratio_at_measurement``), and a carried spread whose tier
     entry has since moved MATERIALLY (>30% relative) is dropped rather
     than published next to numbers it no longer explains."""
-    here = os.path.dirname(os.path.abspath(__file__))
-    path = os.path.join(here, "BENCH_DETAIL.json")
+    path = DETAIL_PATH
     try:
         with open(path) as f:
             existing = json.load(f)

@@ -205,15 +205,7 @@ def test_write_detail_carries_skipped_sections(tmp_path, monkeypatch):
     import bench
 
     detail = tmp_path / "BENCH_DETAIL.json"
-    # point _write_detail at a temp file by faking the module dir
-    real_dirname = bench.os.path.dirname
-
-    def fake_dirname(p):
-        if p == bench.os.path.abspath(bench.__file__):
-            return str(tmp_path)
-        return real_dirname(p)
-
-    monkeypatch.setattr(bench.os.path, "dirname", fake_dirname)
+    monkeypatch.setattr(bench, "DETAIL_PATH", str(detail))
     full = {
         "metric": "headline_queries_total",
         "value": 1.0,

@@ -22,7 +22,7 @@ tier-style entry (``q30_256x_serve``); running this file standalone
 additionally merges the record into BENCH_DETAIL.json under
 ``q30_256x_serve_spread`` for ad-hoc re-measurement.
 
-Usage: python tools/probe_q30_serve.py [tier] [repeats]
+Usage: python tools/probe_q30_serve.py [tier] [repeats] [query_name]
 """
 from __future__ import annotations
 
@@ -39,7 +39,19 @@ DETAIL = os.path.join(REPO, "BENCH_DETAIL.json")
 NAME = "q30_knn_cosine_topk"
 
 
-def measure_serve(tier: str = "256x", repeats: int = 7) -> dict:
+def measure_serve(
+    tier: str = "256x",
+    repeats: int = 7,
+    name: str = NAME,
+    tier_dir: str | None = None,
+    session_note: str = "fresh probe process (one new JVM)",
+) -> dict:
+    """``tier_dir`` overrides the default REPO/.bench_cache/<tier> path so
+    bench.py passes the SAME _tier_dir(sf_dir, 256) its gate checks (the
+    env-overridable form) — gate and measurement must not disagree.
+    ``session_note`` states the JVM context honestly: spark.stop() does
+    not kill the py4j gateway JVM, so an in-bench call is a fresh
+    SparkSession in a long-lived JVM, not a fresh JVM."""
     import duckdb
 
     from bench import _median, _pretouch, fresh_exec
@@ -47,13 +59,16 @@ def measure_serve(tier: str = "256x", repeats: int = 7) -> dict:
     from coldata_spark.session import dir_bytes, get_spark, tune_for_input
     from tools.spread import fixture_stamp_of
 
-    tier_dir = os.path.join(REPO, ".bench_cache", tier)
-    spec = registry.specs()[NAME]
+    if tier_dir is None:
+        tier_dir = os.path.join(REPO, ".bench_cache", tier)
+    spec = registry.specs()[name]
     pretouch_s = _pretouch(tier_dir)
     spark = get_spark(app_name="probe_q30_serve")
     tune_for_input(spark, dir_bytes(tier_dir))
 
-    spec.fn(spark, "/root/testdata/sf0.001").collect()  # codegen warm
+    warmup_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warmup_dir):  # same guard as bench.main's warmup
+        spec.fn(spark, warmup_dir).collect()  # codegen warm
     spec.fn(spark, tier_dir).collect()  # tier warm
     spark._jvm.System.gc()
 
@@ -63,12 +78,12 @@ def measure_serve(tier: str = "256x", repeats: int = 7) -> dict:
         spec.fn(spark, tier_dir).collect()
         rebuild_runs.append(round(time.perf_counter() - t0, 3))
 
-    registry.serve(spark, tier_dir, NAME).collect()  # build + first-exec warm
+    registry.serve(spark, tier_dir, name).collect()  # build + first-exec warm
     spark._jvm.System.gc()
     serve_runs = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        fresh_exec(registry.serve(spark, tier_dir, NAME)).collect()
+        fresh_exec(registry.serve(spark, tier_dir, name)).collect()
         serve_runs.append(round(time.perf_counter() - t0, 3))
     # disclosed separately: re-collecting the same Dataset (what a client
     # re-rendering the IDENTICAL query gets) — merge-stage-only time, the
@@ -76,17 +91,19 @@ def measure_serve(tier: str = "256x", repeats: int = 7) -> dict:
     cached_runs = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        registry.serve(spark, tier_dir, NAME).collect()
+        registry.serve(spark, tier_dir, name).collect()
         cached_runs.append(round(time.perf_counter() - t0, 3))
     spark.stop()
 
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count()}")
-    p = os.path.join(tier_dir, "embeddings.parquet")
-    src = f"{p}/*.parquet" if os.path.isdir(p) else p
-    con.execute(
-        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{src}')"
-    )
+    for entry in sorted(os.listdir(tier_dir)):
+        if not entry.endswith(".parquet"):
+            continue
+        t = entry[: -len(".parquet")]
+        p = os.path.join(tier_dir, entry)
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     con.execute(spec.sql).df()  # warm
     d_runs = []
     for _ in range(repeats):
@@ -97,7 +114,7 @@ def measure_serve(tier: str = "256x", repeats: int = 7) -> dict:
 
     d_best = min(d_runs)
     return {
-        "query": NAME,
+        "query": name,
         "tier_key": None,  # serve path: no rebuild-mode tier entry matches
         "tier_ratio_at_measurement": None,
         "fixture_stamp": fixture_stamp_of(tier_dir),
@@ -123,7 +140,7 @@ def measure_serve(tier: str = "256x", repeats: int = 7) -> dict:
         "cached_shuffle_sec": min(cached_runs),
         "pretouch_s": pretouch_s,
         "protocol": "page-cache-hot both engines (fixture pre-touched), "
-        f"fresh JVM, best-of-{repeats}; serve mode executes the "
+        f"{session_note}, best-of-{repeats}; serve mode executes the "
         "registry.serve-cached plan through a fresh QueryExecution per run "
         "(full re-execution, prepared-statement semantics), rebuild mode "
         "reconstructs the DataFrame per run, cached_shuffle re-collects "
@@ -135,16 +152,17 @@ def measure_serve(tier: str = "256x", repeats: int = 7) -> dict:
 def main() -> None:
     tier = sys.argv[1] if len(sys.argv) > 1 else "256x"
     repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 7
-    rec = measure_serve(tier, repeats)
+    name = sys.argv[3] if len(sys.argv) > 3 else NAME
+    rec = measure_serve(tier, repeats, name=name)
     try:
         with open(DETAIL) as f:
             detail = json.load(f)
     except (FileNotFoundError, json.JSONDecodeError):
         detail = {}
-    detail[f"q30_{tier}_serve_spread"] = rec
+    detail[f"{name.split('_')[0]}_{tier}_serve_spread"] = rec
     with open(DETAIL, "w") as f:
         json.dump(detail, f, indent=2)
-    print(f"q30_{tier}_serve_spread")
+    print(f"{name.split('_')[0]}_{tier}_serve_spread")
     print(json.dumps(rec))
 
 

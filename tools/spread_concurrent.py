@@ -2,8 +2,11 @@
 """Best-of-N band for the CONCURRENT batch modes (round 9): the honest
 fresh-exec numbers sit near engine parity (~1.0x), which is a boundary
 claim — exactly the class the repo's stamped-spread protocol exists for.
-Runs bench_concurrent N times, each in a fresh FAIR-scheduled JVM (the
-same setup bench.py's main loop uses), and records the per-mode band in
+Runs bench_concurrent N times, each in a fresh FAIR-scheduled
+SparkSession.  One launcher JVM hosts all repeats (spark.stop() does not
+kill the py4j gateway), so codegen/JIT state persists across them — the
+repeats share JVM warmth and are correlated, not cross-JVM independent;
+the protocol string says so.  Records the per-mode band in
 BENCH_DETAIL.json as ``concurrent_spread``.
 
 Run standalone (nothing else benching):
@@ -47,7 +50,16 @@ def measure(repeats: int = 3) -> dict:
         vals = [r[key] for r in runs]
         return [min(vals), round(_median(vals), 3), max(vals)]
 
+    from coldata_spark.tables import data_version
+
     return {
+        # stamped like every *_spread record (test_spread_staleness_gate):
+        # the "query" is the whole concurrent batch, and the fixture stamp
+        # is the sf dir's content version
+        "query": "concurrent_batch",
+        "tier_key": None,
+        "tier_ratio_at_measurement": None,
+        "fixture_stamp": f"headline|{sf_dir}|dv={data_version(sf_dir)}",
         "measured": datetime.date.today().isoformat(),
         "repeats": repeats,
         "prepared_sec_band": band("prepared_sec"),
@@ -57,9 +69,11 @@ def measure(repeats: int = 3) -> dict:
         "prepared_ratio_band": band("prepared_ratio"),
         "serve_ratio_band": band("serve_ratio"),
         "uncached_client_ratio_band": band("uncached_client_ratio"),
-        "protocol": f"{repeats} fresh FAIR-scheduled JVMs, each running the "
-        "full bench_concurrent protocol (fresh_exec per submission, best "
-        "worker count per mode, DuckDB re-measured per JVM)",
+        "protocol": f"{repeats} fresh FAIR-scheduled SparkSessions in one "
+        "launcher JVM (repeats share JVM/JIT warmth — correlated, not "
+        "cross-JVM independent), each running the full bench_concurrent "
+        "protocol (fresh_exec per submission, best worker count per mode, "
+        "DuckDB re-measured per repeat)",
     }
 
 
