@@ -185,7 +185,7 @@ def main() -> None:
             spark, sf_dir, specs, times=4096
         )
         _write_detail(result)
-    if os.environ.get("SPARK_GRAFT_BENCH_Q30S", "1") != "0" and os.path.isdir(
+    if os.environ.get("SPARK_GRAFT_BENCH_Q30S", "1") != "0" and _tier_ok(
         _tier_dir(sf_dir, 256)
     ):
         # q30 under the serving entry: the per-round self-maintaining
@@ -858,6 +858,16 @@ def _pretouch(path: str) -> float:
             except OSError:
                 pass
     return round(time.perf_counter() - t0, 3)
+
+
+def _tier_ok(tier_dir: str) -> bool:
+    """A tier dir is usable only when a build marker validates it
+    (tools.spread.fixture_stamp_of) — an interrupted replicate leaves a
+    partial dir that os.path.isdir alone would wrongly accept, while
+    every rebuild path goes through the builders' marker discipline."""
+    from tools.spread import fixture_stamp_of
+
+    return os.path.isdir(tier_dir) and fixture_stamp_of(tier_dir) is not None
 
 
 def _tier_dir(sf_dir: str, times: int) -> str:

@@ -432,22 +432,18 @@ def pq_train(
     # ~6x on knn_join's 8-row query batch, SCALE.md "q30"; this sample is
     # thousands of rows), while toPandas streams one Arrow batch
     pdf = vectors.select(vec_col).limit(sample_limit).toPandas()
-    try:
-        sample = (
-            np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            if len(pdf)
-            else np.zeros((0,))
-        )
-    except ValueError as e:
-        # np.stack raises a bare shape error on ragged input; the old
-        # np.array path fell through to the guarded ndim check below.
-        # Only shape errors are relabeled — np.asarray conversion errors
-        # (non-numeric payloads) keep their own diagnosis
-        if "same shape" not in str(e):
-            raise
+    # Pre-check raggedness directly rather than parsing np.stack's
+    # exception text (numpy wording is not a stable API); np.asarray
+    # conversion errors (non-numeric payloads) keep their own diagnosis
+    if len(pdf) and len({len(v) for v in pdf[vec_col]}) > 1:
         raise ValueError(
             f"pq_train: ragged vectors in {vec_col!r} (mixed lengths)"
-        ) from e
+        )
+    sample = (
+        np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        if len(pdf)
+        else np.zeros((0,))
+    )
     if sample.ndim != 2 or sample.shape[0] == 0:
         raise ValueError("pq_train: no vectors to train on")
     n, d = sample.shape

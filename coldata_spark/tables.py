@@ -73,39 +73,52 @@ _CATALOG: "OrderedDict[tuple, DataFrame]" = OrderedDict()
 _CATALOG_MAX = 1024
 
 
-def data_version(sf_dir: str) -> int:
-    """Cheap content stamp for a fixture dir: max st_mtime_ns over the
-    dir, its entries, and their immediate children (one or two scandirs,
-    ~100 µs even on a replicated tier — getdents returns cached stats).
-    Covers every write pattern Spark and this engine's sinks use —
-    part-file add/remove/replace, marker/sidecar/_SUCCESS rewrites,
-    atomic publish via rename — because each bumps a file or directory
-    mtime within two levels.  A byte-level in-place edit three levels
-    deep is not seen; the versioned table's manifests
+def data_version(sf_dir: str) -> tuple:
+    """Cheap content stamp for a fixture dir: (max st_mtime_ns, entry
+    count, total st_size) over the dir, its entries, and their immediate
+    children (one or two scandirs, ~100 µs even on a replicated tier —
+    getdents returns cached stats).  mtime alone covers part-file
+    add/remove/replace, marker/sidecar/_SUCCESS rewrites, and atomic
+    publish via rename — but a same-tick overwrite (a mutation landing
+    within filesystem timestamp granularity of the previous write, a
+    realistic few-ms window under fast automation) leaves mtime
+    unchanged, so the stamp also folds in file count and total byte
+    size from the same scandir pass.  A same-tick, same-size,
+    same-count in-place byte edit is still invisible — as is any edit
+    three levels deep; the versioned table's manifests
     (operators/table.py) are the honest key at that granularity, and its
     snapshots publish atomically anyway.
 
     Non-local paths (s3a://, hdfs://...) make os.stat raise, yielding
-    the constant -1 stamp: the caches then behave exactly like the
-    pre-stamp "inputs are read-only" contract — reads still work through
-    Hadoop, but mutation is NOT detected there.  A serving deployment
-    over object storage should key on the versioned table's snapshot ids
-    instead."""
+    the constant (-1, -1, -1) stamp: the caches then behave exactly like
+    the pre-stamp "inputs are read-only" contract — reads still work
+    through Hadoop, but mutation is NOT detected there.  A serving
+    deployment over object storage should key on the versioned table's
+    snapshot ids instead."""
     try:
         newest = os.stat(sf_dir).st_mtime_ns
+        count = 0
+        size = 0
         with os.scandir(sf_dir) as it:
             for e in it:
                 try:
-                    newest = max(newest, e.stat().st_mtime_ns)
+                    st = e.stat()
+                    newest = max(newest, st.st_mtime_ns)
+                    count += 1
+                    size += st.st_size
                     if e.is_dir():
                         with os.scandir(e.path) as it2:
                             for c in it2:
-                                newest = max(newest, c.stat().st_mtime_ns)
+                                cst = c.stat()
+                                newest = max(newest, cst.st_mtime_ns)
+                                count += 1
+                                size += cst.st_size
                 except OSError:
                     continue  # concurrent writer removed an entry mid-scan
     except OSError:
-        return -1  # missing dir: stable stamp, the read itself will fail
-    return newest
+        # missing dir: stable stamp, the read itself will fail
+        return (-1, -1, -1)
+    return (newest, count, size)
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

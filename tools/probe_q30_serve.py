@@ -159,10 +159,13 @@ def main() -> None:
             detail = json.load(f)
     except (FileNotFoundError, json.JSONDecodeError):
         detail = {}
-    detail[f"{name.split('_')[0]}_{tier}_serve_spread"] = rec
+    # Full query name in the key (mirrors tools/spread.py): a shortened
+    # first-token key would silently overwrite an unrelated query's
+    # record on prefix collision or a non-qNN name
+    detail[f"{name}_{tier}_serve_spread"] = rec
     with open(DETAIL, "w") as f:
         json.dump(detail, f, indent=2)
-    print(f"{name.split('_')[0]}_{tier}_serve_spread")
+    print(f"{name}_{tier}_serve_spread")
     print(json.dumps(rec))
 
 
