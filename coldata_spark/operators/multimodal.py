@@ -2,11 +2,13 @@
 
 Images/audio/video are opaque ``binary`` columns plus a typed metadata
 struct.  All Spark-side plumbing — schemas, partition-friendly batch shapes,
-Arrow-batched UDF signatures — is real and tested; the actual codec work
-(JPEG decode, resampling) is STUBBED behind deterministic fakes because the
-media libraries (PIL/ffmpeg/torchaudio) are not in this container.  Each
-stub documents exactly where the real implementation drops in; swapping it
-changes no plan shape.
+Arrow-batched UDF signatures — is real and tested.  The codec layer is
+split by what this sandbox can honestly decode: WAV (stdlib ``wave``
+RIFF parse) and PPM P6 (header tokenizer + numpy) are REAL decoders
+running on actual file bytes (decode_wav/decode_ppm, exercised
+end-to-end by q171/q172); compressed formats (JPEG/MP3/MP4) stay behind
+a PIL/ffmpeg import-try seam that raises NotImplementedError only when
+the library is genuinely absent — swapping it in changes no plan shape.
 
 Scale notes: media processing is the embarrassing-parallel slow path —
 mapInPandas over binary columns with Arrow transfer, no shuffle.  The one
@@ -64,14 +66,18 @@ def synthetic_images(spark, n: int = 64, width: int = 8, height: int = 8) -> Dat
 
 def decode_image_stub(content: bytes, meta) -> np.ndarray:
     """Codec seam: RAW_RGB decodes as raw HxWxC uint8 (the deterministic
-    fixture path); any other format tries PIL behind an import-try and
-    raises NotImplementedError only when the library is genuinely absent.
-    The Spark-side plumbing (schema, Arrow batching, partitioning) is the
-    same either way — swapping in the real codec changes nothing upstream."""
+    fixture path) and PPM parses the real P6 container in-process
+    (decode_ppm — no external library); any other format tries PIL behind
+    an import-try and raises NotImplementedError only when the library is
+    genuinely absent.  The Spark-side plumbing (schema, Arrow batching,
+    partitioning) is the same either way — swapping in the real codec
+    changes nothing upstream."""
     if meta["format"] == "RAW_RGB":
         return np.frombuffer(content, dtype=np.uint8).reshape(
             meta["height"], meta["width"], meta["channels"]
         )
+    if meta["format"] == "PPM":
+        return decode_ppm(content)
     try:
         import io
 
@@ -82,6 +88,105 @@ def decode_image_stub(content: bytes, meta) -> np.ndarray:
             "(not available in this container)"
         ) from ex
     return np.asarray(Image.open(io.BytesIO(content)).convert("RGB"))
+
+
+# ---------------------------------------------------------------------------
+# Real container codecs (round-10: the seam stops being a stub for the
+# formats this sandbox CAN decode without any new dependency).  WAV goes
+# through stdlib ``wave`` — a genuine RIFF container parse — and PPM (P6)
+# through a header tokenizer + numpy frombuffer.  Compressed formats
+# (JPEG/MP3/MP4) remain behind the PIL/ffmpeg import-try above.
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """PCM16 mono samples -> a real RIFF/WAVE file (stdlib ``wave``)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(np.asarray(samples).astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
+    """Real WAV decode: parse the RIFF container (stdlib ``wave``), return
+    (int16 sample array, sample_rate).  Stereo interleaves to shape
+    (n, channels); PCM widths other than 16-bit raise NotImplementedError
+    at the same seam as compressed codecs."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(content), "rb") as w:
+        ch, width, sr = w.getnchannels(), w.getsampwidth(), w.getframerate()
+        raw = w.readframes(w.getnframes())
+    if width != 2:
+        raise NotImplementedError(f"only PCM16 WAV supported, got width={width}")
+    x = np.frombuffer(raw, dtype="<i2")
+    if ch > 1:
+        x = x.reshape(-1, ch)
+    return x, sr
+
+
+def encode_ppm(px: np.ndarray) -> bytes:
+    """HxWx3 uint8 pixels -> a real binary PPM (P6) file."""
+    h, w, c = px.shape
+    if c != 3:
+        raise ValueError(f"PPM is RGB-only, got {c} channels")
+    return f"P6\n{w} {h}\n255\n".encode() + np.ascontiguousarray(
+        px, dtype=np.uint8
+    ).tobytes()
+
+
+def decode_ppm(content: bytes) -> np.ndarray:
+    """Real PPM (P6) decode: tokenize the ASCII header (whitespace- and
+    comment-tolerant per the netpbm spec), then frombuffer the raster.
+    Returns HxWx3 uint8."""
+    if content[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6) file")
+    pos, vals = 2, []
+    n = len(content)
+    while len(vals) < 3:
+        while pos < n and content[pos : pos + 1].isspace():
+            pos += 1
+        if pos >= n:
+            raise ValueError("truncated PPM header")
+        if content[pos : pos + 1] == b"#":
+            while pos < n and content[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < n and not content[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(content[start:pos]))
+    w, h, maxval = vals
+    if maxval != 255:
+        raise NotImplementedError(f"only 8-bit PPM supported, got maxval={maxval}")
+    pos += 1  # exactly one whitespace byte separates header from raster
+    raster = content[pos : pos + w * h * 3]
+    if len(raster) < w * h * 3:
+        raise ValueError("truncated PPM raster")
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+
+
+def _image_summary(px: np.ndarray) -> tuple[list, str]:
+    """(per-channel means, aHash hex) for a decoded HxWx3 array — the
+    shared feature math of extract_image_features and the file-decode
+    path.  The aHash threshold stays in INTEGER space (s_p * npix >
+    sum(s)  <=>  gray_p > mean(gray)): no float summation-order ties, so
+    any engine reproduces the identical bit string."""
+    s = px.astype(np.int64).sum(axis=2).flatten()
+    bits = s * s.size > s.sum()
+    packed = np.packbits(bits).tobytes()
+    means = (
+        px.reshape(-1, 3).astype(np.int64).sum(axis=0)
+        / (px.shape[0] * px.shape[1])
+    ).tolist()
+    return means, packed.hex()
 
 
 FEATURE_SCHEMA = T.StructType(
@@ -106,19 +211,10 @@ def extract_image_features(images: DataFrame) -> DataFrame:
                 pdf["item_id"], pdf["content"], pdf["meta"]
             ):
                 px = decode_image_stub(content, meta)
-                # aHash with the threshold comparison kept in INTEGER space
-                # (s_p * npix > sum(s)  <=>  gray_p > mean(gray)): avoids
-                # float summation-order ties so any engine reproduces the
-                # identical bit string.
-                s = px.astype(np.int64).sum(axis=2).flatten()
-                bits = s * s.size > s.sum()
-                packed = np.packbits(bits).tobytes()
+                means, phash = _image_summary(px)
                 out["item_id"].append(item_id)
-                out["mean_rgb"].append(
-                    (px.reshape(-1, 3).astype(np.int64).sum(axis=0)
-                     / (px.shape[0] * px.shape[1])).tolist()
-                )
-                out["phash"].append(packed.hex())
+                out["mean_rgb"].append(means)
+                out["phash"].append(phash)
                 out["n_bytes"].append(len(content))
             yield pd.DataFrame(out)
 
@@ -248,3 +344,147 @@ def frame_sample(video_meta: DataFrame, every_n: int = 10) -> DataFrame:
         *passthrough,
         F.explode(idxs).alias("frame_idx"),
     )
+
+
+# ---------------------------------------------------------------------------
+# File-decode pipeline stages: encode synthetic rows into REAL container
+# bytes (the shard-export side) and decode real file bytes back into
+# features (the ingest side).  Both are Arrow mapInPandas stages — no
+# shuffle, embarrassingly parallel, bounded by arrow.maxRecordsPerBatch.
+# ---------------------------------------------------------------------------
+
+WAV_PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def encode_wav_column(audio: DataFrame) -> DataFrame:
+    """AUDIO_SCHEMA rows -> (item_id, payload) where payload is a real
+    RIFF/WAVE file of the row's PCM16 samples."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_wav(np.frombuffer(bytes(c), dtype="<i2"), int(sr))
+                for c, sr in zip(pdf["content"], pdf["sample_rate"])
+            ]
+            yield pd.DataFrame(
+                {"item_id": pdf["item_id"], "payload": payloads}
+            )
+
+    return audio.mapInPandas(run, schema=WAV_PAYLOAD_SCHEMA)
+
+
+def encode_ppm_column(images: DataFrame) -> DataFrame:
+    """IMAGE_SCHEMA rows -> (item_id, payload) where payload is a real
+    binary PPM (P6) file of the row's pixels."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for content, meta in zip(pdf["content"], pdf["meta"]):
+                px = decode_image_stub(bytes(content), meta)
+                payloads.append(encode_ppm(px))
+            yield pd.DataFrame(
+                {"item_id": pdf["item_id"], "payload": payloads}
+            )
+
+    return images.mapInPandas(run, schema=WAV_PAYLOAD_SCHEMA)
+
+
+WAV_FILE_FEATURES = T.StructType(
+    [
+        T.StructField("item_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zero_crossings", T.IntegerType()),
+        T.StructField("duration_sec", T.DoubleType()),
+    ]
+)
+
+
+def extract_audio_features_from_wav(
+    files: DataFrame, key_col: str = "key", payload_col: str = "payload"
+) -> DataFrame:
+    """Real end-to-end audio ingest: each row's payload is a WAV FILE's
+    bytes (from read_tar_shards / read_binary_files); decode the RIFF
+    container in-UDF (decode_wav) and feature-extract.  sample_rate comes
+    from the parsed header — not from a metadata column — so the oracle
+    checking it proves the container parse really ran."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "item_id": [],
+                "sample_rate": [],
+                "rms": [],
+                "zero_crossings": [],
+                "duration_sec": [],
+            }
+            for key, content in zip(pdf[key_col], pdf[payload_col]):
+                x, sr = decode_wav(bytes(content))
+                wi = x.astype(np.int64).ravel()
+                # rms from the exact integer dot product (same IEEE ops as
+                # extract_audio_features — see its comment)
+                rms = float(
+                    np.sqrt(wi.dot(wi) / (32768.0 * 32768.0 * len(wi)))
+                )
+                out["item_id"].append(int(key))
+                out["sample_rate"].append(sr)
+                out["rms"].append(rms)
+                out["zero_crossings"].append(
+                    int(np.sum(np.sign(wi[1:]) != np.sign(wi[:-1])))
+                )
+                out["duration_sec"].append(len(wi) / sr)
+            yield pd.DataFrame(out)
+
+    return files.mapInPandas(run, schema=WAV_FILE_FEATURES)
+
+
+PPM_FILE_FEATURES = T.StructType(
+    [
+        T.StructField("item_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+        T.StructField("phash", T.StringType()),
+    ]
+)
+
+
+def extract_image_features_from_ppm(
+    files: DataFrame, key_col: str = "key", payload_col: str = "payload"
+) -> DataFrame:
+    """Real end-to-end image ingest: payload is a PPM FILE's bytes; parse
+    the P6 header + raster in-UDF (decode_ppm) and feature-extract.
+    width/height come from the parsed header, proving the parse ran."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "item_id": [],
+                "width": [],
+                "height": [],
+                "mean_r": [],
+                "mean_g": [],
+                "mean_b": [],
+                "phash": [],
+            }
+            for key, content in zip(pdf[key_col], pdf[payload_col]):
+                px = decode_ppm(bytes(content))
+                means, phash = _image_summary(px)
+                out["item_id"].append(int(key))
+                out["height"].append(px.shape[0])
+                out["width"].append(px.shape[1])
+                out["mean_r"].append(means[0])
+                out["mean_g"].append(means[1])
+                out["mean_b"].append(means[2])
+                out["phash"].append(phash)
+            yield pd.DataFrame(out)
+
+    return files.mapInPandas(run, schema=PPM_FILE_FEATURES)

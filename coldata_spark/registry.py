@@ -49,7 +49,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q36_embed_documents",
     "q37_knn_ip_topk",
     "q38_embedding_dim_stats",
-    "q86_ivf_pq_search",
     "q89_filtered_knn",
     # As-of join under the driver's hash check (r9, r8 verdict ask #4):
     # the union-stream asof_join operator (operators/asof.py) is the
@@ -128,12 +127,23 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q41_events_json_props",
     "q112_gapfill_locf",
     "q42_events_sessionize",
-    "q80_events_range_join",
     "q83_hypertable_rollup",
+    # Forward as-of (error-after-purchase attribution) — the other half
+    # of the ext-asof surface after r9's backward q107 (r10 verdict ask
+    # #6).  Displaced q80_events_range_join, whose ext-asof/J5/R6 tags
+    # stay covered by q107+q139 / q30+q34+q37+q89 / q42+q83+q112 and
+    # which remains oracle-green in pytest.
+    "q139_asof_forward_next_error",
     "q63_top_terms",
     # Multimodal layer
     "q50_image_features",
     "q52_audio_features",
+    # Real file-byte decode end-to-end (r10 verdict ask #1): actual WAV
+    # files in tar shards, RIFF parse inside the Arrow UDF, header-read
+    # sample_rate under the hash check.  Displaced q86_ivf_pq_search,
+    # whose V3/V4/ext-ivf tags stay covered by q33+q35 / q30+q35 / q33
+    # and which remains oracle-green in pytest.
+    "q171_wav_file_features",
     "q111_video_frame_sample",
     # Relational layer — minimal set covering the remaining SURVEY ops
     "q01_pricing_summary",

@@ -154,3 +154,127 @@ def test_frame_sample_zero_frames_yields_no_rows(spark):
     got = frame_sample(meta, every_n=10).groupBy("item_id").count().collect()
     counts = {r.item_id: r["count"] for r in got}
     assert counts == {1: 3}  # frames 0, 10, 20; items 2 and 3 absent
+
+
+# ---------------------------------------------------------------------------
+# Round-10: real container codecs (WAV via stdlib wave, PPM P6 via header
+# parse) — the seam stops being a stub for formats this sandbox can decode.
+# ---------------------------------------------------------------------------
+
+
+def test_wav_roundtrip_exact():
+    idx = np.arange(800, dtype=np.int64)
+    samples = (((5 * 7919 + idx * 104729) % 65536) - 32768).astype("<i2")
+    b = MM.encode_wav(samples, 8000)
+    assert b[:4] == b"RIFF" and b[8:12] == b"WAVE"  # genuine container
+    x, sr = MM.decode_wav(b)
+    assert sr == 8000
+    assert np.array_equal(x, samples)
+
+
+def test_wav_decode_rejects_unsupported_width():
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)  # PCM8
+        w.setframerate(8000)
+        w.writeframes(b"\x00" * 16)
+    with pytest.raises(NotImplementedError, match="PCM16"):
+        MM.decode_wav(buf.getvalue())
+
+
+def test_wav_decode_stereo_shape():
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(44100)
+        w.writeframes(np.arange(20, dtype="<i2").tobytes())
+    x, sr = MM.decode_wav(buf.getvalue())
+    assert sr == 44100 and x.shape == (10, 2)
+
+
+def test_ppm_roundtrip_and_comment_tolerance():
+    p = np.arange(64).reshape(8, 8, 1)
+    c = np.arange(3).reshape(1, 1, 3)
+    px = ((7 * 31 + p * 7 + c * 13) % 256).astype(np.uint8)
+    assert np.array_equal(MM.decode_ppm(MM.encode_ppm(px)), px)
+    # netpbm allows comments and arbitrary whitespace in the header
+    hdr = b"P6\n# made by a foreign tool\n  8\t8\n# another\n255\n"
+    assert np.array_equal(MM.decode_ppm(hdr + px.tobytes()), px)
+
+
+def test_ppm_decode_rejects_bad_input():
+    with pytest.raises(ValueError, match="P6"):
+        MM.decode_ppm(b"P3\n1 1\n255\n0 0 0")
+    with pytest.raises(ValueError, match="truncated PPM raster"):
+        MM.decode_ppm(b"P6\n4 4\n255\n" + b"\x00" * 10)
+    with pytest.raises(NotImplementedError, match="maxval"):
+        MM.decode_ppm(b"P6\n1 1\n65535\n" + b"\x00" * 6)
+
+
+def test_decode_image_stub_dispatches_ppm():
+    px = np.full((2, 3, 3), 7, dtype=np.uint8)
+    meta = {"format": "PPM", "width": 3, "height": 2, "channels": 3}
+    assert np.array_equal(MM.decode_image_stub(MM.encode_ppm(px), meta), px)
+
+
+def test_wav_file_features_end_to_end(spark, tmp_path):
+    """Real bytes on a real filesystem: encode WAV -> tar shards ->
+    binaryFile scan -> untar -> RIFF parse in-UDF -> features match the
+    PCM-column extractor on the same samples."""
+    from coldata_spark.sources import io as IO
+
+    audio = MM.synthetic_audio(spark, n=8)
+    IO.export_tar_shards(
+        MM.encode_wav_column(audio),
+        str(tmp_path / "wav"),
+        n_shards=2,
+        key_col="item_id",
+        payload_col="payload",
+        ext="wav",
+    )
+    shards = IO.read_tar_shards(spark, str(tmp_path / "wav"), ext="wav")
+    got = {
+        r.item_id: r
+        for r in MM.extract_audio_features_from_wav(shards).collect()
+    }
+    want = {r.item_id: r for r in MM.extract_audio_features(audio).collect()}
+    assert set(got) == set(want) == set(range(8))
+    for i in range(8):
+        assert got[i].sample_rate == 8000  # parsed from the RIFF header
+        assert got[i].rms == want[i].rms  # identical IEEE computation
+        assert got[i].zero_crossings == want[i].zero_crossings
+
+
+def test_ppm_file_features_end_to_end(spark, tmp_path):
+    from coldata_spark.sources import io as IO
+
+    imgs = MM.synthetic_images(spark, n=8)
+    IO.export_tar_shards(
+        MM.encode_ppm_column(imgs),
+        str(tmp_path / "ppm"),
+        n_shards=2,
+        key_col="item_id",
+        payload_col="payload",
+        ext="ppm",
+    )
+    shards = IO.read_tar_shards(spark, str(tmp_path / "ppm"), ext="ppm")
+    got = {
+        r.item_id: r
+        for r in MM.extract_image_features_from_ppm(shards).collect()
+    }
+    want = {r.item_id: r for r in MM.extract_image_features(imgs).collect()}
+    assert set(got) == set(want) == set(range(8))
+    for i in range(8):
+        assert (got[i].width, got[i].height) == (8, 8)  # from the header
+        assert got[i].phash == want[i].phash
+        assert [got[i].mean_r, got[i].mean_g, got[i].mean_b] == list(
+            want[i].mean_rgb
+        )
