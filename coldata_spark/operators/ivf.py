@@ -710,3 +710,189 @@ def search_ivf_pq(
         .withColumn("rank", F.row_number().over(we))
         .filter(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Index maintenance under sustained ingest (round-10 verdict ask #2).
+#
+# append_to_index / streaming vector ingest grow FIXED cells; under drift
+# the hottest cells skew, and with them probe cost (a probed hot cell
+# scans ~ratio x the average) and recall-per-nprobe.  The reference's only
+# answer is drop-and-rebuild (renew, vdb.py:199-201) — O(corpus) per
+# maintenance pass.  The incremental answer here is cell-level
+# copy-on-write, the move that stays O(hot cells) at 100 TB:
+#
+#   audit      per-cell size profile (the q133 skew-profile shape applied
+#              to the index's own partitions).
+#   split      each hot cell re-trains a LOCAL k-means (build_ivf on just
+#              that cell — sample-bounded, partition-pruned scan) and its
+#              members are appended under FRESH centroid ids.  Purely
+#              additive: no live partition is touched.
+#   commit     the new centroid table (old minus hot plus sub-centroids)
+#              is the metadata pointer swap.  search_ivf probes only
+#              cells listed in the centroid table, so readers holding the
+#              OLD table never see the new cells and readers of the NEW
+#              table never probe the old hot cell — no reader ever sees a
+#              vector twice, and a crash anywhere before the centroid
+#              publish leaves the index exactly as it was (the part-built
+#              sub-cells are unreferenced bytes, not corruption).
+#   vacuum     partition dirs not referenced by the centroid table are
+#              garbage — deleted post-commit, and a re-run heals any
+#              crash residue (the Iceberg/Delta orphan-file pattern).
+# ---------------------------------------------------------------------------
+
+
+def audit_ivf_cells(
+    spark: SparkSession, index_path: str, centroids: DataFrame | None = None
+) -> DataFrame:
+    """Cell-size skew profile of a live IVF index: (centroid_id, n,
+    ratio) with ratio = n / mean-cell-size.  Scans only the partition
+    column (no data pages beyond row-group metadata).  With ``centroids``
+    given, only LIVE cells are profiled, so pre-vacuum orphan dirs from
+    an interrupted maintenance pass don't skew the audit.  The global
+    window is over nlist rows — bounded by configuration, not data."""
+    idx = spark.read.parquet(index_path).select("centroid_id")
+    if centroids is not None:
+        idx = idx.join(
+            F.broadcast(centroids.select("centroid_id")),
+            "centroid_id",
+            "left_semi",
+        )
+    counts = idx.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("n"))
+    return counts.withColumn(
+        "ratio", F.col("n") / F.expr("avg(n) OVER ()")
+    )
+
+
+def maintain_ivf(
+    spark: SparkSession,
+    index_path: str,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    metric: str = "COSINE",
+    max_cell_ratio: float = 4.0,
+    min_cell_rows: int = 64,
+    max_splits_per_pass: int = 4,
+    seed: int = 42,
+) -> tuple[DataFrame, dict]:
+    """One maintenance pass: split every cell whose size exceeds
+    ``max_cell_ratio`` x the mean (and ``min_cell_rows`` — tiny indexes
+    don't thrash) into ~size/mean sub-cells via local k-means, appending
+    members under fresh centroid ids.  Returns (new_centroids, report);
+    the CALLER commits by persisting new_centroids wherever it keeps the
+    centroid table, then reclaims the superseded partitions with
+    vacuum_ivf.  No-op (same centroids object, report['splits'] empty)
+    when nothing is hot — safe to drive from scheduler.run_scheduled at
+    the refresh cadence, exactly like layout.maintain_layout: each pass
+    does bounded work (``max_splits_per_pass`` caps it; the next pass
+    picks up the rest), and an idle pass costs one partition-column scan.
+    """
+    import numpy as np
+
+    # nlist rows — bounded by index configuration (same justified-collect
+    # class as the 128-centroid collect in _ivf_index_cached)
+    sizes = {
+        int(r["centroid_id"]): int(r["n"])
+        for r in audit_ivf_cells(spark, index_path, centroids).collect()
+    }
+    report: dict = {
+        "cells_before": len(sizes),
+        "max_ratio_before": None,
+        "splits": {},
+        "rows_resharded": 0,
+    }
+    if not sizes:
+        return centroids, report
+    mean = sum(sizes.values()) / len(sizes)
+    report["max_ratio_before"] = round(max(sizes.values()) / mean, 2)
+    hot = sorted(
+        (
+            cid
+            for cid, n in sizes.items()
+            if n > max_cell_ratio * mean and n >= min_cell_rows
+        ),
+        key=lambda c: -sizes[c],
+    )[:max_splits_per_pass]
+    if not hot:
+        return centroids, report
+
+    cent_rows = {
+        int(r["centroid_id"]): list(r["cvec"])
+        for r in centroids.select("centroid_id", "cvec").collect()
+    }
+    next_id = max(cent_rows) + 1
+    for cid in hot:
+        k = int(min(max(2, round(sizes[cid] / mean)), 16))
+        # partition-pruned scan: only this cell's directory is read
+        cell = (
+            spark.read.parquet(index_path)
+            .filter(F.col("centroid_id") == cid)
+            .drop("centroid_id")
+        )
+        sub_assigned, sub_cents = build_ivf(
+            cell, nlist=k, vec_col=vec_col, seed=seed
+        )
+        new_ids = list(range(next_id, next_id + k))
+        next_id += k
+        remap = F.array(*[F.lit(i) for i in new_ids])
+        (
+            sub_assigned.withColumn(
+                "centroid_id",
+                F.element_at(remap, F.col("centroid_id") + 1),
+            )
+            .repartition("centroid_id")
+            .write.mode("append")  # purely additive: fresh partition dirs
+            .partitionBy("centroid_id")
+            .parquet(index_path)
+        )
+        for sid, r in zip(
+            new_ids, sub_cents.orderBy("centroid_id").collect()
+        ):
+            cent_rows[sid] = list(r["cvec"])
+        del cent_rows[cid]
+        report["splits"][cid] = new_ids
+        report["rows_resharded"] += sizes[cid]
+
+    new_centroids = spark.createDataFrame(
+        [(cid, [float(x) for x in v]) for cid, v in sorted(cent_rows.items())],
+        ["centroid_id", "cvec"],
+    )
+    # post-split profile for the report (audit against the NEW table so
+    # the superseded hot cells don't count)
+    after = {
+        int(r["centroid_id"]): int(r["n"])
+        for r in audit_ivf_cells(spark, index_path, new_centroids).collect()
+    }
+    if after:
+        amean = sum(after.values()) / len(after)
+        report["cells_after"] = len(after)
+        report["max_ratio_after"] = round(max(after.values()) / amean, 2)
+    return new_centroids, report
+
+
+def vacuum_ivf(
+    spark: SparkSession, index_path: str, centroids: DataFrame
+) -> list[int]:
+    """Reclaim partition dirs not referenced by the (committed) centroid
+    table: superseded hot cells after maintain_ivf, plus any part-built
+    sub-cells a crashed pass left behind.  Idempotent; returns the cell
+    ids removed.  Run AFTER the new centroid table is durably published —
+    a reader still holding the old table loses its probe targets once
+    this runs (same reader contract as the reference's renew rebuild)."""
+    import glob as _glob
+    import os
+    import shutil
+
+    live = {
+        int(r["centroid_id"]) for r in centroids.select("centroid_id").collect()
+    }
+    removed = []
+    for d in _glob.glob(os.path.join(index_path, "centroid_id=*")):
+        try:
+            cid = int(os.path.basename(d).split("=", 1)[1])
+        except ValueError:
+            continue
+        if cid not in live:
+            shutil.rmtree(d, ignore_errors=True)
+            removed.append(cid)
+    return sorted(removed)

@@ -312,3 +312,125 @@ def test_assign_to_centroids_shuffle_free_and_deterministic(spark, sf_dir):
     got = {r.vec_id: r.centroid_id for r in fast.collect()}
     want = {r.vec_id: r.centroid_id for r in slow.collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Round-10: IVF maintenance under sustained skewed ingest (verdict ask #2).
+# ---------------------------------------------------------------------------
+
+
+def _skewed_ivf(spark, sf_dir, tmp_path, appends=10):
+    """Index on the fixture + ``appends`` batches of copies of one cell's
+    vectors (fresh vec_ids): the realistic drift where new data keeps
+    landing in one region of embedding space."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assigned, centroids = ivf.build_ivf(emb, nlist=4)
+    path = str(tmp_path / "maint_index")
+    ivf.write_ivf(assigned, path)
+    hot_cid = (
+        assigned.groupBy("centroid_id").count().orderBy(F.desc("count")).first()
+    ).centroid_id
+    hot_vecs = assigned.filter(F.col("centroid_id") == hot_cid).select(
+        "vec_id", "embedding"
+    )
+    live = emb
+    for i in range(1, appends + 1):
+        batch = hot_vecs.select(
+            (F.col("vec_id") + 100_000 * i).alias("vec_id"), "embedding"
+        )
+        ivf.append_to_index(batch, centroids, path)
+        live = live.unionByName(batch)
+    return path, centroids, live
+
+
+def test_maintain_ivf_splits_hot_cell_and_keeps_search_exact(
+    spark, sf_dir, tmp_path
+):
+    """The full maintenance lifecycle: audit flags the hot cell, the pass
+    splits it copy-on-write, full-probe search over the maintained index
+    equals exact search (q35's operating point), and vacuum reclaims the
+    superseded partitions without changing results."""
+    path, centroids, live = _skewed_ivf(spark, sf_dir, tmp_path)
+    before = {
+        r.centroid_id: r.ratio
+        for r in ivf.audit_ivf_cells(spark, path, centroids).collect()
+    }
+    assert max(before.values()) > 3.0  # the audit sees the skew
+
+    new_cents, report = ivf.maintain_ivf(
+        spark, path, centroids, max_cell_ratio=3.0
+    )
+    assert report["splits"], f"no split despite ratio {max(before.values())}"
+    assert report["max_ratio_after"] < report["max_ratio_before"]
+
+    # invariant: every vector exactly once across LIVE cells (the old hot
+    # partition still exists on disk but is unreferenced)
+    live_rows = spark.read.parquet(path).join(
+        F.broadcast(new_cents.select("centroid_id")), "centroid_id", "left_semi"
+    )
+    assert live_rows.count() == live.count()
+    assert live_rows.select("vec_id").distinct().count() == live.count()
+
+    # parity at the q35 operating point: full probe == exact search
+    qs = live.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    nlist_new = new_cents.count()
+    exact = {
+        (r.q_id, r.vec_id)
+        for r in ivf.search_exact(qs, live, k=4).collect()
+    }
+    maintained = {
+        (r.q_id, r.vec_id)
+        for r in ivf.search_ivf(
+            spark, path, qs, new_cents, k=4, nprobe=nlist_new
+        ).collect()
+    }
+    assert maintained == exact
+
+    # vacuum reclaims the superseded hot cell; results unchanged
+    removed = ivf.vacuum_ivf(spark, path, new_cents)
+    assert set(report["splits"]) <= set(removed)
+    after_vacuum = {
+        (r.q_id, r.vec_id)
+        for r in ivf.search_ivf(
+            spark, path, qs, new_cents, k=4, nprobe=nlist_new
+        ).collect()
+    }
+    assert after_vacuum == exact
+    # disk now holds exactly the live cells
+    assert spark.read.parquet(path).count() == live.count()
+
+
+def test_maintain_ivf_noop_on_balanced_index(spark, sf_dir, tmp_path):
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assigned, centroids = ivf.build_ivf(emb, nlist=4)
+    path = str(tmp_path / "balanced_index")
+    ivf.write_ivf(assigned, path)
+    new_cents, report = ivf.maintain_ivf(spark, path, centroids)
+    assert report["splits"] == {} and new_cents is centroids
+
+
+def test_vacuum_ivf_heals_crash_residue(spark, sf_dir, tmp_path):
+    """A pass that crashed after appending sub-cells but before the
+    centroid publish leaves unreferenced partition dirs — vacuum against
+    the OLD (still-committed) centroids removes exactly those, and the
+    index answers as if the crash never happened."""
+    import os
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assigned, centroids = ivf.build_ivf(emb, nlist=4)
+    path = str(tmp_path / "crash_index")
+    ivf.write_ivf(assigned, path)
+    n = spark.read.parquet(path).count()
+    # simulate the crash residue: a part-built sub-cell under a fresh id
+    orphan = assigned.filter(F.col("centroid_id") == 0).withColumn(
+        "centroid_id", F.lit(99)
+    )
+    orphan.write.mode("append").partitionBy("centroid_id").parquet(path)
+    assert spark.read.parquet(path).count() > n
+
+    removed = ivf.vacuum_ivf(spark, path, centroids)
+    assert removed == [99]
+    assert not os.path.exists(os.path.join(path, "centroid_id=99"))
+    assert spark.read.parquet(path).count() == n
