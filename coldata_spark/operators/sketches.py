@@ -117,12 +117,22 @@ def hll_registers(
     (hll_merge).  NULL keys are excluded up front (count-distinct
     semantics ignore NULLs; an un-filtered NULL would create a phantom
     idx=NULL register that inflates n_used without adding to s_present —
-    the SQL twin filters identically)."""
-    b = df.filter(F.expr(f"({key_col}) IS NOT NULL")).select(
-        *group_cols, F.expr(_spark_fold64(key_col)).alias("h32")
-    )
+    the SQL twin filters identically).
+
+    The whole fold+mix chain is nested into ONE projection: chaining one
+    .select per mix step cost ~0.14 s of per-projection overhead at the
+    16x tier (register build 0.45 -> 0.31 s collapsed, identical
+    registers; tools/probe_q114_hash.py, round 10) — whole-stage codegen
+    CSE evaluates each intermediate once regardless of the textual
+    nesting, so the depth-per-projection trade was pure cost on the
+    Spark side.  The DuckDB twin keeps the step-per-CTE chain
+    (hll_h32_sql), where each intermediate genuinely materializes once."""
+    h = _spark_fold64(key_col)
     for step in _mix32_steps(_spark_xor, "div"):
-        b = b.select(*group_cols, F.expr(step.format(h="h32")).alias("h32"))
+        h = step.format(h=h)
+    b = df.filter(F.expr(f"({key_col}) IS NOT NULL")).select(
+        *group_cols, F.expr(h).alias("h32")
+    )
     # rank = leading zeros in the 24-bit field + 1 = 24 - floor(log2(w)),
     # computed numerically (floor(log2(2^k)) is exact in IEEE double, and
     # no other value can cross an integer boundary) — length(bin(w)) built
