@@ -209,6 +209,25 @@ def main() -> None:
         # later section begins with an (idempotent) spark.stop() before
         # creating the session it needs
         _write_detail(result)
+    if os.environ.get("SPARK_GRAFT_BENCH_Q44S", "1") != "0":
+        # third serve shape (round-10 verdict ask #5): q44 (sub-second
+        # as-of window family, at the HEADLINE sf dir where it is
+        # sub-second — at 256x its 3M-row client materialization would
+        # swamp the floor being measured) pins the serving floor's
+        # query-independence: q30 is the floor-bound query serve rescues,
+        # q02 the execution-bound control, q44 the window shape
+        spark.stop()
+        from tools.probe_q30_serve import measure_serve
+
+        result["q44_headline_serve"] = measure_serve(
+            "headline",
+            repeats=5,
+            name="q44_asof_last_click_before_purchase",
+            tier_dir=sf_dir,
+            session_note="bench-process JVM after tier sections "
+            "(fresh SparkSession)",
+        )
+        _write_detail(result)
     if os.environ.get("SPARK_GRAFT_BENCH_1024V", "1") != "0":
         spark.stop()
         spark = get_spark(app_name="coldata_spark_bench_1024v")

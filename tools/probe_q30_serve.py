@@ -57,6 +57,7 @@ def measure_serve(
     from bench import _median, _pretouch, fresh_exec
     from coldata_spark import registry
     from coldata_spark.session import dir_bytes, get_spark, tune_for_input
+    from coldata_spark.tables import data_version as _data_version
     from tools.spread import fixture_stamp_of
 
     if tier_dir is None:
@@ -117,7 +118,10 @@ def measure_serve(
         "query": name,
         "tier_key": None,  # serve path: no rebuild-mode tier entry matches
         "tier_ratio_at_measurement": None,
-        "fixture_stamp": fixture_stamp_of(tier_dir),
+        # markerless dirs (the headline sf dir) stamp their content
+        # version instead, same fallback as tools/spread.py headline mode
+        "fixture_stamp": fixture_stamp_of(tier_dir)
+        or f"headline|{tier_dir}|dv={_data_version(tier_dir)}",
         "measured": datetime.date.today().isoformat(),
         "times": int(tier.rstrip("x")) if tier.rstrip("x").isdigit() else tier,
         "spark_sec": min(serve_runs),
