@@ -374,22 +374,13 @@ def q152_embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_index_cached(spark: SparkSession, sf_dir: str, nlist: int = 8):
-    """Build-or-reuse the IVF index for a fixture dir: the build is
-    deterministic (fixed KMeans seed over a fixed fixture), so one cached
-    copy per (sf_dir, nlist) serves every q35/q150 invocation — the old
-    per-invocation tempfile.mkdtemp left a full index copy behind on
-    EVERY driver/bench run and rebuilt identical KMeans each time."""
+def _emb_content_stamp(sf_dir: str) -> str:
+    """Content fingerprint of the embeddings fixture (file names, sizes,
+    mtimes) for index cache keys: a regenerated fixture at the SAME path
+    must not serve a previous fixture's index/centroids."""
     import glob
-    import hashlib
     import os
-    import tempfile
 
-    from coldata_spark.operators import ivf
-
-    # Fold a content fingerprint of the embeddings fixture (file names,
-    # sizes, mtimes) into the cache key: a regenerated fixture at the SAME
-    # path must not serve the previous fixture's index/centroids.
     emb_path = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
     if os.path.isdir(emb_path):  # multi-file parquet directory
         parts = sorted(
@@ -401,11 +392,26 @@ def _ivf_index_cached(spark: SparkSession, sf_dir: str, nlist: int = 8):
         )
     else:
         parts = [emb_path] if os.path.isfile(emb_path) else []
-    stamp = "|".join(
+    return "|".join(
         f"{p}:{st.st_size}:{st.st_mtime_ns}"
         for p in parts
         for st in [os.stat(p)]
     )
+
+
+def _ivf_index_cached(spark: SparkSession, sf_dir: str, nlist: int = 8):
+    """Build-or-reuse the IVF index for a fixture dir: the build is
+    deterministic (fixed KMeans seed over a fixed fixture), so one cached
+    copy per (sf_dir, nlist) serves every q35/q150 invocation — the old
+    per-invocation tempfile.mkdtemp left a full index copy behind on
+    EVERY driver/bench run and rebuilt identical KMeans each time."""
+    import hashlib
+    import os
+    import tempfile
+
+    from coldata_spark.operators import ivf
+
+    stamp = _emb_content_stamp(sf_dir)
     # two-level key: <fixture-key>/<content-key>.  A regenerated fixture
     # mints a new content key; pruning the fixture-key's OTHER content
     # dirs keeps at most one live index per (sf_dir, nlist) — otherwise
@@ -1045,3 +1051,119 @@ def q165_semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFra
     )
     census = DD.semdedup_census(emb, vec_col="e")
     return DD.semantic_dedup_incremental(census, batch, vec_col="e")
+
+
+def _maintained_ivf_cached(spark: SparkSession, sf_dir: str):
+    """Build-or-reuse the POST-MAINTENANCE index fixture for q173:
+    embeddings + 3 shifted replays of the vec_id<200 slice (the SQL-
+    reproducible ingest stream), nlist=4 build, appends through the
+    production assign path, then a maintain_ivf pass with an aggressive
+    threshold (every above-average cell splits — deterministic under the
+    fixed KMeans seed) and vacuum.  Same two-level content-keyed /tmp
+    cache discipline as _ivf_index_cached."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from coldata_spark.operators import ivf
+
+    stamp = _emb_content_stamp(sf_dir)
+    fix_key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|maintained-v1".encode()
+    ).hexdigest()[:12]
+    key = hashlib.md5(stamp.encode()).hexdigest()[:12]
+    group = os.path.join(tempfile.gettempdir(), "coldata_ivf_cache", fix_key)
+    root = os.path.join(group, key)
+
+    def _prune_siblings():
+        for sibling in os.listdir(group):
+            if sibling != key:
+                shutil.rmtree(os.path.join(group, sibling), ignore_errors=True)
+
+    path = os.path.join(root, "index")
+    cpath = os.path.join(root, "centroids")
+    if os.path.exists(os.path.join(root, "_OK")):
+        _prune_siblings()
+        return path, spark.read.parquet(cpath)
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assigned, centroids = ivf.build_ivf(emb, nlist=4)
+    os.makedirs(root, exist_ok=True)
+    ivf.write_ivf(assigned, path)
+    seed_slice = emb.filter(F.col("vec_id") < 200)
+    for i in range(1, 4):
+        batch = seed_slice.select(
+            (F.col("vec_id") + 1_000_000 * i).alias("vec_id"), "embedding"
+        )
+        ivf.append_to_index(batch, centroids, path)
+    centroids, _report = ivf.maintain_ivf(
+        spark,
+        path,
+        centroids,
+        max_cell_ratio=1.0,  # every above-average cell splits: the pass
+        min_cell_rows=1,  # always exercises a real split at any sf
+    )
+    ivf.vacuum_ivf(spark, path, centroids)
+    centroids.write.mode("overwrite").parquet(cpath)
+    open(os.path.join(root, "_OK"), "w").close()
+    _prune_siblings()
+    return path, spark.read.parquet(cpath)
+
+
+@register(
+    "q173_ivf_maintained_search",
+    survey="V3,V4,ext-ivf",
+    sql="""
+    WITH corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000 * i AS vec_id, embedding
+        FROM embeddings, unnest(generate_series(1, 3)) AS t(i)
+        WHERE vec_id < 200
+    ),
+    q AS (
+        SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+        FROM embeddings WHERE vec_id < 8
+    ),
+    scored AS (
+        SELECT q.q_id, v.vec_id,
+               round(list_dot_product(q.q_vec, v.embedding::DOUBLE[])
+                     / (sqrt(list_dot_product(q.q_vec, q.q_vec))
+                        * sqrt(list_dot_product(v.embedding::DOUBLE[],
+                                                v.embedding::DOUBLE[]))), 6) AS score
+        FROM q, corpus v
+    ),
+    ranked AS (
+        SELECT q_id, vec_id, score,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY score DESC, vec_id) AS rank
+        FROM scored
+    )
+    SELECT q_id, vec_id, score, rank FROM ranked WHERE rank <= 4
+    """,
+)
+def q173_ivf_maintained_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF maintenance under the cross-engine hash check (round-10): the
+    index grows by 3 append batches (copies of the vec_id<200 slice — a
+    SQL-reproducible ingest stream), a maintain_ivf pass splits the
+    above-average cells copy-on-write and vacuum reclaims the superseded
+    partitions, then full-probe search over the MAINTAINED cell set must
+    equal brute-force search over the whole grown corpus (q35's
+    operating point).  This hash-checks the maintenance invariant — every
+    vector in exactly one live cell, none lost, none duplicated — not
+    just the split bookkeeping.  The reference's only maintenance op is
+    drop-and-rebuild (renew, vdb.py:199-201); this is its incremental
+    answer under the same exactness bar."""
+    from coldata_spark.operators import ivf
+
+    path, centroids = _maintained_ivf_cached(spark, sf_dir)
+    nlist = centroids.count()
+    return ivf.search_ivf(
+        spark,
+        path,
+        _queries_df(spark, sf_dir),
+        centroids,
+        k=4,
+        nprobe=nlist,
+    )
