@@ -434,3 +434,65 @@ def test_vacuum_ivf_heals_crash_residue(spark, sf_dir, tmp_path):
     assert removed == [99]
     assert not os.path.exists(os.path.join(path, "centroid_id=99"))
     assert spark.read.parquet(path).count() == n
+
+
+def test_maintain_ivf_drives_from_scheduler_cadence(spark, sf_dir, tmp_path):
+    """The maintain_layout scheduling pattern applied to the index: a
+    scheduler cadence interleaves skewed ingest passes with maintenance
+    passes (each pass: maintain_ivf -> commit centroids -> vacuum), and
+    the max cell-size ratio stays bounded across the whole run while the
+    unreferenced-partition count returns to zero after every pass."""
+    from datetime import datetime, timedelta
+
+    from coldata_spark import scheduler as S
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assigned, centroids = ivf.build_ivf(emb, nlist=4)
+    path = str(tmp_path / "sched_index")
+    ivf.write_ivf(assigned, path)
+    hot_cid = (
+        assigned.groupBy("centroid_id").count().orderBy(F.desc("count")).first()
+    ).centroid_id
+    seed = assigned.filter(F.col("centroid_id") == hot_cid).select(
+        "vec_id", "embedding"
+    )
+    state = {"centroids": centroids, "i": 0, "ratios": []}
+
+    def refresh_pass():
+        # one cadence tick = ingest a skewed batch, then maintain
+        state["i"] += 1
+        batch = seed.select(
+            (F.col("vec_id") + 1_000_000 * state["i"]).alias("vec_id"),
+            "embedding",
+        )
+        ivf.append_to_index(batch, state["centroids"], path)
+        new_cents, _ = ivf.maintain_ivf(
+            spark, path, state["centroids"], max_cell_ratio=2.0, min_cell_rows=8
+        )
+        state["centroids"] = new_cents
+        ivf.vacuum_ivf(spark, path, new_cents)
+        audit = ivf.audit_ivf_cells(spark, path, new_cents).collect()
+        state["ratios"].append(max(r.ratio for r in audit))
+
+    t = {"now": datetime(2026, 1, 1, 12, 0)}
+    S.run_scheduled(
+        refresh_pass,
+        "day",
+        max_runs=4,
+        now=lambda: t["now"],
+        sleep=lambda s: t.__setitem__("now", t["now"] + timedelta(seconds=s)),
+    )
+    assert len(state["ratios"]) == 4
+    # bounded under continuous skewed ingest (vs ~4-5x unmaintained by
+    # the 4th batch — STRESS.md curve)
+    assert max(state["ratios"]) < 3.5
+    # vacuum after every pass: disk partitions == live cells exactly
+    import glob as g
+
+    live = {r.centroid_id for r in state["centroids"].collect()}
+    on_disk = {
+        int(d.split("=")[1]) for d in map(
+            lambda p: p.rsplit("/", 1)[1], g.glob(f"{path}/centroid_id=*")
+        )
+    }
+    assert on_disk == live
