@@ -508,22 +508,73 @@ def q150_ann_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q36_embed_documents", survey="V1,V2", sql=None)
+@register(
+    "q36_embed_documents",
+    survey="V1,V2",
+    sql="""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+               ('0x' || substring(md5(tok), 1, 8))::BIGINT % 64 AS bucket,
+               CASE WHEN ('0x' || substring(md5(tok), 9, 2))::BIGINT % 2 = 1
+                    THEN 1 ELSE -1 END AS sign
+        FROM toks
+    ),
+    sc AS (
+        SELECT doc_id, bucket, CAST(sum(sign) AS BIGINT) AS s
+        FROM h GROUP BY doc_id, bucket
+    ),
+    nrm AS (
+        SELECT doc_id, sqrt(CAST(sum(s * s) AS DOUBLE)) AS n
+        FROM sc GROUP BY doc_id
+    ),
+    grid AS (
+        SELECT d.doc_id, g.i
+        FROM documents d
+        CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) g
+    )
+    SELECT grid.doc_id, grid.i,
+           CAST(CAST(CASE WHEN coalesce(nrm.n, 0) > 0
+                          THEN coalesce(sc.s, 0) / nrm.n
+                          ELSE 0.0 END AS REAL) AS DOUBLE) AS component
+    FROM grid
+    LEFT JOIN sc ON sc.doc_id = grid.doc_id AND sc.bucket = grid.i
+    LEFT JOIN nrm ON nrm.doc_id = grid.doc_id
+    """,
+)
 def q36_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch embedding through the iterator mapInPandas path (rows-only
-    check; exact vectors are asserted deterministic in unit tests).
-    Returns per-doc vector stats so the driver sees stable values."""
+    """Batch embedding through the iterator mapInPandas path (V1), checked
+    against a DuckDB twin component-for-component, BIT-EXACTLY — the row
+    that was 'no_oracle' for nine rounds on the belief that L2-normalized
+    floats don't hash stably across engines.
+
+    They do, for this encoder, because every step is IEEE-deterministic:
+    the pre-normalization vector is integer token counts (q124's
+    hash-green twin proves the md5 bucket/sign arithmetic cross-engine);
+    the squared-norm is a sum of squared integers far below 2^53, so it is
+    EXACT in float64 regardless of summation order (numpy's pairwise
+    reduce vs DuckDB's sequential sum agree); sqrt and divide are
+    correctly-rounded IEEE-754 ops, identical everywhere; and the final
+    float32 cast is round-to-nearest-even on both sides — numpy's
+    .astype(float32) ≡ DuckDB's CAST(.. AS REAL).  Upcasting that float32
+    back to double on both sides yields bit-identical float64 columns.
+
+    Reference basis: vdb/embed.py:16-39 (batch encode, mean-pool,
+    normalize); the mapInPandas lifecycle (one encoder init per task) is
+    asserted separately in tests/test_embed.py."""
     from coldata_spark import embed as E
-    from coldata_spark.functions import vector as V
 
     docs = load(spark, sf_dir, "documents")
     emb = E.embed_documents(docs)
-    vec = V.as_double(F.col("embedding"))
     return emb.select(
+        "doc_id", F.posexplode("embedding").alias("i", "component")
+    ).select(
         "doc_id",
-        F.size("embedding").alias("dim"),
-        F.round(V.norm(vec), 4).alias("l2_norm"),
-        F.round(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x), 4).alias("coord_sum"),
+        F.col("i").cast("long").alias("i"),
+        F.col("component").cast("double").alias("component"),
     )
 
 
@@ -878,8 +929,8 @@ def q124_embed_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     % 64, sign = 5th byte LSB), accumulated per (doc, bucket).  This is the
     encoder's pre-normalization embedding as exact integers — so the
     mapInPandas V1 path's arithmetic is itself oracle-checked cross-engine
-    (q36 stays rows-only only because L2-normalized floats don't hash
-    stably; the math underneath them now does).  tests/test_embed_encoder.py
+    (and since round 10, q36 hash-checks the NORMALIZED floats too —
+    bit-exact, see its docstring).  tests/test_embed_encoder.py
     asserts this query reproduces hash_embed_texts bucket-for-bucket.
 
     Plan: flatMap explode + one combine-aggregated groupBy — the same

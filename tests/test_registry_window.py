@@ -106,12 +106,13 @@ def test_window_oracle_density():
     """The window should be mostly hard oracle checks, not rows-only."""
     all_specs = registry.specs()
     rows_only = [n for n in registry._DRIVER_WINDOW if all_specs[n].sql is None]
-    # Known budget: q36 (float-vector embedding output with no SQL twin);
-    # don't grow it — q35/q86 gained exhaustive-configuration oracles and the
+    # Budget is now ZERO: q36 — the last rows-only row — gained a bit-exact
+    # float oracle in round 10 (integer-exact squared norms + IEEE
+    # sqrt/div/float32-cast reproduce identically in DuckDB; see its
+    # docstring).  q35/q86 gained exhaustive-configuration oracles and the
     # ext-embedding-dedup slot swapped to integer-exact q152 in round 3;
-    # q39 itself became oracle-bearing in round 4 (same operator, second
-    # operating point) but stays outside the window by design.
-    assert len(rows_only) <= 1, f"too many rows-only in window: {rows_only}"
+    # q39 became oracle-bearing in round 4 but stays outside the window.
+    assert not rows_only, f"rows-only rows in window: {rows_only}"
 
 
 def test_serve_rebuilds_on_fixture_mutation(spark, tmp_path):
