@@ -306,12 +306,47 @@ def _write_detail(result: dict) -> None:
         json.dump(merged, f, indent=2)
 
 
+def _current_fixture_stamp(spread: dict) -> str | None:
+    """What the record's fixture stamps TODAY: the tier marker's content,
+    or the recomputed content-version line for headline records.  None
+    when the fixture is absent or the record can't be located (nothing
+    fresh contradicts it — the ratio gate below still applies)."""
+    stamp = spread.get("fixture_stamp") or ""
+    if stamp.startswith("headline|"):
+        parts = stamp.split("|")
+        if len(parts) < 3 or not os.path.isdir(parts[1]):
+            return None
+        from coldata_spark.tables import data_version
+
+        return f"headline|{parts[1]}|dv={data_version(parts[1])}"
+    times = spread.get("times")
+    tier = f"{times}x" if isinstance(times, int) else times
+    if not tier or tier == "headline":
+        return None
+    from tools.spread import fixture_stamp_of
+
+    return fixture_stamp_of(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache", tier)
+    )
+
+
 def _spread_is_stale(spread: dict, result: dict) -> bool:
     """True when a carried ``*_spread`` record contradicts the fresh tier
     record it would sit beside: the spread names its (query, tier) and the
     tier ratio it was resolving; if this run's same entry moved >30%
     relative, the spread measured a different build/fixture state and
-    must be re-taken (tools/spread.py), not carried forward forever."""
+    must be re-taken (tools/spread.py), not carried forward forever.
+
+    Stamp inequality is checked FIRST: when the driver regenerates
+    /root/testdata (round 10 did), every tier rebuilds under a new
+    source-versioned marker (tools/replicate.py v3 stamps) and records
+    stamped against the vanished bytes must drop even if their ratios
+    happen to look stable — a carried number must always name data that
+    still exists."""
+    then_stamp = spread.get("fixture_stamp")
+    now_stamp = _current_fixture_stamp(spread)
+    if then_stamp and now_stamp and then_stamp != now_stamp:
+        return True
     q, tier = spread.get("query"), spread.get("tier_key")
     then = spread.get("tier_ratio_at_measurement")
     if not q or not tier or not isinstance(then, (int, float)) or then <= 0:

@@ -96,8 +96,10 @@ def test_deep_tier_builders_skip_source_when_cached(spark, tmp_path, monkeypatch
     out_e = tmp_path / "emb_tier"
     out_v = tmp_path / "ev_tier"
     out_e.mkdir(), out_v.mkdir()
-    (out_e / "_OK").write_text("v1|4")
-    (out_v / "_OK").write_text("v2")
+    # current-format markers: source content version folded in, so the
+    # validity check never needs the intermediate 256x dir
+    (out_e / "_OK").write_text(f"v2|4|{R.source_stamp(str(tmp_path))}")
+    (out_v / "_OK").write_text(f"v3|4|{R.source_stamp(str(tmp_path))}")
 
     def boom(*a, **k):
         raise AssertionError("source replicated despite a valid tier cache")

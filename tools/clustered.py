@@ -83,7 +83,13 @@ def build_clustered_fixture(
     import json
 
     marker = os.path.join(out_dir, _MARKER)
-    stamp = f"v3|{tier_dir}|{buckets}"  # v3: advisor-built layout + sidecar
+    from tools.spread import fixture_stamp_of
+
+    # v4: the FLAT tier's marker content is part of this stamp — when the
+    # source fixture regenerates (driver round restarts), the flat tier
+    # rebuilds under a new source-versioned stamp (replicate.py v3) and
+    # the clustered rewrite of the old bytes must go stale with it
+    stamp = f"v4|{buckets}|{fixture_stamp_of(tier_dir)}"
     if os.path.exists(marker) and open(marker).read() == stamp:
         return out_dir
     from coldata_spark.operators.layout import write_bucketed
@@ -286,8 +292,19 @@ def build_events_tier(
     replicated on demand instead of unconditionally by the caller (a valid
     cached deep tier must not trigger a multi-GB source rebuild)."""
     marker = os.path.join(out_dir, "_OK")
-    stamp = "v2"  # unique-ts + INT64-micros fixtures (see replicate.py)
-    if os.path.exists(marker) and open(marker).read() == stamp:
+    from tools.replicate import jitter_wrapped, source_stamp
+    from tools.spread import fixture_stamp_of
+
+    def deep_stamp() -> str:
+        # v3: the SOURCE fixture's content version folded in — a
+        # regenerated /root/testdata cascades staleness into this tier
+        # WITHOUT requiring the (deletable, multi-GB) intermediate 256x
+        # dir to exist for validation (round-9: a valid cached deep tier
+        # must not trigger a source replication)
+        src = source_stamp(sf_dir) if sf_dir else fixture_stamp_of(tier256_dir)
+        return f"v3|{replicas}|{src}"
+
+    if os.path.exists(marker) and open(marker).read() == deep_stamp():
         return out_dir
     if sf_dir is not None:
         from tools.replicate import replicate_fixture
@@ -302,8 +319,10 @@ def build_events_tier(
         # per-replica jitter one step above the 256x tier's 0..255 µs so
         # every timestamp in the deep tier stays unique (see
         # replicate.events_mutate for why clone-identical ts would make
-        # the tier measure a parquet-dictionary artifact)
-        .withColumn("ts", F.expr(f"timestampadd(MICROSECOND, {i * 256}, ts)"))
+        # the tier measure a parquet-dictionary artifact); wrapped within
+        # each event's second like the 256x jitter itself — combined
+        # offsets j + i*256 < 4096 < 1e6 stay distinct mod 1e6
+        .withColumn("ts", jitter_wrapped("ts", i * 256))
         for i in range(replicas)
     ]
     out = parts[0]
@@ -313,7 +332,7 @@ def build_events_tier(
         os.path.join(out_dir, "events.parquet")
     )
     with open(marker, "w") as f:
-        f.write(stamp)
+        f.write(deep_stamp())
     return out_dir
 
 
@@ -334,8 +353,15 @@ def build_embeddings_tier(
     unchanged, so q30's semantics are the same query against 4x the
     corpus."""
     marker = os.path.join(out_dir, "_OK")
-    stamp = f"v1|{replicas}"
-    if os.path.exists(marker) and open(marker).read() == stamp:
+    from tools.replicate import source_stamp
+    from tools.spread import fixture_stamp_of
+
+    def deep_stamp() -> str:
+        # v2: source content version folded in (see build_events_tier)
+        src = source_stamp(sf_dir) if sf_dir else fixture_stamp_of(tier256_dir)
+        return f"v2|{replicas}|{src}"
+
+    if os.path.exists(marker) and open(marker).read() == deep_stamp():
         return out_dir
     if sf_dir is not None:
         # source dependency resolved only on a real (re)build — see
@@ -355,7 +381,7 @@ def build_embeddings_tier(
         os.path.join(out_dir, "embeddings.parquet")
     )
     with open(marker, "w") as f:
-        f.write(stamp)
+        f.write(deep_stamp())
     return out_dir
 
 

@@ -28,6 +28,31 @@ _COPY = ("region", "nation", "customer", "supplier", "part")
 _MARKER = "_REPLICATED_OK"
 
 
+def jitter_wrapped(ts_col: str, offset_us: int):
+    """``ts`` shifted by ``offset_us`` microseconds WITHIN its own second:
+    new_sub = (sub + offset) mod 1e6, second component untouched.  Never
+    crosses a second (hence session/hour) boundary, for any base data and
+    any offset — the safety the old ``timestampadd + pre-scan guard``
+    only had when the base fixture happened to leave enough sub-second
+    headroom.  Offsets distinct mod 1e6 yield distinct timestamps per
+    source row (deep tiers stack ``i*256`` on the 256x tier's ``0..255``,
+    max 4095 < 1e6)."""
+    return F.expr(
+        f"timestamp_micros(unix_micros({ts_col}) - unix_micros({ts_col}) % 1000000"
+        f" + (unix_micros({ts_col}) % 1000000 + {offset_us}) % 1000000)"
+    )
+
+
+def source_stamp(src_dir: str) -> str:
+    """Content stamp of the SOURCE fixture dir, folded into every tier
+    marker: when the driver regenerates /root/testdata between rounds, a
+    tier built from the old bytes must read as stale — path+times alone
+    (the pre-v3 stamp) silently served tiers of vanished data."""
+    from coldata_spark.tables import data_version
+
+    return "dv" + ".".join(str(x) for x in data_version(src_dir))
+
+
 def _replicate(df: DataFrame, times: int, mutate) -> DataFrame:
     parts = [mutate(df, i) for i in range(times)]
     out = parts[0]
@@ -44,9 +69,13 @@ def replicate_fixture(
     from coldata_spark.tables import load
 
     marker = os.path.join(dst_dir, _MARKER)
-    # v2: unique-ts events + INT64-micros timestamps (older caches carried
-    # INT96 dictionary-encoded ts — the stamp bump forces one rebuild)
-    stamp = f"v2|{src_dir}|{times}"
+    # v3: wrapped-jitter events + the SOURCE dir's content version in the
+    # stamp (v2 keyed on path+times only, so a tier built from data the
+    # driver later regenerated still read as valid; the dv term forces one
+    # rebuild per source regeneration).  Carried *_spread records stamped
+    # v2 go stale against v3 tiers by stamp inequality — correct, they
+    # measured different bytes.
+    stamp = f"v3|{src_dir}|{times}|{source_stamp(src_dir)}"
     if os.path.exists(marker) and open(marker).read() == stamp:
         return dst_dir
     os.makedirs(dst_dir, exist_ok=True)
@@ -70,12 +99,19 @@ def replicate_fixture(
         # has ~unique timestamps) that lets a dictionary-aware engine
         # evaluate time expressions once per distinct value instead of
         # once per row, making the tier measure the artifact, not the
-        # plan.  +i µs (i < times <= 256) never moves an event across an
-        # hour/session boundary, so query semantics are unchanged.
+        # plan.  The jitter WRAPS within each event's own second
+        # (new_sub = (sub + i) mod 1e6): a bare +i µs crosses a second
+        # boundary whenever a base timestamp has < times-1 µs of headroom
+        # (the round-10 regenerated fixtures shipped max sub-second micros
+        # 999997, which tripped the old pre-scan guard), while the wrap
+        # keeps every replica in the SAME second by construction — no
+        # second/session/hour bucket ever moves, for any base data, so
+        # the guard scan is gone.  Distinctness across replicas holds:
+        # i < times <= 256 < 1e6, so (sub + i) mod 1e6 differs per i.
         return (
             df.withColumn("event_id", F.col("event_id") + F.lit(i * 1_000_000_000))
             .withColumn("user_id", F.col("user_id") + F.lit(i * SHIFT))
-            .withColumn("ts", F.expr(f"timestampadd(MICROSECOND, {i}, ts)"))
+            .withColumn("ts", jitter_wrapped("ts", i))
         )
 
     plans: dict[str, DataFrame] = {}
@@ -86,21 +122,7 @@ def replicate_fixture(
     plans["lineitem"] = _replicate(lineitem, times, shift("l_orderkey"))
     plans["orders"] = _replicate(orders, times, shift("o_orderkey"))
     plans["documents"] = _replicate(load(spark, src_dir, "documents"), times, docs_mutate)
-    events_base = load(spark, src_dir, "events")
-    # one-time verification of the docstring claim above: the max applied
-    # jitter (times-1 µs) must fit inside every base timestamp's
-    # sub-second headroom, or a replica could roll into the next second
-    # (and potentially a session/hour bucket), silently changing tier
-    # semantics vs the base fixture
-    max_sub_us = events_base.select(
-        F.max(F.expr("unix_micros(ts) % 1000000")).alias("m")
-    ).head()["m"]
-    if max_sub_us is not None and max_sub_us + (times - 1) >= 1_000_000:
-        raise AssertionError(
-            f"events ts jitter would cross a second boundary: max "
-            f"sub-second micros {max_sub_us} + jitter {times - 1} >= 1e6"
-        )
-    plans["events"] = _replicate(events_base, times, events_mutate)
+    plans["events"] = _replicate(load(spark, src_dir, "events"), times, events_mutate)
     plans["embeddings"] = _replicate(
         load(spark, src_dir, "embeddings"), times, shift("vec_id")
     )
