@@ -519,6 +519,25 @@ GROUP BY ROLLUP (day_e, hour_e)
 """
 
 
+def _marker_content(tier_dir: str) -> str | None:
+    from tools.spread import fixture_stamp_of
+
+    return fixture_stamp_of(tier_dir)
+
+
+def _fresh_session_if_built(spark, tier_dir: str, marker_before, app_name: str):
+    """Restart the measuring session when the deep-tier builder actually
+    BUILT (marker content changed) rather than cache-hit: the multi-GB
+    replicate+write leaves heap pressure and shuffle state that
+    contaminates the timings taken right after (q30@emb-1024x measured
+    2.5 s in the building session vs 1.1 s in a clean one, round 10 —
+    the same effect the per-tier fresh sessions in main() exist for)."""
+    if _marker_content(tier_dir) == marker_before:
+        return spark
+    spark.stop()
+    return get_spark(app_name=app_name)
+
+
 def bench_q30_embeddings_tier(spark, sf_dir: str, specs) -> dict:
     """q30's closing datapoint (round 8): the kNN ratio at 16x-256x is a
     per-run floor (plan construction + query-side toPandas + merge
@@ -538,9 +557,11 @@ def bench_q30_embeddings_tier(spark, sf_dir: str, specs) -> dict:
     # sf_dir lets the builder replicate the 256x source on demand — only
     # when THIS tier's marker is missing/stale (a valid cached deep tier
     # must not trigger a multi-GB source rebuild)
+    before = _marker_content(dst)
     build_embeddings_tier(
         spark, _tier_dir(sf_dir, 256), dst, replicas=4, sf_dir=sf_dir
     )
+    spark = _fresh_session_if_built(spark, dst, before, "bench_emb1024v")
     pretouch_s = _pretouch(dst)  # pinned cache protocol (see _pretouch)
     tune_for_input(spark, dir_bytes(dst))
     repeats = 3
@@ -602,9 +623,11 @@ def bench_q83_events_tier(spark, sf_dir: str, specs, times: int = 1024) -> dict:
         f"events_{times}x",
     )
     # sf_dir: 256x source replicated on demand, only on a real (re)build
+    before = _marker_content(dst)
     build_events_tier(
         spark, _tier_dir(sf_dir, 256), dst, replicas=times // 256, sf_dir=sf_dir
     )
+    spark = _fresh_session_if_built(spark, dst, before, f"bench_ev{times}x")
     pretouch_s = _pretouch(dst)  # pinned cache protocol (see _pretouch)
     tune_for_input(spark, dir_bytes(dst))
     repeats = 3

@@ -95,11 +95,13 @@ def test_deep_tier_builders_skip_source_when_cached(spark, tmp_path, monkeypatch
 
     out_e = tmp_path / "emb_tier"
     out_v = tmp_path / "ev_tier"
-    out_e.mkdir(), out_v.mkdir()
+    src_sf = tmp_path / "src_sf"  # static source: stamped ONCE, never mutated
+    out_e.mkdir(), out_v.mkdir(), src_sf.mkdir()
+    (src_sf / "some.parquet").write_bytes(b"x")
     # current-format markers: source content version folded in, so the
     # validity check never needs the intermediate 256x dir
-    (out_e / "_OK").write_text(f"v2|4|{R.source_stamp(str(tmp_path))}")
-    (out_v / "_OK").write_text(f"v3|4|{R.source_stamp(str(tmp_path))}")
+    (out_e / "_OK").write_text(f"v2|4|{R.source_stamp(str(src_sf))}")
+    (out_v / "_OK").write_text(f"v3|4|{R.source_stamp(str(src_sf))}")
 
     def boom(*a, **k):
         raise AssertionError("source replicated despite a valid tier cache")
@@ -108,8 +110,50 @@ def test_deep_tier_builders_skip_source_when_cached(spark, tmp_path, monkeypatch
     # source tier dir doesn't even exist — the cached marker must win
     missing_src = str(tmp_path / "no_such_256x")
     assert build_embeddings_tier(
-        spark, missing_src, str(out_e), replicas=4, sf_dir=str(tmp_path)
+        spark, missing_src, str(out_e), replicas=4, sf_dir=str(src_sf)
     ) == str(out_e)
     assert build_events_tier(
-        spark, missing_src, str(out_v), replicas=4, sf_dir=str(tmp_path)
+        spark, missing_src, str(out_v), replicas=4, sf_dir=str(src_sf)
     ) == str(out_v)
+
+
+def test_jitter_wrapped_never_crosses_a_second(spark):
+    """The replica jitter must stay inside each event's own second for
+    ANY base data — including the adversarial case that crashed the
+    round-10 bench: base timestamps with ~zero sub-second headroom
+    (max micros 999997 in the regenerated fixtures)."""
+    import pyspark.sql.functions as F
+
+    from tools.replicate import jitter_wrapped
+
+    base = spark.createDataFrame(
+        [(1_000_000_999_999,), (1_000_000_000_000,), (999_999_999_997,)],
+        "us BIGINT",
+    ).select(F.timestamp_micros("us").alias("ts"))
+    for off in (1, 15, 255, 256 * 15):
+        out = base.select(
+            "ts",
+            jitter_wrapped("ts", off).alias("j"),
+        ).select(
+            (F.unix_micros("ts") - F.unix_micros("ts") % 1_000_000).alias("sec_a"),
+            (F.unix_micros("j") - F.unix_micros("j") % 1_000_000).alias("sec_b"),
+            (F.unix_micros("j") % 1_000_000).alias("sub_b"),
+            (F.unix_micros("ts") % 1_000_000).alias("sub_a"),
+        )
+        rows = out.collect()
+        for r in rows:
+            assert r.sec_a == r.sec_b, f"offset {off} moved the second"
+            assert r.sub_b == (r.sub_a + off) % 1_000_000
+
+
+def test_replicated_tier_stamp_carries_source_version(tmp_path, spark):
+    """A regenerated source dir must stale the tier marker: the stamp
+    folds in tables.data_version of the source, so path+times alone can
+    never validate a tier built from vanished bytes."""
+    from tools.replicate import source_stamp
+
+    sf = "/root/testdata/sf0.001"
+    s1 = source_stamp(sf)
+    assert s1.startswith("dv") and s1 != "dv-1.-1.-1"
+    # stamp is a pure content function: same dir, same stamp
+    assert source_stamp(sf) == s1

@@ -83,13 +83,16 @@ def build_clustered_fixture(
     import json
 
     marker = os.path.join(out_dir, _MARKER)
+    from tools.replicate import source_stamp
     from tools.spread import fixture_stamp_of
 
     # v4: the FLAT tier's marker content is part of this stamp — when the
     # source fixture regenerates (driver round restarts), the flat tier
     # rebuilds under a new source-versioned stamp (replicate.py v3) and
-    # the clustered rewrite of the old bytes must go stale with it
-    stamp = f"v4|{buckets}|{fixture_stamp_of(tier_dir)}"
+    # the clustered rewrite of the old bytes must go stale with it.
+    # Marker-less inputs (a raw sf dir, as in tests) stamp their content
+    # version instead — "None" would never go stale.
+    stamp = f"v4|{buckets}|{fixture_stamp_of(tier_dir) or source_stamp(tier_dir)}"
     if os.path.exists(marker) and open(marker).read() == stamp:
         return out_dir
     from coldata_spark.operators.layout import write_bucketed
