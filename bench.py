@@ -296,6 +296,13 @@ def _write_detail(result: dict) -> None:
     )
     for k in _SECTIONS:
         if k not in merged and isinstance(existing.get(k), dict):
+            # same staleness rule as spreads: a section whose fixture
+            # stamp no longer matches the on-disk marker (regenerated
+            # source → rebuilt tier) measured vanished bytes — drop it
+            # rather than carry it (stamps exist on records since r10;
+            # unstamped legacy sections carry, stamping is the fix)
+            if _spread_is_stale(existing[k], result):
+                continue
             merged[k] = {**existing[k], "carried": True}
     for k, v in existing.items():
         if k in merged or not k.endswith("_spread"):
@@ -304,6 +311,12 @@ def _write_detail(result: dict) -> None:
             merged[k] = v
     with open(path, "w") as f:
         json.dump(merged, f, indent=2)
+
+
+def _headline_stamp(sf_dir: str) -> str:
+    from coldata_spark.tables import data_version
+
+    return f"headline|{sf_dir}|dv={data_version(sf_dir)}"
 
 
 def _current_fixture_stamp(spread: dict) -> str | None:
@@ -316,11 +329,13 @@ def _current_fixture_stamp(spread: dict) -> str | None:
         parts = stamp.split("|")
         if len(parts) < 3 or not os.path.isdir(parts[1]):
             return None
-        from coldata_spark.tables import data_version
-
-        return f"headline|{parts[1]}|dv={data_version(parts[1])}"
-    times = spread.get("times")
-    tier = f"{times}x" if isinstance(times, int) else times
+        return _headline_stamp(parts[1])
+    # records since round 10 name their fixture dir; older spread records
+    # fall back to the times-derived name (16 -> "16x", or the tier string)
+    tier = spread.get("fixture_name")
+    if not tier:
+        times = spread.get("times")
+        tier = f"{times}x" if isinstance(times, int) else times
     if not tier or tier == "headline":
         return None
     from tools.spread import fixture_stamp_of
@@ -485,6 +500,8 @@ def bench_clustered(spark, sf_dir: str, specs) -> dict:
 
     rec = _tier_record(256, list(CLUSTERED_QUERIES), spark_runs, duck_runs)
     rec["pretouch_s"] = pretouch_s
+    rec["fixture_name"] = os.path.basename(out)
+    rec["fixture_stamp"] = _marker_content(out)
     rec["layout"] = "co-clustered (orderkey-bucketed facts, hypertable events)"
     rec["note"] = (
         "same queries as the flat 256x tier, stored the way the 100 TB "
@@ -599,6 +616,8 @@ def bench_q30_embeddings_tier(spark, sf_dir: str, specs) -> dict:
         "spark_spread": [min(s_runs), round(_median(s_runs), 3), max(s_runs)],
         "duckdb_spread": [min(d_runs), round(_median(d_runs), 3), max(d_runs)],
         "pretouch_s": pretouch_s,
+        "fixture_name": os.path.basename(dst),
+        "fixture_stamp": _marker_content(dst),
     }
 
 
@@ -702,6 +721,8 @@ def bench_q83_events_tier(spark, sf_dir: str, specs, times: int = 1024) -> dict:
         "ratio_vs_duckdb_rewrite": round(s_best / min(d_rw), 2),
         "scan_runs": {"spark": s_scan, "duckdb": d_scan},
         "pretouch_s": pretouch_s,
+        "fixture_name": os.path.basename(dst),
+        "fixture_stamp": _marker_content(dst),
         "protocol": "page-cache-hot both engines (fixture pre-touched), "
         f"fresh JVM per tier, best-of-{repeats} after in-process warm",
         "note": "events-only tier; scan_only = same columns, one aggregate "
@@ -857,6 +878,7 @@ def bench_concurrent(spark, sf_dir: str, specs) -> dict:
         "spark_prepared_by_workers": prep_best,
         "spark_uncached_by_workers": unc_best,
         "duckdb_by_workers": duck_best,
+        "fixture_stamp": _headline_stamp(sf_dir),
     }
 
 
@@ -1009,6 +1031,8 @@ def bench_replicated(
 
     rec = _tier_record(times, queries, spark_runs, duck_runs)
     rec["pretouch_s"] = pretouch_s
+    rec["fixture_name"] = os.path.basename(dst)
+    rec["fixture_stamp"] = _marker_content(dst)
     return rec
 
 
