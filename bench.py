@@ -174,6 +174,9 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_BENCH_1024E", "1") != "0":
         spark.stop()
         spark = get_spark(app_name="coldata_spark_bench_1024e")
+        # build-before-measure: a fresh build hands back a clean session
+        # (the function inside then cache-hits) — see _ensure_deep_tier
+        spark = _ensure_deep_tier(spark, sf_dir, "events", 1024)
         result["q83_amortization_1024x"] = bench_q83_events_tier(
             spark, sf_dir, specs, times=1024
         )
@@ -181,6 +184,7 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_BENCH_4096E", "1") != "0":
         spark.stop()
         spark = get_spark(app_name="coldata_spark_bench_4096e")
+        spark = _ensure_deep_tier(spark, sf_dir, "events", 4096)
         result["q83_amortization_4096x"] = bench_q83_events_tier(
             spark, sf_dir, specs, times=4096
         )
@@ -231,6 +235,7 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_BENCH_1024V", "1") != "0":
         spark.stop()
         spark = get_spark(app_name="coldata_spark_bench_1024v")
+        spark = _ensure_deep_tier(spark, sf_dir, "emb", 1024)
         result["q30_amortization_1024x"] = bench_q30_embeddings_tier(
             spark, sf_dir, specs
         )
@@ -542,17 +547,40 @@ def _marker_content(tier_dir: str) -> str | None:
     return fixture_stamp_of(tier_dir)
 
 
-def _fresh_session_if_built(spark, tier_dir: str, marker_before, app_name: str):
-    """Restart the measuring session when the deep-tier builder actually
-    BUILT (marker content changed) rather than cache-hit: the multi-GB
-    replicate+write leaves heap pressure and shuffle state that
-    contaminates the timings taken right after (q30@emb-1024x measured
-    2.5 s in the building session vs 1.1 s in a clean one, round 10 —
-    the same effect the per-tier fresh sessions in main() exist for)."""
-    if _marker_content(tier_dir) == marker_before:
+def _ensure_deep_tier(spark, sf_dir: str, kind: str, times: int):
+    """Pre-build a deep tier with the CURRENT session, then hand back a
+    fresh measuring session if a build actually happened (marker content
+    changed): the multi-GB replicate+write leaves heap pressure and
+    shuffle state that contaminates timings taken right after
+    (q30@emb-1024x measured 2.5 s in the building session vs 1.1 s in a
+    clean one, round 10 — the same effect the per-tier fresh sessions in
+    main() exist for).
+
+    MUST be called as ``spark = _ensure_deep_tier(spark, ...)`` from the
+    code that owns the session variable: a first attempt rebound a local
+    inside the bench functions instead, leaving main() holding a stopped
+    session whose .stop() cleared pyspark's GLOBAL singletons while the
+    fresh JVM context kept running — the next get_spark then died on
+    SPARK-2243 (only one SparkContext per JVM)."""
+    from tools.clustered import build_embeddings_tier, build_events_tier
+
+    name = "emb_1024x" if kind == "emb" else f"events_{times}x"
+    dst = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".bench_cache", name
+    )
+    before = _marker_content(dst)
+    if kind == "emb":
+        build_embeddings_tier(
+            spark, _tier_dir(sf_dir, 256), dst, replicas=4, sf_dir=sf_dir
+        )
+    else:
+        build_events_tier(
+            spark, _tier_dir(sf_dir, 256), dst, replicas=times // 256, sf_dir=sf_dir
+        )
+    if _marker_content(dst) == before:
         return spark
     spark.stop()
-    return get_spark(app_name=app_name)
+    return get_spark(app_name=f"coldata_spark_bench_{name}")
 
 
 def bench_q30_embeddings_tier(spark, sf_dir: str, specs) -> dict:
@@ -574,11 +602,9 @@ def bench_q30_embeddings_tier(spark, sf_dir: str, specs) -> dict:
     # sf_dir lets the builder replicate the 256x source on demand — only
     # when THIS tier's marker is missing/stale (a valid cached deep tier
     # must not trigger a multi-GB source rebuild)
-    before = _marker_content(dst)
     build_embeddings_tier(
         spark, _tier_dir(sf_dir, 256), dst, replicas=4, sf_dir=sf_dir
     )
-    spark = _fresh_session_if_built(spark, dst, before, "bench_emb1024v")
     pretouch_s = _pretouch(dst)  # pinned cache protocol (see _pretouch)
     tune_for_input(spark, dir_bytes(dst))
     repeats = 3
@@ -642,11 +668,9 @@ def bench_q83_events_tier(spark, sf_dir: str, specs, times: int = 1024) -> dict:
         f"events_{times}x",
     )
     # sf_dir: 256x source replicated on demand, only on a real (re)build
-    before = _marker_content(dst)
     build_events_tier(
         spark, _tier_dir(sf_dir, 256), dst, replicas=times // 256, sf_dir=sf_dir
     )
-    spark = _fresh_session_if_built(spark, dst, before, f"bench_ev{times}x")
     pretouch_s = _pretouch(dst)  # pinned cache protocol (see _pretouch)
     tune_for_input(spark, dir_bytes(dst))
     repeats = 3
