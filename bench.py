@@ -26,6 +26,7 @@ from coldata_spark.session import dir_bytes, get_spark, tune_for_input
 
 # module-level seam: tests point this at a temp file instead of
 # monkeypatching process-global os.path functions
+CACHE_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 DETAIL_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
 )
@@ -346,7 +347,7 @@ def _current_fixture_stamp(spread: dict) -> str | None:
     from tools.spread import fixture_stamp_of
 
     return fixture_stamp_of(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache", tier)
+        os.path.join(CACHE_ROOT, tier)
     )
 
 
@@ -565,9 +566,7 @@ def _ensure_deep_tier(spark, sf_dir: str, kind: str, times: int):
     from tools.clustered import build_embeddings_tier, build_events_tier
 
     name = "emb_1024x" if kind == "emb" else f"events_{times}x"
-    dst = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), ".bench_cache", name
-    )
+    dst = os.path.join(CACHE_ROOT, name)
     before = _marker_content(dst)
     if kind == "emb":
         build_embeddings_tier(
@@ -596,9 +595,7 @@ def bench_q30_embeddings_tier(spark, sf_dir: str, specs) -> dict:
 
     from tools.clustered import build_embeddings_tier
 
-    dst = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), ".bench_cache", "emb_1024x"
-    )
+    dst = os.path.join(CACHE_ROOT, "emb_1024x")
     # sf_dir lets the builder replicate the 256x source on demand — only
     # when THIS tier's marker is missing/stale (a valid cached deep tier
     # must not trigger a multi-GB source rebuild)
@@ -662,11 +659,7 @@ def bench_q83_events_tier(spark, sf_dir: str, specs, times: int = 1024) -> dict:
 
     from tools.clustered import build_events_tier
 
-    dst = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        ".bench_cache",
-        f"events_{times}x",
-    )
+    dst = os.path.join(CACHE_ROOT, f"events_{times}x")
     # sf_dir: 256x source replicated on demand, only on a real (re)build
     build_events_tier(
         spark, _tier_dir(sf_dir, 256), dst, replicas=times // 256, sf_dir=sf_dir
@@ -996,9 +989,7 @@ def _tier_ok(tier_dir: str) -> bool:
 def _tier_dir(sf_dir: str, times: int) -> str:
     return os.environ.get(
         f"SPARK_GRAFT_{times}X_DIR",
-        os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), ".bench_cache", f"{times}x"
-        ),
+        os.path.join(CACHE_ROOT, f"{times}x"),
     )
 
 

@@ -221,3 +221,38 @@ def test_write_detail_carries_skipped_sections(tmp_path, monkeypatch):
     assert got["replicated_16x"]["ratio"] == 1.3
     assert got["replicated_16x"]["carried"] is True
     assert got["q30_256x_serve"] == {"ratio": 1.4}  # fresh: no mark
+
+
+def test_stamp_inequality_drops_stale_records(tmp_path, monkeypatch):
+    """Round-10 restart lesson: when the driver regenerates the source
+    fixtures, every tier rebuilds under a new source-versioned marker and
+    records stamped against the vanished bytes must DROP — from both the
+    spread carry path and the section carry path — even when their
+    ratios look stable.  Unstamped legacy records still carry."""
+    import bench
+
+    cache = tmp_path / ".bench_cache" / "16x"
+    cache.mkdir(parents=True)
+    (cache / "_REPLICATED_OK").write_text("v3|/src|16|dvNEW")
+    # CACHE_ROOT is the module-level seam for exactly this: point the
+    # stamp resolution at the tmp cache instead of the repo's real one
+    monkeypatch.setattr(bench, "CACHE_ROOT", str(tmp_path / ".bench_cache"))
+
+    old = {"query": "q01_pricing_summary", "times": 16,
+           "fixture_stamp": "v2|/src|16"}
+    fresh = {"query": "q01_pricing_summary", "times": 16,
+             "fixture_stamp": "v3|/src|16|dvNEW"}
+    unstamped = {"query": "q01_pricing_summary", "times": 16}
+    assert bench._spread_is_stale(old, {})      # stamp mismatch: drop
+    assert not bench._spread_is_stale(fresh, {})  # stamp matches: keep
+    assert not bench._spread_is_stale(unstamped, {})  # legacy: carry
+    # a record naming a tier dir that doesn't exist is unknowable: carry
+    missing = {"query": "x", "times": 64, "fixture_stamp": "v2|/src|64"}
+    assert not bench._spread_is_stale(missing, {})
+    # section carry path applies the same rule end-to-end
+    detail = tmp_path / "BENCH_DETAIL.json"
+    monkeypatch.setattr(bench, "DETAIL_PATH", str(detail))
+    bench._write_detail({"replicated_16x": {**old, "ratio": 9.9}})
+    bench._write_detail({"metric": "m"})
+    got = json.loads(detail.read_text())
+    assert "replicated_16x" not in got, "stale section must not carry"
