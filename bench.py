@@ -298,6 +298,7 @@ def _write_detail(result: dict) -> None:
         "q83_amortization_4096x",
         "q30_amortization_1024x",
         "q30_256x_serve",
+        "q44_headline_serve",
         "concurrent_batch",
     )
     for k in _SECTIONS:
@@ -336,19 +337,46 @@ def _current_fixture_stamp(spread: dict) -> str | None:
         if len(parts) < 3 or not os.path.isdir(parts[1]):
             return None
         return _headline_stamp(parts[1])
-    # records since round 10 name their fixture dir; older spread records
-    # fall back to the times-derived name (16 -> "16x", or the tier string)
-    tier = spread.get("fixture_name")
+    # records since round 10 name their fixture dir (fixture_name on
+    # sections, tier on spreads); older records fall back to the
+    # times-derived name.  The derived name is UNRELIABLE for dirs whose
+    # name is not "{times}x" (a 256x_vector record carries times=256, as
+    # does a 256x_clustered one): rather than compare such a record
+    # against the WRONG directory and false-drop it, only trust the
+    # derived name when the record's own stamp has the flat replicate
+    # builder's shape — "v<N>|<src path>|<times>[|dv…]" — whose dir IS
+    # "{times}x" by construction.  Vector ("vec-v1|…") and clustered
+    # ("v4|<buckets>|…") stamps fail the shape check and resolve only
+    # through an explicit tier/fixture_name field.
+    tier = spread.get("fixture_name") or spread.get("tier")
+    times = spread.get("times")
     if not tier:
-        times = spread.get("times")
-        tier = f"{times}x" if isinstance(times, int) else times
+        if not isinstance(times, int):
+            tier = times  # spread-only tier strings ARE the dir name
+        else:
+            parts = stamp.split("|")
+            replicate_shaped = (
+                len(parts) >= 3
+                and parts[0].startswith("v")
+                and "/" in parts[1]
+                and parts[2] == str(times)
+            )
+            if not replicate_shaped:
+                return None
+            tier = f"{times}x"
     if not tier or tier == "headline":
         return None
     from tools.spread import fixture_stamp_of
 
-    return fixture_stamp_of(
-        os.path.join(CACHE_ROOT, tier)
-    )
+    # int-times flat tiers honor the same env override the measurement
+    # used (_tier_dir: gate and measurement must not disagree)
+    if isinstance(times, int) and tier == f"{times}x":
+        tier_dir = os.environ.get(
+            f"SPARK_GRAFT_{times}X_DIR", os.path.join(CACHE_ROOT, tier)
+        )
+    else:
+        tier_dir = os.path.join(CACHE_ROOT, tier)
+    return fixture_stamp_of(tier_dir)
 
 
 def _spread_is_stale(spread: dict, result: dict) -> bool:

@@ -563,12 +563,15 @@ def q36_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     back to double on both sides yields bit-identical float64 columns.
 
     Reference basis: vdb/embed.py:16-39 (batch encode, mean-pool,
-    normalize); the mapInPandas lifecycle (one encoder init per task) is
-    asserted separately in tests/test_embed.py."""
+    normalize).  The hash encoder is PINNED (not left to
+    _default_encoder_factory): the default swaps to a real transformer
+    wherever the library is importable, which would silently turn this
+    exact twin into a guaranteed mismatch — the real-model path is
+    exercised by tests/test_real_libs.py instead, skip-if-absent."""
     from coldata_spark import embed as E
 
     docs = load(spark, sf_dir, "documents")
-    emb = E.embed_documents(docs)
+    emb = E.embed_documents(docs, encoder_factory=lambda: E.hash_embed_texts)
     return emb.select(
         "doc_id", F.posexplode("embedding").alias("i", "component")
     ).select(

@@ -119,41 +119,53 @@ def test_deep_tier_builders_skip_source_when_cached(spark, tmp_path, monkeypatch
 
 def test_jitter_wrapped_never_crosses_a_second(spark):
     """The replica jitter must stay inside each event's own second for
-    ANY base data — including the adversarial case that crashed the
-    round-10 bench: base timestamps with ~zero sub-second headroom
-    (max micros 999997 in the regenerated fixtures)."""
+    ANY base data — the adversarial case that crashed the round-10 bench
+    (base timestamps with ~zero sub-second headroom, max micros 999997
+    in the regenerated fixtures) AND pre-epoch timestamps, where Spark's
+    sign-following % would compute a negative sub-second and let the
+    jitter escape into the next second (pmod regression)."""
     import pyspark.sql.functions as F
 
     from tools.replicate import jitter_wrapped
 
     base = spark.createDataFrame(
-        [(1_000_000_999_999,), (1_000_000_000_000,), (999_999_999_997,)],
+        [
+            (1_000_000_999_999,),
+            (1_000_000_000_000,),
+            (999_999_999_997,),
+            (-5,),  # 1969-12-31 23:59:59.999995
+            (-1_000_000,),  # exactly one pre-epoch second boundary
+        ],
         "us BIGINT",
     ).select(F.timestamp_micros("us").alias("ts"))
+    floor_sec = lambda c: F.floor(F.unix_micros(c) / 1_000_000)  # noqa: E731
     for off in (1, 15, 255, 256 * 15):
         out = base.select(
-            "ts",
-            jitter_wrapped("ts", off).alias("j"),
-        ).select(
-            (F.unix_micros("ts") - F.unix_micros("ts") % 1_000_000).alias("sec_a"),
-            (F.unix_micros("j") - F.unix_micros("j") % 1_000_000).alias("sec_b"),
-            (F.unix_micros("j") % 1_000_000).alias("sub_b"),
-            (F.unix_micros("ts") % 1_000_000).alias("sub_a"),
+            floor_sec("ts").alias("sec_a"),
+            floor_sec(jitter_wrapped("ts", off)).alias("sec_b"),
+            F.pmod(F.unix_micros("ts"), F.lit(1_000_000)).alias("sub_a"),
+            F.pmod(
+                F.unix_micros(jitter_wrapped("ts", off)), F.lit(1_000_000)
+            ).alias("sub_b"),
         )
-        rows = out.collect()
-        for r in rows:
+        for r in out.collect():
             assert r.sec_a == r.sec_b, f"offset {off} moved the second"
             assert r.sub_b == (r.sub_a + off) % 1_000_000
 
 
-def test_replicated_tier_stamp_carries_source_version(tmp_path, spark):
-    """A regenerated source dir must stale the tier marker: the stamp
-    folds in tables.data_version of the source, so path+times alone can
-    never validate a tier built from vanished bytes."""
-    from tools.replicate import source_stamp
+def test_replicated_tier_marker_carries_source_version(tmp_path, spark):
+    """A regenerated source dir must stale the tier MARKER: the written
+    stamp folds in the source's content version, so path+times alone can
+    never validate a tier built from vanished bytes.  Exercises the real
+    replicate_fixture end-to-end at the smallest fixture."""
+    import tools.replicate as R
 
     sf = "/root/testdata/sf0.001"
-    s1 = source_stamp(sf)
-    assert s1.startswith("dv") and s1 != "dv-1.-1.-1"
-    # stamp is a pure content function: same dir, same stamp
-    assert source_stamp(sf) == s1
+    dst = str(tmp_path / "2x")
+    R.replicate_fixture(spark, sf, dst, times=2)
+    marker = (tmp_path / "2x" / "_REPLICATED_OK").read_text()
+    assert marker == f"v3|{sf}|2|{R.source_stamp(sf)}", marker
+    # reverting to a path+times-only stamp (the pre-v3 format) must read
+    # as stale: the builder would rebuild, not cache-hit
+    assert f"v2|{sf}|2" != marker
+    assert R.source_stamp(sf) in marker

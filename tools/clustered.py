@@ -303,8 +303,12 @@ def build_events_tier(
         # regenerated /root/testdata cascades staleness into this tier
         # WITHOUT requiring the (deletable, multi-GB) intermediate 256x
         # dir to exist for validation (round-9: a valid cached deep tier
-        # must not trigger a source replication)
-        src = source_stamp(sf_dir) if sf_dir else fixture_stamp_of(tier256_dir)
+        # must not trigger a source replication).  With no sf_dir, a
+        # markerless tier256 stamps its content version too — a literal
+        # "None" would validate forever across regenerations
+        src = source_stamp(sf_dir) if sf_dir else (
+            fixture_stamp_of(tier256_dir) or source_stamp(tier256_dir)
+        )
         return f"v3|{replicas}|{src}"
 
     if os.path.exists(marker) and open(marker).read() == deep_stamp():
@@ -361,7 +365,9 @@ def build_embeddings_tier(
 
     def deep_stamp() -> str:
         # v2: source content version folded in (see build_events_tier)
-        src = source_stamp(sf_dir) if sf_dir else fixture_stamp_of(tier256_dir)
+        src = source_stamp(sf_dir) if sf_dir else (
+            fixture_stamp_of(tier256_dir) or source_stamp(tier256_dir)
+        )
         return f"v2|{replicas}|{src}"
 
     if os.path.exists(marker) and open(marker).read() == deep_stamp():

@@ -114,15 +114,22 @@ def measure_serve(
     con.close()
 
     d_best = min(d_runs)
+    from bench import _headline_stamp
+
     return {
         "query": name,
         "tier_key": None,  # serve path: no rebuild-mode tier entry matches
         "tier_ratio_at_measurement": None,
         # markerless dirs (the headline sf dir) stamp their content
-        # version instead, same fallback as tools/spread.py headline mode
-        "fixture_stamp": fixture_stamp_of(tier_dir)
-        or f"headline|{tier_dir}|dv={_data_version(tier_dir)}",
+        # version via the ONE shared helper — bench._spread_is_stale
+        # recomputes with the same function, so format drift between
+        # writer and checker cannot silently stale every headline record
+        "fixture_stamp": fixture_stamp_of(tier_dir) or _headline_stamp(tier_dir),
         "measured": datetime.date.today().isoformat(),
+        # the dir name under .bench_cache — the reliable resolution key
+        # for the staleness check (times alone is ambiguous: 256x,
+        # 256x_vector and 256x_clustered records all carry times=256)
+        "tier": tier,
         "times": int(tier.rstrip("x")) if tier.rstrip("x").isdigit() else tier,
         "spark_sec": min(serve_runs),
         "duckdb_sec": d_best,

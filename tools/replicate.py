@@ -36,10 +36,15 @@ def jitter_wrapped(ts_col: str, offset_us: int):
     only had when the base fixture happened to leave enough sub-second
     headroom.  Offsets distinct mod 1e6 yield distinct timestamps per
     source row (deep tiers stack ``i*256`` on the 256x tier's ``0..255``,
-    max 4095 < 1e6)."""
+    max 4095 < 1e6).  ``pmod``, not ``%``: Spark's % follows the sign of
+    the dividend, so a pre-epoch timestamp (negative micros) would get a
+    negative "sub-second" and a second-start one second too late,
+    letting the jitter escape into the next second — exactly the
+    crossing this function exists to forbid."""
     return F.expr(
-        f"timestamp_micros(unix_micros({ts_col}) - unix_micros({ts_col}) % 1000000"
-        f" + (unix_micros({ts_col}) % 1000000 + {offset_us}) % 1000000)"
+        f"timestamp_micros(unix_micros({ts_col})"
+        f" - pmod(unix_micros({ts_col}), 1000000)"
+        f" + pmod(pmod(unix_micros({ts_col}), 1000000) + {offset_us}, 1000000))"
     )
 
 

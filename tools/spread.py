@@ -153,17 +153,23 @@ def measure(spec_name: str, tier: str, repeats: int = 7) -> dict:
     fixture_stamp = fixture_stamp_of(tier_dir)
     if fixture_stamp is None and tier == "headline":
         # the sf dir has no build marker; stamp its content version so
-        # the record states what data it measured (testdata is read-only,
-        # so this is stable until the driver regenerates fixtures)
-        from coldata_spark.tables import data_version
+        # the record states what data it measured — via bench's ONE
+        # helper, which the staleness check recomputes with (format
+        # drift between writer and checker would silently stale or
+        # permanently carry every headline record)
+        from bench import _headline_stamp
 
-        fixture_stamp = f"headline|{tier_dir}|dv={data_version(tier_dir)}"
+        fixture_stamp = _headline_stamp(tier_dir)
     return {
         "query": spec_name,
         "tier_key": tier_key,
         "tier_ratio_at_measurement": tier_ratio,
         "fixture_stamp": fixture_stamp,
         "measured": datetime.date.today().isoformat(),
+        # the dir name under .bench_cache — the reliable resolution key
+        # for staleness (times alone is ambiguous across 256x,
+        # 256x_vector, 256x_clustered)
+        "tier": tier,
         "times": int(re.match(r"\d+", tier).group()) if tier[0].isdigit() else tier,
         "spark_sec": s_best,
         "spark_spread": [min(s_runs), round(_median(s_runs), 3), max(s_runs)],

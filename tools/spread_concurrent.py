@@ -21,7 +21,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import _median, bench_concurrent  # noqa: E402
+from bench import _headline_stamp, _median, bench_concurrent  # noqa: E402
 from coldata_spark import registry  # noqa: E402
 from coldata_spark.session import (  # noqa: E402
     dir_bytes,
@@ -50,8 +50,6 @@ def measure(repeats: int = 3) -> dict:
         vals = [r[key] for r in runs]
         return [min(vals), round(_median(vals), 3), max(vals)]
 
-    from coldata_spark.tables import data_version
-
     return {
         # stamped like every *_spread record (test_spread_staleness_gate):
         # the "query" is the whole concurrent batch, and the fixture stamp
@@ -59,7 +57,7 @@ def measure(repeats: int = 3) -> dict:
         "query": "concurrent_batch",
         "tier_key": None,
         "tier_ratio_at_measurement": None,
-        "fixture_stamp": f"headline|{sf_dir}|dv={data_version(sf_dir)}",
+        "fixture_stamp": _headline_stamp(sf_dir),
         "measured": datetime.date.today().isoformat(),
         "repeats": repeats,
         "prepared_sec_band": band("prepared_sec"),
