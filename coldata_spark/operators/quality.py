@@ -1,0 +1,188 @@
+"""Declarative data-quality constraints: audit + enforce (quarantine).
+
+The Delta CHECK-constraint / Great-Expectations primitive a training-data
+pipeline runs before anything downstream trusts a table.  The reference
+validates records imperatively before insert (crawler.py pre-insert field
+checks, one document at a time); this is the set-oriented Spark form:
+rules are DATA (name + boolean Column), compiled into as few passes over
+the table as their kind allows.
+
+Plan shapes — the scale contract:
+
+  * ROW rules (not_null / in_range / in_set / matches / expr_rule): any
+    number of them folds into ONE aggregate pass (`sum(when(violated,1))`
+    per rule inside a single HashAggregate over a single scan) for
+    audit(), and ONE projection (an `array<string>` of failed rule names,
+    built from `F.array` + `F.filter`, no UDF) for quarantine().  Adding
+    a rule never adds a scan, a shuffle, or a Python boundary.
+  * UNIQUE rules: one hash-agg on the key columns, `count > 1` — the only
+    rule kind that shuffles, bounded by distinct keys (map-side combine
+    does the heavy lifting at 100 TB).
+  * FOREIGN-KEY rules: a left anti-join of the fact's key against the
+    dim's key column — broadcast when the dim is small (TPC-H dims
+    always), degrading to a shuffle join automatically when it isn't;
+    the plan stays declarative either way.
+
+audit() returns one row per rule (rule, violations, checked) so the
+result is tiny at any scale; quarantine() splits clean/bad WITHOUT
+re-evaluating rules twice (the violation array is computed once and both
+sides filter on it).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Rule:
+    """A row-level constraint: ``pred`` is TRUE when the row PASSES."""
+
+    name: str
+    pred: Column
+
+
+@dataclass(frozen=True)
+class UniqueRule:
+    """Key-level constraint: ``cols`` must identify rows uniquely.
+    A violation is EVERY row whose key occurs more than once (not just
+    the excess copies) — the quarantine-friendly definition: all members
+    of an ambiguous key are suspect."""
+
+    name: str
+    cols: tuple[str, ...]
+
+
+@dataclass(frozen=True)
+class ForeignKeyRule:
+    """Referential constraint: non-null ``col`` values must appear in
+    ``dim_col`` of the dimension frame."""
+
+    name: str
+    col: str
+    dim: DataFrame
+    dim_col: str
+
+
+def not_null(col: str) -> Rule:
+    return Rule(f"not_null({col})", F.col(col).isNotNull())
+
+
+def in_range(col: str, lo, hi) -> Rule:
+    """Closed interval; NULL passes (pair with not_null to forbid it) —
+    the SQL three-valued-logic convention CHECK constraints use."""
+    c = F.col(col)
+    return Rule(
+        f"in_range({col},{lo},{hi})", c.isNull() | ((c >= lo) & (c <= hi))
+    )
+
+
+def in_set(col: str, values: list) -> Rule:
+    c = F.col(col)
+    return Rule(
+        f"in_set({col})", c.isNull() | c.isin(values)
+    )
+
+
+def matches(col: str, regex: str) -> Rule:
+    c = F.col(col)
+    return Rule(f"matches({col})", c.isNull() | c.rlike(regex))
+
+
+def expr_rule(name: str, sql_expr: str) -> Rule:
+    """Escape hatch: any boolean SQL expression (a CHECK constraint)."""
+    return Rule(name, F.expr(sql_expr))
+
+
+def unique(cols: list[str]) -> UniqueRule:
+    return UniqueRule(f"unique({','.join(cols)})", tuple(cols))
+
+
+def foreign_key(col: str, dim: DataFrame, dim_col: str, dim_name: str = "") -> ForeignKeyRule:
+    label = dim_name or dim_col
+    return ForeignKeyRule(f"fk({col}->{label})", col, dim, dim_col)
+
+
+def audit(df: DataFrame, rules: list) -> DataFrame:
+    """One (rule, violations, checked) row per rule.
+
+    All row rules share ONE scan+aggregate; each unique/fk rule adds its
+    own bounded-shuffle aggregate; the per-rule one-row frames union into
+    a result whose size is the rule count, at any data scale."""
+    row_rules = [r for r in rules if isinstance(r, Rule)]
+    parts: list[DataFrame] = []
+    if row_rules:
+        aggs = [
+            F.sum(F.when(~r.pred, 1).otherwise(0)).cast("long").alias(r.name)
+            for r in row_rules
+        ]
+        wide = df.agg(F.count(F.lit(1)).cast("long").alias("_checked"), *aggs)
+        # unpivot the single wide row into (rule, violations, checked):
+        # stack() is one Expand over ONE row — free
+        n = len(row_rules)
+        stack_args = ", ".join(
+            f"'{r.name}', `{r.name}`" for r in row_rules
+        )
+        parts.append(
+            wide.selectExpr(
+                f"stack({n}, {stack_args}) as (rule, violations)", "_checked as checked"
+            )
+        )
+    for r in rules:
+        if isinstance(r, UniqueRule):
+            keys = df.groupBy(*r.cols).count()
+            viol = keys.filter(F.col("count") > 1).agg(
+                F.coalesce(F.sum("count"), F.lit(0)).cast("long").alias("violations")
+            )
+            total = df.agg(F.count(F.lit(1)).cast("long").alias("checked"))
+            parts.append(
+                viol.crossJoin(total).select(
+                    F.lit(r.name).alias("rule"), "violations", "checked"
+                )
+            )
+        elif isinstance(r, ForeignKeyRule):
+            probe = df.select(F.col(r.col).alias("_k")).filter(
+                F.col("_k").isNotNull()
+            )
+            missing = probe.join(
+                r.dim.select(F.col(r.dim_col).alias("_k")).distinct(),
+                "_k",
+                "left_anti",
+            )
+            viol = missing.agg(
+                F.count(F.lit(1)).cast("long").alias("violations")
+            )
+            total = df.agg(F.count(F.lit(1)).cast("long").alias("checked"))
+            parts.append(
+                viol.crossJoin(total).select(
+                    F.lit(r.name).alias("rule"), "violations", "checked"
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def with_violations(df: DataFrame, rules: list[Rule], col: str = "_violations") -> DataFrame:
+    """Append a comma-joined string of failed rule names (declaration
+    order, '' when clean) — ONE projection, no UDF.  A string, not an
+    array, so the column hashes identically cross-engine (pandas
+    stringifies numpy arrays and python lists differently)."""
+    marks = [F.when(~r.pred, F.lit(r.name)) for r in rules]
+    return df.withColumn(col, F.concat_ws(",", *marks))
+
+
+def quarantine(
+    df: DataFrame, rules: list[Rule], col: str = "_violations"
+) -> tuple[DataFrame, DataFrame]:
+    """(clean, bad): rules evaluated ONCE into the violation column; both
+    sides are filters over the same plan — Spark reuses the scan."""
+    marked = with_violations(df, rules, col)
+    return (
+        marked.filter(F.col(col) == "").drop(col),
+        marked.filter(F.col(col) != ""),
+    )

@@ -1823,3 +1823,139 @@ def q170_curation_pipeline_incremental(spark: SparkSession, sf_dir: str) -> Data
         bench,
         seed="pipe",
     )
+
+
+@register(
+    "q174_quality_audit",
+    survey="ext-constraints,A5,J3",
+    sql="""
+    WITH n AS (SELECT CAST(count(*) AS BIGINT) AS checked FROM lineitem)
+    SELECT 'not_null(l_orderkey)' AS rule,
+           CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS violations,
+           (SELECT checked FROM n) AS checked
+    FROM lineitem
+    UNION ALL
+    SELECT 'in_range(l_quantity,1,25)',
+           CAST(sum(CASE WHEN l_quantity IS NOT NULL
+                          AND NOT (l_quantity >= 1 AND l_quantity <= 25)
+                     THEN 1 ELSE 0 END) AS BIGINT),
+           (SELECT checked FROM n)
+    FROM lineitem
+    UNION ALL
+    SELECT 'in_set(l_returnflag)',
+           CAST(sum(CASE WHEN l_returnflag IS NOT NULL
+                          AND l_returnflag NOT IN ('A', 'N')
+                     THEN 1 ELSE 0 END) AS BIGINT),
+           (SELECT checked FROM n)
+    FROM lineitem
+    UNION ALL
+    SELECT 'matches(l_linestatus)',
+           CAST(sum(CASE WHEN l_linestatus IS NOT NULL
+                          AND NOT regexp_matches(l_linestatus, '^[OF]$')
+                     THEN 1 ELSE 0 END) AS BIGINT),
+           (SELECT checked FROM n)
+    FROM lineitem
+    UNION ALL
+    SELECT 'unique(l_orderkey,l_linenumber)',
+           CAST(coalesce(sum(c), 0) AS BIGINT),
+           (SELECT checked FROM n)
+    FROM (SELECT count(*) AS c FROM lineitem
+          GROUP BY l_orderkey, l_linenumber) WHERE c > 1
+    UNION ALL
+    SELECT 'unique(l_orderkey)',
+           CAST(coalesce(sum(c), 0) AS BIGINT),
+           (SELECT checked FROM n)
+    FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey)
+    WHERE c > 1
+    UNION ALL
+    SELECT 'fk(l_suppkey->s_suppkey)',
+           CAST(sum(CASE WHEN l_suppkey IS NOT NULL AND l_suppkey NOT IN
+                          (SELECT s_suppkey FROM supplier)
+                     THEN 1 ELSE 0 END) AS BIGINT),
+           (SELECT checked FROM n)
+    FROM lineitem
+    """,
+)
+def q174_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraints audit (operators/quality.py) over lineitem:
+    one row per rule with its violation count.  Mixes passing rules
+    (not_null on the pk, the real fk, the linestatus regex) with
+    violating ones (a tightened quantity range, a flag whitelist missing
+    'R', unique keys) so both verdicts are value-checked.  The composite
+    unique(l_orderkey,l_linenumber) — TPC-H's pk — FIRES on the synthetic
+    fixtures (the generator assigns line numbers independently, ~26k of
+    60k rows at sf0.01 share a pair): the audit surfacing a genuine
+    fixture defect is the op doing its job, and the count is
+    hash-checked either way.  Plan: all four row rules share ONE scan+aggregate
+    (stack over a single wide row), each unique rule is one bounded
+    hash-agg, the fk is a broadcast anti-join — adding row rules never
+    adds a scan.  Reference basis: crawler.py's imperative pre-insert
+    field validation, set-oriented."""
+    from coldata_spark.operators import quality as Q
+
+    li = load(spark, sf_dir, "lineitem")
+    sup = load(spark, sf_dir, "supplier")
+    return Q.audit(
+        li,
+        [
+            Q.not_null("l_orderkey"),
+            Q.in_range("l_quantity", 1, 25),
+            Q.in_set("l_returnflag", ["A", "N"]),
+            Q.matches("l_linestatus", "^[OF]$"),
+            Q.unique(["l_orderkey", "l_linenumber"]),
+            Q.unique(["l_orderkey"]),
+            Q.foreign_key("l_suppkey", sup, "s_suppkey"),
+        ],
+    )
+
+
+@register(
+    "q175_quality_quarantine",
+    survey="ext-constraints,T11",
+    sql="""
+    SELECT doc_id,
+           concat_ws(',',
+               CASE WHEN text IS NULL THEN 'not_null(text)' END,
+               CASE WHEN n_chars IS NOT NULL AND NOT (n_chars >= 200)
+                    THEN 'min_length' END,
+               CASE WHEN lang IS NOT NULL AND lang NOT IN ('en', 'de', 'fr')
+                    THEN 'in_set(lang)' END,
+               CASE WHEN source IS NOT NULL
+                     AND NOT regexp_matches(source, '^src[0-9]+$')
+                    THEN 'matches(source)' END
+           ) AS _violations
+    FROM documents
+    WHERE concat_ws(',',
+               CASE WHEN text IS NULL THEN 'not_null(text)' END,
+               CASE WHEN n_chars IS NOT NULL AND NOT (n_chars >= 200)
+                    THEN 'min_length' END,
+               CASE WHEN lang IS NOT NULL AND lang NOT IN ('en', 'de', 'fr')
+                    THEN 'in_set(lang)' END,
+               CASE WHEN source IS NOT NULL
+                     AND NOT regexp_matches(source, '^src[0-9]+$')
+                    THEN 'matches(source)' END
+           ) <> ''
+    """,
+)
+def q175_quality_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The enforce side of the constraints engine: quarantine() splits
+    documents on four row rules evaluated in ONE projection; this query
+    returns the BAD side with its comma-joined failed-rule list (a
+    string, not an array — arrays stringify differently between pandas
+    paths, strings hash identically).  The clean side is the same plan
+    filtered the other way (asserted complementary in
+    tests/test_quality.py).  NULL semantics are SQL CHECK-constraint
+    3VL: a NULL operand passes every rule except not_null — identical
+    CASE/when skip behavior on both engines."""
+    from coldata_spark.operators import quality as Q
+
+    docs = load(spark, sf_dir, "documents")
+    rules = [
+        Q.not_null("text"),
+        Q.expr_rule("min_length", "n_chars >= 200"),
+        Q.in_set("lang", ["en", "de", "fr"]),
+        Q.matches("source", "^src[0-9]+$"),
+    ]
+    _clean, bad = Q.quarantine(docs, rules)
+    return bad.select("doc_id", "_violations")

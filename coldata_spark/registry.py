@@ -47,7 +47,12 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q34_knn_l2_topk",
     "q35_ann_ivf_search",
     "q36_embed_documents",
-    "q37_knn_ip_topk",
+    # round 10 (restarted session): q174 (declarative constraints audit —
+    # the new ext-constraints capability) rotated in, displacing
+    # q37_knn_ip_topk whose J5/V5/W1 tags stay covered by q30 (cosine)
+    # and q34 (L2) — the third metric of the same operator family was the
+    # most tag-redundant row (coverage gate verified)
+    "q174_quality_audit",
     "q38_embedding_dim_stats",
     "q89_filtered_knn",
     # As-of join under the driver's hash check (r9, r8 verdict ask #4):

@@ -1,0 +1,93 @@
+"""operators/quality.py — declarative constraints: audit counts, the
+quarantine split invariant, NULL three-valued-logic, and the one-scan
+plan shape for row rules."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from coldata_spark.operators import quality as Q
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    return spark.createDataFrame(
+        [
+            (1, "alice", 10, "en"),
+            (2, "bob", 200, "en"),
+            (3, None, 30, "de"),
+            (4, "dave", None, "xx"),
+            (5, "eve", -1, None),
+            (5, "eve2", 7, "en"),  # duplicate id
+        ],
+        "id BIGINT, name STRING, score BIGINT, lang STRING",
+    )
+
+
+def _counts(df):
+    return {r["rule"]: (r["violations"], r["checked"]) for r in df.collect()}
+
+
+def test_audit_counts_every_rule_kind(spark, frame):
+    dim = spark.createDataFrame([("en",), ("de",)], "code STRING")
+    got = _counts(
+        Q.audit(
+            frame,
+            [
+                Q.not_null("name"),
+                Q.in_range("score", 0, 100),
+                Q.in_set("lang", ["en", "de"]),
+                Q.matches("name", "^[a-z]+$"),
+                Q.unique(["id"]),
+                Q.foreign_key("lang", dim, "code"),
+            ],
+        )
+    )
+    assert got["not_null(name)"] == (1, 6)
+    # NULL score passes in_range (3VL); 200 and -1 violate
+    assert got["in_range(score,0,100)"] == (2, 6)
+    # NULL lang passes in_set; 'xx' violates
+    assert got["in_set(lang)"] == (1, 6)
+    # NULL name passes matches; 'eve2' violates the regex
+    assert got["matches(name)"] == (1, 6)
+    # BOTH rows of the duplicated id count as violations
+    assert got["unique(id)"] == (2, 6)
+    # fk: NULL lang skipped; 'xx' missing from the dim
+    assert got["fk(lang->code)"] == (1, 6)
+
+
+def test_quarantine_split_is_complementary(frame):
+    rules = [Q.not_null("name"), Q.in_range("score", 0, 100)]
+    clean, bad = Q.quarantine(frame, rules)
+    n_clean, n_bad = clean.count(), bad.count()
+    assert n_clean + n_bad == frame.count()
+    # clean side carries no extra column and no violating row
+    assert clean.columns == frame.columns
+    assert clean.filter(F.col("name").isNull()).count() == 0
+    # bad side names its failures in declaration order
+    viols = {r["id"]: r["_violations"] for r in bad.collect()}
+    assert viols[3] == "not_null(name)"
+    assert viols[2] == "in_range(score,0,100)"
+    assert viols[5] == "in_range(score,0,100)"  # the -1 row
+
+
+def test_row_rules_share_one_scan(frame):
+    """Any number of row rules must audit in a single aggregate over a
+    single scan: exactly one Scan node and no shuffle Exchange beyond
+    the one-row final aggregate's."""
+    plan = Q.audit(
+        frame,
+        [
+            Q.not_null("name"),
+            Q.in_range("score", 0, 100),
+            Q.in_set("lang", ["en", "de"]),
+            Q.matches("name", "^[a-z]+$"),
+        ],
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ") == 1, plan
+
+
+def test_audit_requires_rules(frame):
+    with pytest.raises(IndexError):
+        Q.audit(frame, [])

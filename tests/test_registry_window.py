@@ -41,14 +41,19 @@ def test_window_covers_every_query_covered_survey_op():
 
 
 def test_window_includes_vector_and_dedup_core():
-    """Round-1 verdict's explicit ask: kNN/IVF + minhash dedup driver-verified."""
+    """Round-1 verdict's explicit ask: kNN/IVF + minhash dedup driver-verified.
+
+    q37 (inner-product kNN) left this list in round 10 when q174 (the
+    constraints audit) rotated in: cosine (q30) and L2 (q34) keep the
+    kNN family and every V5 metric-semantics tag in-window; the third
+    metric of the same operator stays oracle-checked outside the window
+    via tests/test_oracle.py."""
     window = set(registry._DRIVER_WINDOW)
     required = {
         "q30_knn_cosine_topk",
         "q31_search_group_best",
         "q33_centroid_assign",
         "q34_knn_l2_topk",
-        "q37_knn_ip_topk",
         "q23_exact_dedup",
         "q24_fingerprint_dedup",
         "q25_minhash_signatures",
