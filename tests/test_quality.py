@@ -91,3 +91,65 @@ def test_row_rules_share_one_scan(frame):
 def test_audit_requires_rules(frame):
     with pytest.raises(IndexError):
         Q.audit(frame, [])
+
+
+def test_stream_quality_monitor_equals_batch(spark, sf_dir, tmp_path):
+    """streaming/quality.py: per-batch audits fold additively into the
+    monitor table; the folded counts equal the batch audit over
+    everything ingested; replayed batch ids are no-ops; non-additive
+    rule kinds are rejected with the reason."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from coldata_spark.streaming import quality as SQ
+    from coldata_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    rules = [
+        Q.not_null("text"),
+        Q.expr_rule("min_length", "n_chars >= 200"),
+        Q.in_set("lang", ["en", "de", "fr"]),
+    ]
+    first = docs.filter(F.col("doc_id") % 2 == 0)
+    second = docs.filter(F.col("doc_id") % 2 == 1)
+
+    in_dir = tmp_path / "q_in"
+    in_dir.mkdir()
+    table = str(tmp_path / "q_monitor")
+    ckpt = str(tmp_path / "q_ckpt")
+
+    def expected(df):
+        return {
+            (r.rule, r.violations, r.checked)
+            for r in Q.audit(df, rules).collect()
+        }
+
+    def src():
+        return spark.readStream.schema(docs.schema).parquet(str(in_dir) + "/*")
+
+    first.write.parquet(str(in_dir / "drop0"))
+    SQ.stream_quality_monitor(src(), rules, table, ckpt)
+    got = {
+        (r.rule, r.violations, r.checked)
+        for r in spark.read.parquet(table).collect()
+    }
+    assert got == expected(first)
+
+    # replayed batch id: no double-count (fold_once sentinel)
+    SQ.fold_into_quality(SQ.quality_partial(first, rules), table, batch_id=0)
+    assert {
+        (r.rule, r.violations, r.checked)
+        for r in spark.read.parquet(table).collect()
+    } == got
+
+    # a later drop accumulates; folded == batch audit over the union
+    second.write.parquet(str(in_dir / "drop1"))
+    SQ.stream_quality_monitor(src(), rules, table, ckpt)
+    assert {
+        (r.rule, r.violations, r.checked)
+        for r in spark.read.parquet(table).collect()
+    } == expected(docs)
+
+    # non-additive kinds are refused, not silently mis-folded
+    with _pytest.raises(ValueError, match="batch audit over the merged"):
+        SQ.quality_partial(docs, rules + [Q.unique(["doc_id"])])
