@@ -109,61 +109,80 @@ def foreign_key(col: str, dim: DataFrame, dim_col: str, dim_name: str = "") -> F
 def audit(df: DataFrame, rules: list) -> DataFrame:
     """One (rule, violations, checked) row per rule.
 
-    All row rules share ONE scan+aggregate; each unique/fk rule adds its
-    own bounded-shuffle aggregate; the per-rule one-row frames union into
-    a result whose size is the rule count, at any data scale."""
+    Scan budget — the number that matters at 100 TB: row rules AND fk
+    rules share ONE pass (each fk left-joins its broadcast dim-key set
+    with a hit indicator onto the fact ONCE, then its violation count is
+    just another conditional sum in the same aggregate as the row
+    rules); each unique rule is one groupBy pass whose OWN group counts
+    yield both ``violations`` (members of duplicated keys) and
+    ``checked`` (sum of all group counts == row count) — no rule kind
+    ever triggers a dedicated count-the-table scan.  Total passes:
+    1 + #unique, independent of how many row/fk rules are declared."""
     row_rules = [r for r in rules if isinstance(r, Rule)]
+    fk_rules = [r for r in rules if isinstance(r, ForeignKeyRule)]
     parts: list[DataFrame] = []
-    if row_rules:
+    if row_rules or fk_rules:
+        base = df
+        hit_cols: dict[str, str] = {}
+        for i, r in enumerate(fk_rules):
+            hit = f"_fk_hit_{i}"
+            keys = (
+                r.dim.select(F.col(r.dim_col).alias(r.col))
+                .distinct()
+                .withColumn(hit, F.lit(1))
+            )
+            base = base.join(keys, r.col, "left")
+            hit_cols[r.name] = hit
         aggs = [
             F.sum(F.when(~r.pred, 1).otherwise(0)).cast("long").alias(r.name)
             for r in row_rules
+        ] + [
+            F.sum(
+                F.when(
+                    F.col(r.col).isNotNull()
+                    & F.col(hit_cols[r.name]).isNull(),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias(r.name)
+            for r in fk_rules
         ]
-        wide = df.agg(F.count(F.lit(1)).cast("long").alias("_checked"), *aggs)
+        wide = base.agg(F.count(F.lit(1)).cast("long").alias("_checked"), *aggs)
         # unpivot the single wide row into (rule, violations, checked):
         # stack() is one Expand over ONE row — free
-        n = len(row_rules)
-        stack_args = ", ".join(
-            f"'{r.name}', `{r.name}`" for r in row_rules
-        )
+        names = [r.name for r in row_rules] + [r.name for r in fk_rules]
+        stack_args = ", ".join(f"'{n}', `{n}`" for n in names)
         parts.append(
             wide.selectExpr(
-                f"stack({n}, {stack_args}) as (rule, violations)", "_checked as checked"
+                f"stack({len(names)}, {stack_args}) as (rule, violations)",
+                "_checked as checked",
             )
         )
     for r in rules:
         if isinstance(r, UniqueRule):
             keys = df.groupBy(*r.cols).count()
-            viol = keys.filter(F.col("count") > 1).agg(
-                F.coalesce(F.sum("count"), F.lit(0)).cast("long").alias("violations")
-            )
-            total = df.agg(F.count(F.lit(1)).cast("long").alias("checked"))
-            parts.append(
-                viol.crossJoin(total).select(
-                    F.lit(r.name).alias("rule"), "violations", "checked"
+            summary = keys.agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("count") > 1, F.col("count"))), F.lit(0)
                 )
+                .cast("long")
+                .alias("violations"),
+                F.coalesce(F.sum("count"), F.lit(0))
+                .cast("long")
+                .alias("checked"),
             )
-        elif isinstance(r, ForeignKeyRule):
-            probe = df.select(F.col(r.col).alias("_k")).filter(
-                F.col("_k").isNotNull()
-            )
-            missing = probe.join(
-                r.dim.select(F.col(r.dim_col).alias("_k")).distinct(),
-                "_k",
-                "left_anti",
-            )
-            viol = missing.agg(
-                F.count(F.lit(1)).cast("long").alias("violations")
-            )
-            total = df.agg(F.count(F.lit(1)).cast("long").alias("checked"))
             parts.append(
-                viol.crossJoin(total).select(
+                summary.select(
                     F.lit(r.name).alias("rule"), "violations", "checked"
                 )
             )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    # audit row order follows rule KIND (row+fk first, then unique), not
+    # declaration order — the driver compare is order-insensitive and
+    # consumers key on the rule name
     return out
 
 
