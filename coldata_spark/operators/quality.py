@@ -12,9 +12,10 @@ Plan shapes — the scale contract:
   * ROW rules (not_null / in_range / in_set / matches / expr_rule): any
     number of them folds into ONE aggregate pass (`sum(when(violated,1))`
     per rule inside a single HashAggregate over a single scan) for
-    audit(), and ONE projection (an `array<string>` of failed rule names,
-    built from `F.array` + `F.filter`, no UDF) for quarantine().  Adding
-    a rule never adds a scan, a shuffle, or a Python boundary.
+    audit(), and ONE projection (a ';'-joined string of failed rule
+    names via `concat_ws`, no UDF — see with_violations for why a
+    string, not an array) for quarantine().  Adding a rule never adds a
+    scan, a shuffle, or a Python boundary.
   * UNIQUE rules: one hash-agg on the key columns, `count > 1` — the only
     rule kind that shuffles, bounded by distinct keys (map-side combine
     does the heavy lifting at 100 TB).
@@ -106,6 +107,34 @@ def foreign_key(col: str, dim: DataFrame, dim_col: str, dim_name: str = "") -> F
     return ForeignKeyRule(f"fk({col}->{label})", col, dim, dim_col)
 
 
+def _check_rules(rules: list) -> None:
+    """Fail fast with the reason, not downstream with a parser error:
+    rule names become SQL string literals and quoted identifiers in
+    audit()'s stack() call, so quote/backtick characters are rejected
+    rather than escaped (no rule worth having needs them); ';' is
+    reserved as with_violations' list separator; duplicate names would
+    alias two aggregate columns identically and die as an ambiguous
+    reference three plans later."""
+    if not rules:
+        raise ValueError("audit/quarantine need at least one rule")
+    seen: set[str] = set()
+    for r in rules:
+        name = getattr(r, "name", None)
+        if not name:
+            raise ValueError(f"rule without a name: {r!r}")
+        if any(ch in name for ch in "'`;"):
+            raise ValueError(
+                f"rule name {name!r} contains a quote, backtick or ';' — "
+                "these break the stack() literal / the violation list"
+            )
+        if name in seen:
+            raise ValueError(
+                f"duplicate rule name {name!r} (two fks on the same "
+                "col->key need distinct dim_name labels)"
+            )
+        seen.add(name)
+
+
 def audit(df: DataFrame, rules: list) -> DataFrame:
     """One (rule, violations, checked) row per rule.
 
@@ -118,6 +147,7 @@ def audit(df: DataFrame, rules: list) -> DataFrame:
     ``checked`` (sum of all group counts == row count) — no rule kind
     ever triggers a dedicated count-the-table scan.  Total passes:
     1 + #unique, independent of how many row/fk rules are declared."""
+    _check_rules(rules)
     row_rules = [r for r in rules if isinstance(r, Rule)]
     fk_rules = [r for r in rules if isinstance(r, ForeignKeyRule)]
     parts: list[DataFrame] = []
@@ -133,16 +163,23 @@ def audit(df: DataFrame, rules: list) -> DataFrame:
             )
             base = base.join(keys, r.col, "left")
             hit_cols[r.name] = hit
+        # coalesce: sum over ZERO rows is NULL — an empty table must
+        # audit as 0 violations (the unique branch already does this)
         aggs = [
-            F.sum(F.when(~r.pred, 1).otherwise(0)).cast("long").alias(r.name)
+            F.coalesce(F.sum(F.when(~r.pred, 1).otherwise(0)), F.lit(0))
+            .cast("long")
+            .alias(r.name)
             for r in row_rules
         ] + [
-            F.sum(
-                F.when(
-                    F.col(r.col).isNotNull()
-                    & F.col(hit_cols[r.name]).isNull(),
-                    1,
-                ).otherwise(0)
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col(r.col).isNotNull()
+                        & F.col(hit_cols[r.name]).isNull(),
+                        1,
+                    ).otherwise(0)
+                ),
+                F.lit(0),
             )
             .cast("long")
             .alias(r.name)
@@ -187,12 +224,22 @@ def audit(df: DataFrame, rules: list) -> DataFrame:
 
 
 def with_violations(df: DataFrame, rules: list[Rule], col: str = "_violations") -> DataFrame:
-    """Append a comma-joined string of failed rule names (declaration
+    """Append a ';'-joined string of failed rule names (declaration
     order, '' when clean) — ONE projection, no UDF.  A string, not an
     array, so the column hashes identically cross-engine (pandas
-    stringifies numpy arrays and python lists differently)."""
+    stringifies numpy arrays and python lists differently); ';' as the
+    separator because generated rule names legally contain commas
+    (in_range(col,lo,hi), unique(a,b)) and must split back losslessly —
+    _check_rules reserves ';' for exactly this."""
+    _check_rules(rules)
+    if col in df.columns:
+        raise ValueError(
+            f"column {col!r} already exists — quarantining an "
+            "already-marked frame would silently overwrite its markers; "
+            "pass a different col="
+        )
     marks = [F.when(~r.pred, F.lit(r.name)) for r in rules]
-    return df.withColumn(col, F.concat_ws(",", *marks))
+    return df.withColumn(col, F.concat_ws(";", *marks))
 
 
 def quarantine(

@@ -1915,7 +1915,7 @@ def q174_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="ext-constraints,T11",
     sql="""
     SELECT doc_id,
-           concat_ws(',',
+           concat_ws(';',
                CASE WHEN text IS NULL THEN 'not_null(text)' END,
                CASE WHEN n_chars IS NOT NULL AND NOT (n_chars >= 200)
                     THEN 'min_length' END,
@@ -1926,7 +1926,7 @@ def q174_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN 'matches(source)' END
            ) AS _violations
     FROM documents
-    WHERE concat_ws(',',
+    WHERE concat_ws(';',
                CASE WHEN text IS NULL THEN 'not_null(text)' END,
                CASE WHEN n_chars IS NOT NULL AND NOT (n_chars >= 200)
                     THEN 'min_length' END,
@@ -1941,9 +1941,10 @@ def q174_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q175_quality_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The enforce side of the constraints engine: quarantine() splits
     documents on four row rules evaluated in ONE projection; this query
-    returns the BAD side with its comma-joined failed-rule list (a
+    returns the BAD side with its ';'-joined failed-rule list (a
     string, not an array — arrays stringify differently between pandas
-    paths, strings hash identically).  The clean side is the same plan
+    paths, strings hash identically; ';' because generated rule names
+    legally contain commas).  The clean side is the same plan
     filtered the other way (asserted complementary in
     tests/test_quality.py).  NULL semantics are SQL CHECK-constraint
     3VL: a NULL operand passes every rule except not_null — identical

@@ -63,7 +63,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # only OUTSIDE the window) — the coverage gate forbids it, exactly as
     # it forbade r7's q24/q47 suggestion.  Displaced
     # q90_hybrid_search_rrf instead, whose J5/W1/J2/A2 tags stay covered
-    # by q30/q31/q34/q37 and which remains oracle-green in pytest.
+    # by q30/q31/q34 (q37 left the window in round 10) and which
+    # remains oracle-green in pytest.
     "q107_asof_join_tolerance",
     # Dedup layer — reference crawler.py dedup semantics
     "q23_exact_dedup",
@@ -136,7 +137,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # Forward as-of (error-after-purchase attribution) — the other half
     # of the ext-asof surface after r9's backward q107 (r10 verdict ask
     # #6).  Displaced q80_events_range_join, whose ext-asof/J5/R6 tags
-    # stay covered by q107+q139 / q30+q34+q37+q89 / q42+q83+q112 and
+    # stay covered by q107+q139 / q30+q34+q89 (q37 rotated out in
+    # round 10) / q42+q83+q112 and
     # which remains oracle-green in pytest.
     "q139_asof_forward_next_error",
     "q63_top_terms",

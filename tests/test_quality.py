@@ -88,9 +88,51 @@ def test_row_rules_share_one_scan(frame):
     assert plan.count("Scan ") == 1, plan
 
 
-def test_audit_requires_rules(frame):
-    with pytest.raises(IndexError):
+def test_rule_validation(frame, spark):
+    """Fail fast with the reason: empty rule sets, duplicate names, and
+    names that would break the stack() literal or the ';' list."""
+    with pytest.raises(ValueError, match="at least one rule"):
         Q.audit(frame, [])
+    with pytest.raises(ValueError, match="quote, backtick or ';'"):
+        Q.audit(frame, [Q.expr_rule("price's positive", "score > 0")])
+    dim = spark.createDataFrame([("en",), ("de",)], "code STRING")
+    with pytest.raises(ValueError, match="duplicate rule name"):
+        Q.audit(
+            frame,
+            [Q.foreign_key("lang", dim, "code"),
+             Q.foreign_key("lang", dim, "code")],
+        )
+    # distinct dim_name labels make the same col->key pair legal
+    got = _counts(
+        Q.audit(
+            frame,
+            [Q.foreign_key("lang", dim, "code", dim_name="v1"),
+             Q.foreign_key("lang", dim.limit(1), "code", dim_name="v2")],
+        )
+    )
+    assert got["fk(lang->v1)"][0] <= got["fk(lang->v2)"][0]
+    # a pre-existing marker column must not be silently overwritten
+    marked = Q.with_violations(frame, [Q.not_null("name")])
+    with pytest.raises(ValueError, match="already exists"):
+        Q.with_violations(marked, [Q.not_null("name")])
+
+
+def test_audit_empty_table_reports_zero(spark):
+    empty = spark.createDataFrame([], "id BIGINT, name STRING")
+    got = _counts(Q.audit(empty, [Q.not_null("name"), Q.unique(["id"])]))
+    assert got["not_null(name)"] == (0, 0)
+    assert got["unique(id)"] == (0, 0)
+
+
+def test_violation_list_splits_losslessly(spark):
+    """Generated rule names contain commas (in_range(col,lo,hi)); the
+    ';' separator must split the list back into exact rule names."""
+    df = spark.createDataFrame([(None, 500)], "name STRING, score BIGINT")
+    rules = [Q.not_null("name"), Q.in_range("score", 0, 100)]
+    row = Q.with_violations(df, rules).collect()[0]
+    assert row["_violations"].split(";") == [
+        "not_null(name)", "in_range(score,0,100)"
+    ]
 
 
 def test_stream_quality_monitor_equals_batch(spark, sf_dir, tmp_path):
