@@ -275,7 +275,14 @@ def _write_detail(result: dict) -> None:
     ``measured`` stamp plus the tier's per-query ratio at measurement
     time (``tier_ratio_at_measurement``), and a carried spread whose tier
     entry has since moved MATERIALLY (>30% relative) is dropped rather
-    than published next to numbers it no longer explains."""
+    than published next to numbers it no longer explains.
+
+    Absent-fixture semantics (round-10 ADVICE): a record whose tier dir
+    exists but lost its marker DROPS (half-built fixture, see
+    _stamp_or_marker_missing); one whose tier dir is wholly gone CARRIES
+    — nothing on disk contradicts it, the ratio gate still applies, and
+    dropping every record each time a /tmp-cached tier is cleaned would
+    erase deliberate resolution measurements over a cache eviction."""
     path = DETAIL_PATH
     try:
         with open(path) as f:
@@ -337,6 +344,12 @@ def _current_fixture_stamp(spread: dict) -> str | None:
         if len(parts) < 3 or not os.path.isdir(parts[1]):
             return None
         return _headline_stamp(parts[1])
+    # records since round 11 carry the RESOLVED tier_dir they measured
+    # (tools/spread.py) — trust it outright; re-deriving here is exactly
+    # how writer and checker used to disagree under a *X_DIR override
+    recorded_dir = spread.get("tier_dir")
+    if recorded_dir:
+        return _stamp_or_marker_missing(recorded_dir)
     # records since round 10 name their fixture dir (fixture_name on
     # sections, tier on spreads); older records fall back to the
     # times-derived name.  The derived name is UNRELIABLE for dirs whose
@@ -366,8 +379,6 @@ def _current_fixture_stamp(spread: dict) -> str | None:
             tier = f"{times}x"
     if not tier or tier == "headline":
         return None
-    from tools.spread import fixture_stamp_of
-
     # int-times flat tiers honor the same env override the measurement
     # used (_tier_dir: gate and measurement must not disagree)
     if isinstance(times, int) and tier == f"{times}x":
@@ -376,7 +387,25 @@ def _current_fixture_stamp(spread: dict) -> str | None:
         )
     else:
         tier_dir = os.path.join(CACHE_ROOT, tier)
-    return fixture_stamp_of(tier_dir)
+    return _stamp_or_marker_missing(tier_dir)
+
+
+def _stamp_or_marker_missing(tier_dir: str) -> str | None:
+    """Resolve a tier dir to its marker content, distinguishing the two
+    absent cases (round-10 ADVICE, bench.py:76): a dir that EXISTS but
+    has no marker is a half-built/interrupted fixture — return a
+    sentinel that can never equal a real stamp, so the record DROPS
+    (whatever bytes sit there are not what it measured).  A dir that is
+    wholly GONE returns None and the record carries: nothing fresh
+    contradicts it, and the ratio gate in _spread_is_stale still
+    applies — the deliberate carry-on-missing choice, documented here
+    and at the gate."""
+    from tools.spread import fixture_stamp_of
+
+    stamp = fixture_stamp_of(tier_dir)
+    if stamp is None and os.path.isdir(tier_dir):
+        return "<marker-missing>"
+    return stamp
 
 
 def _spread_is_stale(spread: dict, result: dict) -> bool:

@@ -256,3 +256,50 @@ def test_stamp_inequality_drops_stale_records(tmp_path, monkeypatch):
     bench._write_detail({"metric": "m"})
     got = json.loads(detail.read_text())
     assert "replicated_16x" not in got, "stale section must not carry"
+
+
+def test_recorded_tier_dir_wins_and_marker_missing_drops(tmp_path, monkeypatch):
+    """Round-11 ADVICE pair: (1) a record carrying the RESOLVED tier_dir
+    it measured is checked against THAT directory, not a re-derived one —
+    with a SPARK_GRAFT_{times}X_DIR override set, writer and gate used to
+    resolve different dirs and false-drop/false-carry; (2) a named tier
+    dir that EXISTS but has no marker is a half-built fixture — the
+    record drops — while a wholly-gone dir still carries."""
+    import bench
+
+    override = tmp_path / "elsewhere" / "16x"
+    override.mkdir(parents=True)
+    (override / "_REPLICATED_OK").write_text("v3|/src|16|dvOVR")
+    # stale-looking derived dir exists too, with a DIFFERENT stamp
+    derived = tmp_path / ".bench_cache" / "16x"
+    derived.mkdir(parents=True)
+    (derived / "_REPLICATED_OK").write_text("v3|/src|16|dvDERIVED")
+    monkeypatch.setattr(bench, "CACHE_ROOT", str(tmp_path / ".bench_cache"))
+
+    rec = {"query": "q01_pricing_summary", "times": 16,
+           "fixture_stamp": "v3|/src|16|dvOVR", "tier_dir": str(override)}
+    assert not bench._spread_is_stale(rec, {}), \
+        "recorded tier_dir must be trusted over the derived path"
+    # same record WITHOUT tier_dir re-derives .bench_cache/16x and drops
+    underived = {k: v for k, v in rec.items() if k != "tier_dir"}
+    assert bench._spread_is_stale(underived, {})
+
+    # marker vanishes but the dir remains: half-built fixture — drop
+    (override / "_REPLICATED_OK").unlink()
+    assert bench._spread_is_stale(rec, {})
+    # the dir itself vanishes: unknowable — carry (documented choice)
+    (override).rmdir()
+    assert not bench._spread_is_stale(rec, {})
+
+
+def test_spread_tool_resolves_flat_tiers_like_bench(monkeypatch):
+    """tools/spread.py must resolve a flat int tier through bench._tier_dir
+    (honoring the env override) so the stamped record names the directory
+    that was actually measured."""
+    import os
+
+    src = open(os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                            "tools", "spread.py")).read()
+    assert "_tier_dir" in src and "tier_dir" in src
+    # the record must carry the resolved dir
+    assert '"tier_dir": tier_dir' in src

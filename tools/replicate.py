@@ -36,7 +36,13 @@ def jitter_wrapped(ts_col: str, offset_us: int):
     only had when the base fixture happened to leave enough sub-second
     headroom.  Offsets distinct mod 1e6 yield distinct timestamps per
     source row (deep tiers stack ``i*256`` on the 256x tier's ``0..255``,
-    max 4095 < 1e6).  ``pmod``, not ``%``: Spark's % follows the sign of
+    max 4095 < 1e6).  Distinctness is PER SOURCE ROW only: two different
+    base events in the same second can collide across replicas when a
+    sub-second wraps (sub=999999 at offset 1 lands on sub=0, meeting a
+    sub=0 event from replica 0) — a collision the old linear ``+i``
+    jitter could not produce.  Near-uniqueness suffices for the
+    anti-dictionary purpose (and the old guard crashed on low headroom),
+    so the wrap is accepted, not guarded.  ``pmod``, not ``%``: Spark's % follows the sign of
     the dividend, so a pre-epoch timestamp (negative micros) would get a
     negative "sub-second" and a second-start one second too late,
     letting the jitter escape into the next second — exactly the

@@ -58,6 +58,16 @@ def measure(spec_name: str, tier: str, repeats: int = 7) -> dict:
         # spread-stamp headline movers, e.g. q44/q23, the same way tier
         # entries are)
         tier_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    elif re.fullmatch(r"\d+x", tier):
+        # flat int tiers resolve through bench._tier_dir so the
+        # SPARK_GRAFT_{times}X_DIR override means the same directory to
+        # the writer (here) and the staleness checker (bench.py) — with
+        # the override set, the old hardcoded path stamped a record
+        # against a directory it never measured (round-10 ADVICE)
+        from bench import _tier_dir
+
+        src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        tier_dir = _tier_dir(src, int(tier[:-1]))
     else:
         tier_dir = os.path.join(REPO, ".bench_cache", tier)
     if not os.path.isdir(tier_dir):
@@ -170,6 +180,11 @@ def measure(spec_name: str, tier: str, repeats: int = 7) -> dict:
         # for staleness (times alone is ambiguous across 256x,
         # 256x_vector, 256x_clustered)
         "tier": tier,
+        # the RESOLVED directory this record measured — the checker
+        # (bench._current_fixture_stamp) prefers this over re-deriving,
+        # so writer and gate can never disagree about which dir a
+        # carried number describes
+        "tier_dir": tier_dir,
         "times": int(re.match(r"\d+", tier).group()) if tier[0].isdigit() else tier,
         "spark_sec": s_best,
         "spark_spread": [min(s_runs), round(_median(s_runs), 3), max(s_runs)],
