@@ -1,0 +1,190 @@
+"""Cross-snapshot distribution drift: fixed-point PSI over equi-width bins.
+
+The monitoring a versioned training-data table needs between two commits
+(operators/table.py): did a re-crawl/re-curation SHIFT a column's
+distribution, not just add/remove rows?  Row-level CDC
+(VersionedTable.changes_between / q127) answers WHICH rows moved; this
+operator answers whether the POPULATION moved — the Population Stability
+Index gate every feature-store deployment runs before trusting a new
+snapshot.  Reference basis: the reference's scheduler re-crawls daily
+with no distribution check at all (src/coldata/scheduler.py:21-33).
+
+Semantics — engine-exact by construction (ORACLE_PARITY.md rule 5):
+
+  * Bins: q122's equi-width integer rule over the SHARED [min, max] of
+    both snapshots — ``least(floor((x - mn) * nbins / (mx - mn + 1)),
+    nbins - 1)`` — identical arithmetic in any SQL engine; NULLs are
+    excluded from the distribution (they are null_ppm's job, not PSI's).
+  * Proportions: Laplace-smoothed integer ppm — p_i = (1e6 * (n_i + 1))
+    div (N + nbins) — so an empty-on-one-side bin never divides by zero
+    and ppm values hash exactly.
+  * The log-ratio uses the integer fixed-point log2 surrogate
+    (functions/intmath.py, the q166 CCNet device) in its SUM form
+    ``L(n_a+1) - L(N_a+nbins) - L(n_b+1) + L(N_b+nbins)`` — arguments
+    stay <= N, keeping int64 headroom to ~8.7e12 rows per snapshot
+    (the product form n_i * N overflows 2^63 at ~3e9 rows).
+  * psi_term_fp = (p_ppm - q_ppm) * log-ratio-fp: units are
+    ppm x 2^-20 log2-steps — a monotone scaled PSI, comparable across
+    runs and engines bit-for-bit.  Total PSI = sum of terms (always
+    >= 0 in the true statistic; the surrogate keeps each term's sign
+    equal to the true term's sign because L is monotone and both
+    factors flip together).
+
+Plan shape — the scale contract: one union scan of both snapshots with
+a map-side (side, bin) combine agg (shuffle bounded by 2 x nbins
+groups), one tiny min/max + totals aggregate broadcast into the bin
+expression.  Nothing is ever per-row beyond the projection; no window,
+no join wider than the nbins-row result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from coldata_spark.functions.intmath import intlog2_fp
+
+
+def distribution_drift(
+    a: DataFrame, b: DataFrame, col: str, nbins: int = 16
+) -> DataFrame:
+    """Per-bin drift of ``col`` between snapshot ``a`` (baseline) and
+    ``b`` (current): (bin, n_a, n_b, p_ppm, q_ppm, psi_term_fp), one row
+    per bin that holds data on either side.  Sum psi_term_fp for the
+    scalar PSI (psi_total)."""
+    if nbins < 2:
+        raise ValueError("nbins must be >= 2")
+    xa = a.select(F.col(col).cast("double").alias("x")).where(
+        F.col("x").isNotNull()
+    )
+    xb = b.select(F.col(col).cast("double").alias("x")).where(
+        F.col("x").isNotNull()
+    )
+    both = xa.select("x", F.lit(0).alias("side")).unionByName(
+        xb.select("x", F.lit(1).alias("side"))
+    )
+    # shared edges + per-side totals in ONE tiny aggregate (broadcast)
+    stats = both.agg(
+        F.min("x").alias("mn"),
+        F.max("x").alias("mx"),
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("na"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("nb"),
+    )
+    binned = both.crossJoin(F.broadcast(stats)).select(
+        F.least(
+            F.expr(
+                f"cast(floor((x - mn) * {nbins} / (mx - mn + 1)) as bigint)"
+            ),
+            F.lit(nbins - 1).cast("long"),
+        ).alias("bin"),
+        "side",
+        "na",
+        "nb",
+    )
+    counts = binned.groupBy("bin", "na", "nb").agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    L = lambda m: intlog2_fp(m, "spark")  # noqa: E731
+    p_ppm = f"(1000000 * (n_a + 1)) div (na + {nbins})"
+    q_ppm = f"(1000000 * (n_b + 1)) div (nb + {nbins})"
+    log_ratio = (
+        f"({L('n_a + 1')} - {L(f'na + {nbins}')}"
+        f" - {L('n_b + 1')} + {L(f'nb + {nbins}')})"
+    )
+    return counts.selectExpr(
+        "bin",
+        "n_a",
+        "n_b",
+        f"cast({p_ppm} as bigint) as p_ppm",
+        f"cast({q_ppm} as bigint) as q_ppm",
+        f"cast(({p_ppm} - {q_ppm}) * {log_ratio} as bigint) as psi_term_fp",
+    )
+
+
+def psi_total(drift: DataFrame) -> DataFrame:
+    """Collapse a distribution_drift frame to the scalar statistic."""
+    return drift.agg(
+        F.coalesce(F.sum("psi_term_fp"), F.lit(0))
+        .cast("long")
+        .alias("psi_fp"),
+        F.count(F.lit(1)).cast("long").alias("bins_present"),
+    )
+
+
+def drift_sql(
+    a_sql: str, b_sql: str, col: str, nbins: int = 16, dialect: str = "duckdb"
+) -> str:
+    """The engine-twin SQL of distribution_drift over two snapshot
+    subqueries — generated from the SAME constants and the SAME intlog2
+    snippet so the Spark plan and the oracle can never drift apart
+    (the q166 pattern: one term generator, two dialects)."""
+    L = lambda m: intlog2_fp(m, dialect)  # noqa: E731
+    div = "//" if dialect == "duckdb" else "div"
+    p_ppm = f"(1000000 * (n_a + 1)) {div} (na + {nbins})"
+    q_ppm = f"(1000000 * (n_b + 1)) {div} (nb + {nbins})"
+    log_ratio = (
+        f"({L('n_a + 1')} - {L(f'na + {nbins}')}"
+        f" - {L('n_b + 1')} + {L(f'nb + {nbins}')})"
+    )
+    return f"""
+    WITH both_sides AS (
+        SELECT CAST(x AS DOUBLE) AS x, 0 AS side FROM ({a_sql})
+        WHERE x IS NOT NULL
+        UNION ALL
+        SELECT CAST(x AS DOUBLE) AS x, 1 AS side FROM ({b_sql})
+        WHERE x IS NOT NULL
+    ),
+    stats AS (
+        SELECT min(x) AS mn, max(x) AS mx,
+               CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS na,
+               CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS nb
+        FROM both_sides
+    ),
+    counts AS (
+        SELECT least(CAST(floor((x - mn) * {nbins} / (mx - mn + 1))
+                          AS BIGINT), {nbins - 1}) AS bin,
+               na, nb,
+               CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_a,
+               CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_b
+        FROM both_sides, stats
+        GROUP BY bin, na, nb
+    )
+    SELECT bin, n_a, n_b,
+           CAST({p_ppm} AS BIGINT) AS p_ppm,
+           CAST({q_ppm} AS BIGINT) AS q_ppm,
+           CAST(({p_ppm} - {q_ppm}) * {log_ratio} AS BIGINT) AS psi_term_fp
+    FROM counts
+    """
+
+
+def snapshot_drift(
+    spark,
+    table,
+    pk_col: str,
+    value_col: str,
+    from_version: int,
+    to_version: int,
+    nbins: int = 16,
+) -> DataFrame:
+    """Drift between two commits of a VersionedTable
+    (operators/table.py) — the production entry point: read both
+    snapshots through the manifest (time travel) and hand the value
+    column to distribution_drift.  ``pk_col`` is unused by the
+    statistic but documents what identifies a row in the table (the
+    same signature family as changes_between)."""
+    va = table.read(spark, from_version)
+    vb = table.read(spark, to_version)
+    return distribution_drift(va, vb, value_col, nbins=nbins)

@@ -68,6 +68,29 @@ class ForeignKeyRule:
     dim_col: str
 
 
+@dataclass(frozen=True)
+class DatasetRule:
+    """Table-level expectation (Great-Expectations' dataset scope): a
+    single BIGINT measurement over the whole table must land in
+    [lo, hi].  ``kind`` is data, not code, so the streaming monitor can
+    decide additivity per kind (row_count and null_ppm fold across
+    micro-batches; distinct_ppm cannot).
+
+    Measurements are integer fixed-point (parts-per-million for the
+    ratio kinds, exact integer division) so the audit row hash-matches
+    any engine computing the same counts — no float fraction appears
+    anywhere.  In audit() output a dataset rule reports
+    ``violations`` = 0/1 (the expectation verdict, a table has one) and
+    ``checked`` = the MEASUREMENT itself, so the monitored value rides
+    the same tiny result row as the verdict."""
+
+    name: str
+    kind: str  # "row_count" | "null_ppm" | "distinct_ppm"
+    col: str | None
+    lo: int
+    hi: int
+
+
 def not_null(col: str) -> Rule:
     return Rule(f"not_null({col})", F.col(col).isNotNull())
 
@@ -100,6 +123,56 @@ def expr_rule(name: str, sql_expr: str) -> Rule:
 
 def unique(cols: list[str]) -> UniqueRule:
     return UniqueRule(f"unique({','.join(cols)})", tuple(cols))
+
+
+def row_count_between(lo: int, hi: int) -> DatasetRule:
+    """Table cardinality in [lo, hi] — the cheapest canary against a
+    truncated ingest or a runaway duplication (the reference's blind
+    daily re-crawl, scheduler.py:21-33, has no such gate)."""
+    return DatasetRule(f"row_count({lo},{hi})", "row_count", None, lo, hi)
+
+
+def null_fraction_ppm_max(col: str, max_ppm: int) -> DatasetRule:
+    """Null fraction of ``col`` at most ``max_ppm`` parts-per-million
+    (integer: (1e6 * nulls) div rows; empty table measures 0)."""
+    return DatasetRule(
+        f"null_ppm({col},{max_ppm})", "null_ppm", col, 0, max_ppm
+    )
+
+
+def distinct_ratio_ppm_between(col: str, lo_ppm: int, hi_ppm: int) -> DatasetRule:
+    """Distinct ratio of ``col`` in [lo_ppm, hi_ppm] parts-per-million —
+    catches both a constant-column regression (ratio collapses) and a
+    key-explosion (ratio saturates).  NULLs don't count as a distinct
+    value (SQL COUNT(DISTINCT) convention)."""
+    return DatasetRule(
+        f"distinct_ppm({col},{lo_ppm},{hi_ppm})",
+        "distinct_ppm",
+        col,
+        lo_ppm,
+        hi_ppm,
+    )
+
+
+def _dataset_measure(r: DatasetRule) -> Column:
+    """The BIGINT measurement aggregate for one dataset rule — pure
+    integer arithmetic (div, not /) so the value is engine-exact.  The
+    ratio kinds saturate int64 only past ~9.2e12 rows (1e6 * count);
+    beyond that, rescale to parts-per-thousand (the intlog2 caveat)."""
+    if r.kind == "row_count":
+        return F.count(F.lit(1)).cast("long")
+    if r.kind == "null_ppm":
+        return F.expr(
+            f"case when count(1) = 0 then 0 else "
+            f"(1000000 * sum(case when `{r.col}` is null then 1 else 0 end))"
+            f" div count(1) end"
+        ).cast("long")
+    if r.kind == "distinct_ppm":
+        return F.expr(
+            f"case when count(1) = 0 then 0 else "
+            f"(1000000 * count(distinct `{r.col}`)) div count(1) end"
+        ).cast("long")
+    raise ValueError(f"unknown dataset rule kind {r.kind!r}")
 
 
 def foreign_key(col: str, dim: DataFrame, dim_col: str, dim_name: str = "") -> ForeignKeyRule:
@@ -145,13 +218,18 @@ def audit(df: DataFrame, rules: list) -> DataFrame:
     rules); each unique rule is one groupBy pass whose OWN group counts
     yield both ``violations`` (members of duplicated keys) and
     ``checked`` (sum of all group counts == row count) — no rule kind
-    ever triggers a dedicated count-the-table scan.  Total passes:
-    1 + #unique, independent of how many row/fk rules are declared."""
+    ever triggers a dedicated count-the-table scan.  DATASET rules
+    (row_count / null_ppm / distinct_ppm expectations) are expressions
+    over counts this same aggregate already produces, so they fold into
+    the one pass too — their rows report (verdict 0/1, measurement).
+    Total passes: 1 + #unique, independent of how many row/fk/dataset
+    rules are declared."""
     _check_rules(rules)
     row_rules = [r for r in rules if isinstance(r, Rule)]
     fk_rules = [r for r in rules if isinstance(r, ForeignKeyRule)]
+    ds_rules = [r for r in rules if isinstance(r, DatasetRule)]
     parts: list[DataFrame] = []
-    if row_rules or fk_rules:
+    if row_rules or fk_rules or ds_rules:
         base = df
         hit_cols: dict[str, str] = {}
         for i, r in enumerate(fk_rules):
@@ -184,16 +262,30 @@ def audit(df: DataFrame, rules: list) -> DataFrame:
             .cast("long")
             .alias(r.name)
             for r in fk_rules
+        ] + [
+            # dataset measurements ride the SAME aggregate — a dataset
+            # rule adds an agg expression, never a scan (distinct_ppm
+            # makes Spark plan the whole agg through one Expand, still
+            # one pass over the table)
+            _dataset_measure(r).alias(f"_ds_m_{i}")
+            for i, r in enumerate(ds_rules)
         ]
         wide = base.agg(F.count(F.lit(1)).cast("long").alias("_checked"), *aggs)
         # unpivot the single wide row into (rule, violations, checked):
-        # stack() is one Expand over ONE row — free
+        # stack() is one Expand over ONE row — free.  Row/fk rules emit
+        # (count, table rows); dataset rules emit (verdict 0/1, the
+        # measurement) — see DatasetRule's docstring.
         names = [r.name for r in row_rules] + [r.name for r in fk_rules]
-        stack_args = ", ".join(f"'{n}', `{n}`" for n in names)
+        triples = [f"'{n}', `{n}`, _checked" for n in names] + [
+            f"'{r.name}', cast(case when _ds_m_{i} < {int(r.lo)} "
+            f"or _ds_m_{i} > {int(r.hi)} then 1 else 0 end as bigint), "
+            f"_ds_m_{i}"
+            for i, r in enumerate(ds_rules)
+        ]
         parts.append(
             wide.selectExpr(
-                f"stack({len(names)}, {stack_args}) as (rule, violations)",
-                "_checked as checked",
+                f"stack({len(triples)}, {', '.join(triples)}) "
+                "as (rule, violations, checked)",
             )
         )
     for r in rules:
@@ -232,6 +324,14 @@ def with_violations(df: DataFrame, rules: list[Rule], col: str = "_violations") 
     (in_range(col,lo,hi), unique(a,b)) and must split back losslessly —
     _check_rules reserves ';' for exactly this."""
     _check_rules(rules)
+    non_row = [r for r in rules if not isinstance(r, Rule)]
+    if non_row:
+        raise ValueError(
+            "with_violations/quarantine take ROW rules only — "
+            f"{[r.name for r in non_row]} have no per-row verdict to mark "
+            "(unique/fk/dataset verdicts are properties of the table; "
+            "run them through audit())"
+        )
     if col in df.columns:
         raise ValueError(
             f"column {col!r} already exists — quarantining an "

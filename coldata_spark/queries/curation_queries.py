@@ -1113,38 +1113,15 @@ def ccnet_lm_fold(census: DataFrame, batch_bigrams: DataFrame) -> DataFrame:
     )
 
 
-_INTLOG2_SCALE = 1 << 20  # fixed-point log2 units: 2^-20 per step
-
-
-def _intlog2_fp(m_sql: str, dialect: str) -> str:
-    """SQL snippet for the DETERMINISTIC integer fixed-point log2 of a
-    positive integer expression ``m_sql``:
-
-        L(m) = e * 2^20 + (m * 2^20 div 2^e) - 2^20,  e = len(bin(m)) - 1
-
-    i.e. exact exponent plus linear interpolation of the mantissa — a
-    strictly-within-octave-monotone log2 surrogate with max error ~0.086
-    bits, computed with INTEGER ops only (bit-length via the binary string,
-    shift, multiply, floor-div), so every engine produces the identical
-    value on the identical input.  This is what makes q166/q168
-    exact-by-construction (ORACLE_PARITY.md rule 5): no libm call appears
-    anywhere in the score.  int64 headroom: m * 2^20 stays in range through
-    m ~ 8.7e12 — beyond that, rescale (same caveat as q120's idf units).
-    """
-    S = _INTLOG2_SCALE
-    if dialect == "spark":
-        return (
-            f"(cast(length(bin({m_sql})) - 1 as bigint) * {S}"
-            f" + (cast({m_sql} as bigint) * {S})"
-            f"   div shiftleft(cast(1 as bigint), length(bin({m_sql})) - 1)"
-            f" - {S})"
-        )
-    return (
-        f"((length(bin(({m_sql})::BIGINT)) - 1)::BIGINT * {S}"
-        f" + (({m_sql})::BIGINT * {S})"
-        f"   // (1::BIGINT << (length(bin(({m_sql})::BIGINT)) - 1))"
-        f" - {S})"
-    )
+# Hoisted to functions/intmath.py in round 11 (operators/drift.py's PSI
+# shares the one implementation); these aliases keep q166/q168's call
+# sites and docs stable.  This is what makes q166/q168
+# exact-by-construction (ORACLE_PARITY.md rule 5): no libm call appears
+# anywhere in the score.
+from coldata_spark.functions.intmath import (  # noqa: E402
+    INTLOG2_SCALE as _INTLOG2_SCALE,
+    intlog2_fp as _intlog2_fp,
+)
 
 
 def _ccnet_term_sql(dialect: str) -> str:
@@ -1960,3 +1937,143 @@ def q175_quality_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     _clean, bad = Q.quarantine(docs, rules)
     return bad.select("doc_id", "_violations")
+
+
+@register(
+    "q176_dataset_expectations",
+    survey="ext-constraints,A5,A3",
+    sql="""
+    WITH m AS (
+        SELECT CAST(count(1) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS nn_text,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS nd_id,
+               CAST(count(DISTINCT lang) AS BIGINT) AS nd_lang
+        FROM documents
+    )
+    SELECT 'not_null(text)' AS rule, nn_text AS violations, n AS checked
+    FROM m
+    UNION ALL
+    SELECT 'row_count(100,10000000)',
+           CAST(CASE WHEN n < 100 OR n > 10000000 THEN 1 ELSE 0 END
+                AS BIGINT), n
+    FROM m
+    UNION ALL
+    SELECT 'row_count(1,100)',
+           CAST(CASE WHEN n < 1 OR n > 100 THEN 1 ELSE 0 END AS BIGINT), n
+    FROM m
+    UNION ALL
+    SELECT 'null_ppm(text,0)',
+           CAST(CASE WHEN (CASE WHEN n = 0 THEN 0
+                           ELSE (1000000 * nn_text) // n END) > 0
+                THEN 1 ELSE 0 END AS BIGINT),
+           CAST(CASE WHEN n = 0 THEN 0
+                ELSE (1000000 * nn_text) // n END AS BIGINT)
+    FROM m
+    UNION ALL
+    SELECT 'distinct_ppm(doc_id,1000000,1000000)',
+           CAST(CASE WHEN (CASE WHEN n = 0 THEN 0
+                           ELSE (1000000 * nd_id) // n END) <> 1000000
+                THEN 1 ELSE 0 END AS BIGINT),
+           CAST(CASE WHEN n = 0 THEN 0
+                ELSE (1000000 * nd_id) // n END AS BIGINT)
+    FROM m
+    UNION ALL
+    SELECT 'distinct_ppm(lang,100000,900000)',
+           CAST(CASE WHEN (CASE WHEN n = 0 THEN 0
+                           ELSE (1000000 * nd_lang) // n END) < 100000
+                      OR (CASE WHEN n = 0 THEN 0
+                          ELSE (1000000 * nd_lang) // n END) > 900000
+                THEN 1 ELSE 0 END AS BIGINT),
+           CAST(CASE WHEN n = 0 THEN 0
+                ELSE (1000000 * nd_lang) // n END AS BIGINT)
+    FROM m
+    """,
+)
+def q176_dataset_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-level expectations (round-11 extension of the constraints
+    engine): table-scope rules — row_count in range, null fraction and
+    distinct ratio in integer ppm — folded into the SAME single
+    scan+aggregate as the row rules (operators/quality.py audit();
+    distinct_ppm routes the one pass through Spark's multi-distinct
+    Expand, exactly like q123's profile).  Mixes passing expectations
+    (broad row_count, zero text nulls, a fully-distinct pk) with
+    deliberately failing ones (a 100-row cap, a 10%-90% distinct band
+    for a 1% column) so BOTH verdicts and all measurements are
+    value-hash-checked.  Dataset rows report (verdict 0/1, measurement)
+    — the measurement rides the same tiny audit row as the verdict.
+    Reference basis: the monitoring the reference's blind daily re-crawl
+    lacks (scheduler.py:21-33 re-runs with no quality gate)."""
+    from coldata_spark.operators import quality as Q
+
+    docs = load(spark, sf_dir, "documents")
+    return Q.audit(
+        docs,
+        [
+            Q.not_null("text"),
+            Q.row_count_between(100, 10_000_000),
+            Q.row_count_between(1, 100),
+            Q.null_fraction_ppm_max("text", 0),
+            Q.distinct_ratio_ppm_between("doc_id", 1_000_000, 1_000_000),
+            Q.distinct_ratio_ppm_between("lang", 100_000, 900_000),
+        ],
+    )
+
+
+def _q177_snapshots_sql() -> tuple[str, str]:
+    """The two deterministic snapshot subqueries q177 derives from orders
+    (q127's device: versions synthesized from a fixture table so the
+    oracle can see them) — v1 drops every 10th key; v2 drops a different
+    10th and shifts a third of the prices up by 15000, a clean
+    right-shift of the distribution for PSI to catch."""
+    a = (
+        "SELECT o_totalprice AS x FROM orders WHERE o_orderkey % 10 <> 0"
+    )
+    b = (
+        "SELECT o_totalprice + (CASE WHEN o_orderkey % 3 = 0 "
+        "THEN 15000 ELSE 0 END) AS x "
+        "FROM orders WHERE o_orderkey % 10 <> 1"
+    )
+    return a, b
+
+
+def _q177_sql() -> str:
+    from coldata_spark.operators.drift import drift_sql
+
+    a, b = _q177_snapshots_sql()
+    return drift_sql(a, b, "x", nbins=16, dialect="duckdb")
+
+
+@register(
+    "q177_snapshot_drift",
+    survey="ext-constraints,A5,R6",
+    sql=_q177_sql(),
+)
+def q177_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot distribution drift (operators/drift.py): PSI in
+    integer fixed-point over 16 shared equi-width bins between two
+    synthesized order snapshots — v2 shifts a third of the prices up by
+    15000, and the per-bin psi_term_fp values light up exactly where the
+    mass moved.  Bin arithmetic is q122's; the log-ratio is the q166
+    intlog2 surrogate in SUM form (int64-safe to ~8.7e12 rows); the
+    oracle SQL is GENERATED from the same term builder
+    (drift.drift_sql), so the two dialects cannot drift apart.  The
+    VersionedTable entry point (drift.snapshot_drift over time-travel
+    reads) is lifecycle-tested in tests/test_drift.py; this query
+    value-checks the statistic itself.
+
+    Plan: one union scan with a 2x16-group combine agg + one broadcast
+    1-row stats agg — no window, no join, no per-row Python."""
+    from coldata_spark.operators.drift import distribution_drift
+
+    o = load(spark, sf_dir, "orders")
+    v1 = o.filter("o_orderkey % 10 <> 0").select(
+        F.col("o_totalprice").alias("x")
+    )
+    v2 = o.filter("o_orderkey % 10 <> 1").select(
+        F.expr(
+            "o_totalprice + (CASE WHEN o_orderkey % 3 = 0 "
+            "THEN 15000 ELSE 0 END)"
+        ).alias("x")
+    )
+    return distribution_drift(v1, v2, "x", nbins=16)

@@ -11,13 +11,20 @@ the same additive exactly-once recipe as the hourly rollup
 batch that wrote but crashed before the checkpoint commit cannot
 double-count on replay.
 
-UNIQUE and FOREIGN-KEY rules are deliberately REJECTED here: key
-uniqueness across the corpus is a property of the MERGED table, not a
-sum of per-batch answers (two batches can each be internally unique and
-still collide), and an fk verdict against a mutable dimension changes
-retroactively.  Those run as the batch audit over the maintained table
-(q174's shape) on whatever cadence the pipeline schedules — refusing to
-fold them here keeps the monitor's numbers exact rather than silently
+ADDITIVE dataset rules (round 11) fold too: row_count and null_ppm
+measurements are pure functions of additive components (rows, nulls),
+so the monitor stores the folded components and dataset_verdicts()
+re-derives measurement + verdict at read time — a continuously-updated
+table-level expectation check at zero extra scan cost.
+
+UNIQUE, FOREIGN-KEY and distinct_ppm rules are deliberately REJECTED
+here: key uniqueness across the corpus is a property of the MERGED
+table, not a sum of per-batch answers (two batches can each be
+internally unique and still collide), an fk verdict against a mutable
+dimension changes retroactively, and per-batch distinct counts don't
+sum.  Those run as the batch audit over the maintained table (q174's
+shape) on whatever cadence the pipeline schedules — refusing to fold
+them here keeps the monitor's numbers exact rather than silently
 wrong.
 
 Scale: each batch shrinks to one row per rule before touching the
@@ -29,26 +36,122 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from coldata_spark.operators.quality import Rule, audit
+from coldata_spark.operators.quality import DatasetRule, Rule, audit
 from coldata_spark.streaming.foldcommit import fold_once
 
+# Dataset-rule kinds whose measurement is a pure function of ADDITIVE
+# per-batch components: row_count (rows sum), null_ppm (nulls and rows
+# both sum; the ppm ratio is computed at READ time from the folded
+# sums).  distinct_ppm is structurally excluded: per-batch distinct
+# counts don't sum (the same value in two batches is one distinct value,
+# not two) — like unique/fk it needs the batch audit over the merged
+# table.
+_ADDITIVE_DATASET_KINDS = frozenset({"row_count", "null_ppm"})
 
-def _row_rules_only(rules: list) -> list[Rule]:
-    bad = [r for r in rules if not isinstance(r, Rule)]
+
+def _monitor_rules(rules: list) -> list:
+    bad = [
+        r
+        for r in rules
+        if not (
+            isinstance(r, Rule)
+            or (
+                isinstance(r, DatasetRule)
+                and r.kind in _ADDITIVE_DATASET_KINDS
+            )
+        )
+    ]
     if bad:
         raise ValueError(
-            "streaming quality monitor folds ROW rules only; "
+            "streaming quality monitor folds ROW rules and additive "
+            "dataset rules (row_count, null_ppm) only; "
             f"{[getattr(r, 'name', r) for r in bad]} need the batch audit "
             "over the merged table (per-batch answers don't sum: two "
-            "internally-unique batches can still collide on a key)"
+            "internally-unique batches can still collide on a key, and a "
+            "batch's distinct count says nothing about the corpus's)"
         )
     return rules
 
 
-def quality_partial(batch_df: DataFrame, rules: list[Rule]) -> DataFrame:
-    """Per-batch audit partial: one (rule, violations, checked) row per
-    rule — the same single scan+aggregate as the batch operator."""
-    return audit(batch_df, _row_rules_only(rules))
+def quality_partial(batch_df: DataFrame, rules: list) -> DataFrame:
+    """Per-batch partial: one (rule, violations, checked) row per rule,
+    ONE scan+aggregate like the batch operator.  The two columns are an
+    additive (numerator, denominator) pair: for a row rule that is
+    literally (violations, rows checked); for an additive dataset rule
+    it is the measurement's components (row_count: rows, rows; null_ppm:
+    nulls, rows) — NOT the batch-local verdict, which would not fold.
+    dataset_verdicts() turns the folded sums back into audit() semantics
+    at read time."""
+    rules = _monitor_rules(rules)
+    row_rules = [r for r in rules if isinstance(r, Rule)]
+    ds_rules = [r for r in rules if isinstance(r, DatasetRule)]
+    aggs = [
+        F.coalesce(F.sum(F.when(~r.pred, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias(f"_r_{i}")
+        for i, r in enumerate(row_rules)
+    ] + [
+        (
+            F.count(F.lit(1)).cast("long")
+            if r.kind == "row_count"
+            else F.coalesce(
+                F.sum(F.when(F.col(r.col).isNull(), 1).otherwise(0)),
+                F.lit(0),
+            ).cast("long")
+        ).alias(f"_d_{i}")
+        for i, r in enumerate(ds_rules)
+    ]
+    wide = batch_df.agg(
+        F.count(F.lit(1)).cast("long").alias("_checked"), *aggs
+    )
+    triples = [
+        f"'{r.name}', _r_{i}, _checked" for i, r in enumerate(row_rules)
+    ] + [f"'{r.name}', _d_{i}, _checked" for i, r in enumerate(ds_rules)]
+    return wide.selectExpr(
+        f"stack({len(triples)}, {', '.join(triples)}) "
+        "as (rule, violations, checked)"
+    )
+
+
+def dataset_verdicts(monitor: DataFrame, rules: list) -> DataFrame:
+    """Evaluate dataset expectations over the FOLDED monitor sums,
+    restoring audit()'s output semantics: (rule, violations 0/1,
+    checked = measurement).  Row rules pass through unchanged — their
+    folded sums already ARE audit()'s semantics.  One projection over a
+    #rules-row table; no scan of any data."""
+    rules = _monitor_rules(rules)
+    ds = {r.name: r for r in rules if isinstance(r, DatasetRule)}
+    if not ds:
+        return monitor
+    whens = None
+    for r in ds.values():
+        m = (
+            F.col("violations")
+            if r.kind == "row_count"
+            else F.when(F.col("checked") == 0, F.lit(0)).otherwise(
+                F.expr("(1000000 * violations) div checked")
+            )
+        )
+        verdict = F.when(
+            (m < int(r.lo)) | (m > int(r.hi)), F.lit(1)
+        ).otherwise(F.lit(0))
+        pair = F.struct(
+            verdict.cast("long").alias("v"), m.cast("long").alias("c")
+        )
+        whens = (
+            F.when(F.col("rule") == r.name, pair)
+            if whens is None
+            else whens.when(F.col("rule") == r.name, pair)
+        )
+    fallback = F.struct(
+        F.col("violations").alias("v"), F.col("checked").alias("c")
+    )
+    out = whens.otherwise(fallback)
+    return monitor.select(
+        "rule",
+        out["v"].alias("violations"),
+        out["c"].alias("checked"),
+    )
 
 
 def fold_into_quality(partial: DataFrame, table_path: str, batch_id: int) -> None:
@@ -73,7 +176,7 @@ def stream_quality_monitor(
     """availableNow run: audit all new files into the monitor table,
     then stop — scheduler-driven, like the rollup maintenance.  Returns
     the finished StreamingQuery."""
-    rules = _row_rules_only(rules)
+    rules = _monitor_rules(rules)
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

@@ -1,0 +1,82 @@
+"""operators/drift.py — cross-snapshot PSI: the VersionedTable entry
+point, zero-drift identity, shift detection, null exclusion, and the
+generated-SQL twin staying in lockstep with the Spark plan (the value
+check itself is q177's oracle row)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from coldata_spark.operators import drift as D
+from coldata_spark.operators.table import VersionedTable
+
+
+def _mk(spark, vals):
+    return spark.createDataFrame([(i, float(v)) for i, v in enumerate(vals)],
+                                 "id BIGINT, x DOUBLE")
+
+
+def test_identical_snapshots_zero_psi(spark):
+    a = _mk(spark, [1, 2, 3, 10, 20, 20, 30])
+    rows = D.distribution_drift(a, a, "x", nbins=4).collect()
+    assert rows, "bins with data must be emitted"
+    assert all(r.psi_term_fp == 0 for r in rows)
+    assert all(r.p_ppm == r.q_ppm for r in rows)
+    total = D.psi_total(D.distribution_drift(a, a, "x", nbins=4)).collect()[0]
+    assert total.psi_fp == 0
+
+
+def test_shifted_distribution_positive_psi(spark):
+    a = _mk(spark, [1] * 50 + [2] * 50)
+    b = _mk(spark, [1] * 10 + [9] * 90)  # mass moved to the top bin
+    out = {r.bin: r for r in D.distribution_drift(a, b, "x", nbins=4).collect()}
+    total = D.psi_total(D.distribution_drift(a, b, "x", nbins=4)).collect()[0]
+    assert total.psi_fp > 0
+    # every term's sign matches the direction the mass moved: the bottom
+    # bin lost mass in b (p > q -> positive term), the top bin gained
+    # (p < q -> log-ratio negative -> still positive product)
+    assert all(r.psi_term_fp >= 0 for r in out.values())
+
+
+def test_nulls_excluded_and_nbins_validated(spark):
+    a = spark.createDataFrame([(1, 1.0), (2, None)], "id BIGINT, x DOUBLE")
+    rows = D.distribution_drift(a, a, "x", nbins=2).collect()
+    # only the non-null value participates
+    assert sum(r.n_a for r in rows) == 1
+    with pytest.raises(ValueError, match="nbins"):
+        D.distribution_drift(a, a, "x", nbins=1)
+
+
+def test_snapshot_drift_over_versioned_table(spark, tmp_path):
+    """The production path: two commits of a VersionedTable, drift read
+    through time travel — equal to distribution_drift over the same
+    frames, and the shifted commit registers positive PSI."""
+    t = VersionedTable(str(tmp_path / "tbl"))
+    base = _mk(spark, [1, 1, 2, 2, 3, 3, 8, 9])
+    shifted = base.withColumn("x", F.col("x") + F.lit(6.0))
+    v0 = t.commit(base)
+    v1 = t.commit(shifted)
+    via_table = D.snapshot_drift(spark, t, "id", "x", v0, v1).collect()
+    direct = D.distribution_drift(base, shifted, "x").collect()
+    assert sorted(map(tuple, via_table)) == sorted(map(tuple, direct))
+    assert sum(r.psi_term_fp for r in via_table) > 0
+
+
+def test_drift_sql_twin_matches_spark(spark):
+    """drift_sql(dialect='duckdb') over the same data produces the same
+    rows — the generated-twin contract q177 relies on, checked here on
+    a frame small enough to eyeball."""
+    import duckdb
+
+    a = _mk(spark, [1, 2, 3, 4, 5, 6, 7, 8])
+    b = _mk(spark, [5, 6, 7, 8, 9, 10, 11, 12])
+    got = sorted(
+        map(tuple, D.distribution_drift(a, b, "x", nbins=4).collect())
+    )
+    con = duckdb.connect()
+    con.register("ta", a.toPandas())
+    con.register("tb", b.toPandas())
+    sql = D.drift_sql("SELECT x FROM ta", "SELECT x FROM tb", "x", nbins=4)
+    want = sorted(map(tuple, con.execute(sql).fetchall()))
+    assert got == want

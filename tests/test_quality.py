@@ -195,3 +195,107 @@ def test_stream_quality_monitor_equals_batch(spark, sf_dir, tmp_path):
     # non-additive kinds are refused, not silently mis-folded
     with _pytest.raises(ValueError, match="batch audit over the merged"):
         SQ.quality_partial(docs, rules + [Q.unique(["doc_id"])])
+
+
+def test_dataset_rules_verdicts_and_measurements(spark, frame):
+    """Dataset rules report (verdict 0/1, measurement) with integer ppm
+    arithmetic; bounds are inclusive; they fold into the same audit."""
+    got = _counts(
+        Q.audit(
+            frame,
+            [
+                Q.row_count_between(1, 10),        # 6 rows -> pass
+                Q.row_count_between(10, 20),       # fail low
+                Q.null_fraction_ppm_max("name", 200_000),  # 1/6 -> 166666
+                Q.null_fraction_ppm_max("lang", 100_000),  # 1/6 -> fail
+                Q.distinct_ratio_ppm_between("id", 900_000, 1_000_000),
+            ],
+        )
+    )
+    assert got["row_count(1,10)"] == (0, 6)
+    assert got["row_count(10,20)"] == (1, 6)
+    assert got["null_ppm(name,200000)"] == (0, 166_666)
+    assert got["null_ppm(lang,100000)"] == (1, 166_666)
+    # 5 distinct ids over 6 rows = 833333 ppm -> below the band
+    assert got["distinct_ppm(id,900000,1000000)"] == (1, 833_333)
+
+
+def test_dataset_rules_share_the_one_scan(frame):
+    """Adding dataset rules (incl. a distinct_ppm, which routes through
+    Spark's multi-distinct Expand) must not add a table scan."""
+    plan = Q.audit(
+        frame,
+        [
+            Q.not_null("name"),
+            Q.row_count_between(1, 10),
+            Q.null_fraction_ppm_max("name", 0),
+            Q.distinct_ratio_ppm_between("lang", 1, 1_000_000),
+        ],
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ") == 1, plan
+
+
+def test_dataset_rules_empty_table(spark):
+    """Empty table: ratio measurements define to 0 (no divide-by-zero);
+    row_count bounds still judge the 0."""
+    empty = spark.createDataFrame([], "id BIGINT, name STRING")
+    got = _counts(
+        Q.audit(
+            empty,
+            [
+                Q.row_count_between(1, 10),
+                Q.null_fraction_ppm_max("name", 0),
+                Q.distinct_ratio_ppm_between("id", 1, 10),
+            ],
+        )
+    )
+    assert got["row_count(1,10)"] == (1, 0)
+    assert got["null_ppm(name,0)"] == (0, 0)
+    assert got["distinct_ppm(id,1,10)"] == (1, 0)
+
+
+def test_dataset_rules_not_quarantinable(frame):
+    """A dataset rule has no per-row verdict — quarantine must refuse it
+    with the reason, not crash on a missing attribute."""
+    with pytest.raises(ValueError, match="no per-row verdict"):
+        Q.with_violations(frame, [Q.row_count_between(1, 10)])
+    with pytest.raises(ValueError, match="no per-row verdict"):
+        Q.quarantine(frame, [Q.not_null("name"), Q.unique(["id"])])
+
+
+def test_stream_monitor_additive_dataset_rules(spark, sf_dir, tmp_path):
+    """row_count / null_ppm expectations fold across micro-batches as
+    additive components; dataset_verdicts over the folded monitor equals
+    the batch audit over everything ingested.  distinct_ppm is refused
+    with the reason."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from coldata_spark.streaming import quality as SQ
+    from coldata_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    rules = [
+        Q.not_null("text"),
+        Q.row_count_between(1, 100),       # fails once >100 rows arrive
+        Q.null_fraction_ppm_max("text", 0),
+    ]
+    first = docs.filter(F.col("doc_id") % 2 == 0)
+    second = docs.filter(F.col("doc_id") % 2 == 1)
+    table = str(tmp_path / "ds_monitor")
+
+    SQ.fold_into_quality(SQ.quality_partial(first, rules), table, batch_id=0)
+    SQ.fold_into_quality(SQ.quality_partial(second, rules), table, batch_id=1)
+
+    folded = SQ.dataset_verdicts(spark.read.parquet(table), rules)
+    got = {(r.rule, r.violations, r.checked) for r in folded.collect()}
+    want = {
+        (r.rule, r.violations, r.checked)
+        for r in Q.audit(docs, rules).collect()
+    }
+    assert got == want
+
+    with _pytest.raises(ValueError, match="distinct count"):
+        SQ.quality_partial(
+            docs, rules + [Q.distinct_ratio_ppm_between("lang", 1, 10)]
+        )
