@@ -399,12 +399,42 @@ def _emb_content_stamp(sf_dir: str) -> str:
     )
 
 
-def _ivf_index_cached(spark: SparkSession, sf_dir: str, nlist: int = 8):
+def _label_mean_centroids(emb: DataFrame) -> DataFrame:
+    """Per-label mean vectors as (centroid_id, cvec array<double>) — the
+    DETERMINISTIC centroid stand-in q33 oracle-checks (the KMeans fit is
+    tested separately); shared by q150's exact-oracle pruned index."""
+    from coldata_spark.functions import vector as V
+
+    e = emb.select("label", V.as_double(F.col("embedding")).alias("v"))
+    dims = (
+        e.select("label", F.posexplode("v").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.avg("x").alias("c"))
+    )
+    return (
+        dims.groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("i"), F.col("c")))
+            ).alias("pairs")
+        )
+        .select(
+            F.col("label").cast("int").alias("centroid_id"),
+            F.transform(F.col("pairs"), lambda p: p.c).alias("cvec"),
+        )
+    )
+
+
+def _ivf_index_cached(
+    spark: SparkSession, sf_dir: str, nlist: int = 8, flavor: str = "kmeans"
+):
     """Build-or-reuse the IVF index for a fixture dir: the build is
-    deterministic (fixed KMeans seed over a fixed fixture), so one cached
-    copy per (sf_dir, nlist) serves every q35/q150 invocation — the old
-    per-invocation tempfile.mkdtemp left a full index copy behind on
-    EVERY driver/bench run and rebuilt identical KMeans each time."""
+    deterministic (fixed KMeans seed over a fixed fixture — or, for
+    ``flavor='labelmean'``, the q33 per-label-mean centroids with cosine
+    assignment), so one cached copy per (sf_dir, nlist, flavor) serves
+    every q35/q150 invocation — the old per-invocation tempfile.mkdtemp
+    left a full index copy behind on EVERY driver/bench run and rebuilt
+    identical KMeans each time."""
     import hashlib
     import os
     import tempfile
@@ -416,10 +446,12 @@ def _ivf_index_cached(spark: SparkSession, sf_dir: str, nlist: int = 8):
     # mints a new content key; pruning the fixture-key's OTHER content
     # dirs keeps at most one live index per (sf_dir, nlist) — otherwise
     # every regeneration would strand a full index copy in /tmp (the exact
-    # leak this cache was introduced to stop).
-    fix_key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{nlist}".encode()
-    ).hexdigest()[:12]
+    # leak this cache was introduced to stop).  The kmeans flavor keeps
+    # the legacy key so existing caches survive the flavor parameter.
+    fix_src = f"{os.path.abspath(sf_dir)}|{nlist}" + (
+        "" if flavor == "kmeans" else f"|{flavor}"
+    )
+    fix_key = hashlib.md5(fix_src.encode()).hexdigest()[:12]
     key = hashlib.md5(stamp.encode()).hexdigest()[:12]
     group = os.path.join(tempfile.gettempdir(), "coldata_ivf_cache", fix_key)
     root = os.path.join(group, key)
@@ -445,7 +477,11 @@ def _ivf_index_cached(spark: SparkSession, sf_dir: str, nlist: int = 8):
         centroids = spark.read.parquet(cpath)
         return path, centroids
     emb = load(spark, sf_dir, "embeddings")
-    assigned, centroids = ivf.build_ivf(emb, nlist=nlist)
+    if flavor == "labelmean":
+        centroids = _label_mean_centroids(emb)
+        assigned = ivf.assign_to_centroids(emb, centroids, metric="COSINE")
+    else:
+        assigned, centroids = ivf.build_ivf(emb, nlist=nlist)
     os.makedirs(root, exist_ok=True)
     ivf.write_ivf(assigned, path)
     centroids.write.mode("overwrite").parquet(cpath)
@@ -495,16 +531,97 @@ def q35_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q150_ann_ivf_pruned", survey="V3,V4,W1", sql=None)
+@register(
+    "q150_ann_ivf_pruned",
+    survey="V3,V4,W1",
+    sql="""
+    WITH cent AS (
+        SELECT label, i, avg(embedding[i]::DOUBLE) AS c
+        FROM embeddings, unnest(generate_series(1, 64)) AS t(i)
+        GROUP BY label, i
+    ),
+    cvecs AS (
+        SELECT label, list(c ORDER BY i) AS cvec FROM cent GROUP BY label
+    ),
+    vcos AS (
+        SELECT e.vec_id, c.label,
+               list_dot_product(e.embedding::DOUBLE[], c.cvec)
+               / greatest(
+                     sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                           e.embedding::DOUBLE[]))
+                     * sqrt(list_dot_product(c.cvec, c.cvec)),
+                     1e-12) AS cos
+        FROM embeddings e, cvecs c
+    ),
+    assign AS (
+        SELECT vec_id, label AS cell FROM (
+            SELECT vec_id, label,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cos DESC, label) AS rn
+            FROM vcos)
+        WHERE rn = 1
+    ),
+    probe AS (
+        SELECT vec_id AS q_id, label AS cell FROM (
+            SELECT vec_id, label,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cos DESC, label) AS rn
+            FROM vcos WHERE vec_id < 8)
+        WHERE rn <= 5
+    ),
+    scored AS (
+        SELECT p.q_id, a.vec_id,
+               round(list_dot_product(q.embedding::DOUBLE[],
+                                      v.embedding::DOUBLE[])
+                     / (sqrt(list_dot_product(q.embedding::DOUBLE[],
+                                              q.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(v.embedding::DOUBLE[],
+                                                v.embedding::DOUBLE[]))),
+                     6) AS score
+        FROM probe p
+        JOIN assign a ON a.cell = p.cell
+        JOIN embeddings q ON q.vec_id = p.q_id
+        JOIN embeddings v ON v.vec_id = a.vec_id
+    ),
+    ranked AS (
+        SELECT q_id, vec_id, score,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY score DESC, vec_id) AS rank
+        FROM scored
+    )
+    SELECT q_id, vec_id, score, rank FROM ranked WHERE rank <= 5
+    """,
+)
 def q150_ann_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The production IVF configuration: nprobe = nlist/2, partition
-    pruning skips half the cells (rows-only — recall vs exact is the
-    measured IVF_SWEEP.md curve, not a fixed value set)."""
+    """The production IVF configuration — nprobe < nlist, partition
+    pruning skips half the cells — under an EXACT per-configuration
+    oracle (round-11 verdict ask #3; this row was rows-only for ten
+    rounds on the belief that pruned search is only a recall curve).
+    The pruned result IS deterministic given the centroids: use the
+    q33 label-mean centroid stand-in (hash-green there) instead of the
+    KMeans fit, and the SQL twin replays the whole pipeline — score
+    centroids per query, keep the top-nprobe cells (ties to the lower
+    label, knn_join's order), assign every corpus vector to its
+    best-cosine cell (ties to the lower centroid_id,
+    assign_to_centroids' order), then exact cosine top-k INSIDE the
+    probed cells only.  The Spark side runs the REAL machinery end to
+    end: assign_to_centroids -> write_ivf (partitioned by cell) ->
+    search_ivf's centroid probe + partition-pruned scan.  Float parity:
+    every fold is sequential on both engines (functions/vector.py dot
+    vs list_dot_product over ORDER BY i lists, ~1 ulp); selection
+    comparisons ride unrounded doubles whose gaps are macroscopic
+    (cell-to-cell cosine differences), the same risk class q33's
+    hash-green argmax already carries; output scores round to 6 like
+    q35.  The KMeans-centroid production path stays measured as the
+    IVF_SWEEP.md recall curve; recall-vs-exact remains a curve, but the
+    MACHINERY is now value-checked in its pruned configuration."""
     from coldata_spark.operators import ivf
 
-    path, centroids = _ivf_index_cached(spark, sf_dir, nlist=8)
+    path, centroids = _ivf_index_cached(
+        spark, sf_dir, nlist=10, flavor="labelmean"
+    )
     return ivf.search_ivf(
-        spark, path, _queries_df(spark, sf_dir), centroids, k=4, nprobe=4
+        spark, path, _queries_df(spark, sf_dir), centroids, k=5, nprobe=5
     )
 
 
@@ -726,19 +843,178 @@ def q86_ivf_pq_search(spark, sf_dir):
     )
 
 
-@register("q151_ivf_pq_ann", survey="V3,V4,ext-ivf", sql=None)
-def q151_ivf_pq_ann(spark, sf_dir):
-    """The lossy production IVF-PQ configuration (nprobe=nlist/2,
-    overfetch=8) — rows-only; recall >= 0.75 asserted in
-    tests/test_search.py::test_ivf_pq_end_to_end_recall."""
-    from coldata_spark.operators import ivf
-    from coldata_spark.tables import load as _load
+def _quantized_emb(spark, sf_dir):
+    """Embeddings in 10-bit fixed point: floor(x * 1024) per component,
+    kept as integer-VALUED doubles so the frame flows through the real
+    numpy PQ paths unchanged.  Every step is exact: float32 -> double is
+    lossless, * 1024 is a power-of-two scale (no rounding), floor is
+    floor — both engines land on the identical integer."""
+    from coldata_spark.functions import vector as V
 
-    emb = _load(spark, sf_dir, "embeddings")
-    queries = _queries_df(spark, sf_dir, n=5)
-    index, centroids, codebook = ivf.build_ivf_pq(emb, nlist=8, m=8, k_codes=16)
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            V.as_double(F.col("embedding")),
+            lambda x: F.floor(x * 1024).cast("double"),
+        ).alias("embedding"),
+    )
+
+
+@register(
+    "q151_ivf_pq_ann",
+    survey="V3,V4,ext-ivf",
+    sql="""
+    WITH eq AS (
+        SELECT vec_id, label,
+               list_transform(embedding::DOUBLE[],
+                              x -> CAST(floor(x * 1024) AS BIGINT)) AS v
+        FROM embeddings
+    ),
+    cents AS (
+        SELECT label, v AS cvec FROM (
+            SELECT label, v,
+                   row_number() OVER (PARTITION BY label
+                                      ORDER BY vec_id) AS rn
+            FROM eq) WHERE rn = 1
+    ),
+    probe_d AS (
+        SELECT e.vec_id AS q_id, c.label,
+               sum((e.v[g.i] - c.cvec[g.i]) * (e.v[g.i] - c.cvec[g.i]))
+                   AS d2
+        FROM eq e, cents c, unnest(generate_series(1, 64)) AS g(i)
+        WHERE e.vec_id < 5
+        GROUP BY e.vec_id, c.label
+    ),
+    probe AS (
+        SELECT q_id, label AS cell FROM (
+            SELECT q_id, label,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY d2, label) AS rn
+            FROM probe_d) WHERE rn <= 5
+    ),
+    assign_d AS (
+        SELECT e.vec_id, c.label,
+               sum((e.v[g.i] - c.cvec[g.i]) * (e.v[g.i] - c.cvec[g.i]))
+                   AS d2
+        FROM eq e, cents c, unnest(generate_series(1, 64)) AS g(i)
+        GROUP BY e.vec_id, c.label
+    ),
+    assign AS (
+        SELECT vec_id, label AS cell FROM (
+            SELECT vec_id, label,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, label) AS rn
+            FROM assign_d) WHERE rn = 1
+    ),
+    cb AS (
+        SELECT j.j AS j, e.vec_id AS code, s.s AS s,
+               e.v[j.j * 8 + s.s] AS val
+        FROM eq e,
+             unnest(generate_series(0, 7)) AS j(j),
+             unnest(generate_series(1, 8)) AS s(s)
+        WHERE e.vec_id < 16
+    ),
+    enc_d AS (
+        SELECT e.vec_id, cb.j, cb.code,
+               sum((e.v[cb.j * 8 + cb.s] - cb.val)
+                   * (e.v[cb.j * 8 + cb.s] - cb.val)) AS d2
+        FROM eq e JOIN cb ON true
+        GROUP BY e.vec_id, cb.j, cb.code
+    ),
+    enc AS (
+        SELECT vec_id, j, code FROM (
+            SELECT vec_id, j, code,
+                   row_number() OVER (PARTITION BY vec_id, j
+                                      ORDER BY d2, code) AS rn
+            FROM enc_d) WHERE rn = 1
+    ),
+    adc AS (
+        SELECT p.q_id, a.vec_id, sum(l.d2) AS approx
+        FROM probe p
+        JOIN assign a ON a.cell = p.cell
+        JOIN enc c ON c.vec_id = a.vec_id
+        JOIN enc_d l ON l.vec_id = p.q_id AND l.j = c.j
+                     AND l.code = c.code
+        GROUP BY p.q_id, a.vec_id
+    ),
+    cut AS (
+        SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY approx, vec_id) AS rn
+            FROM adc) WHERE rn <= 32
+    ),
+    rer AS (
+        SELECT c.q_id, c.vec_id,
+               round(sqrt(CAST(sum((q.v[g.i] - v.v[g.i])
+                                   * (q.v[g.i] - v.v[g.i])) AS DOUBLE)),
+                     6) AS score
+        FROM cut c
+        JOIN eq q ON q.vec_id = c.q_id
+        JOIN eq v ON v.vec_id = c.vec_id,
+             unnest(generate_series(1, 64)) AS g(i)
+        GROUP BY c.q_id, c.vec_id
+    )
+    SELECT q_id, vec_id, score, rank FROM (
+        SELECT q_id, vec_id, score,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY score, vec_id) AS rank
+        FROM rer) WHERE rank <= 4
+    """,
+)
+def q151_ivf_pq_ann(spark, sf_dir):
+    """The LOSSY production IVF-PQ configuration (nprobe < nlist, finite
+    overfetch) under an exact oracle — the row that was rows-only for
+    ten rounds because KMeans codebooks aren't SQL-expressible (round-11
+    verdict ask #3).  The device is 10-bit fixed-point quantization
+    (_quantized_emb): with integer-valued vectors, metric L2, a
+    deterministic codebook (the 16 first vectors' subvectors) and
+    deterministic cells (first vector per label), EVERY lossy step —
+    encode argmin, ADC lookup sums, the k*overfetch candidate cut — is
+    integer arithmetic with explicit tie-breaks, so the lossy output
+    itself hash-matches the SQL replay (no 'recall curve' hedge; the
+    cut IS the checked value).  The Spark side still runs the REAL
+    machinery: assign_to_centroids' literal-array argmin, pq_encode's
+    numpy mapInPandas, search_ivf_pq's expr probe + Arrow ADC scan +
+    window cut + full-precision re-rank (sqrt of an exact integer,
+    correctly rounded on both engines).  The float-COSINE KMeans
+    configuration stays covered by q86 (exhaustive = provably exact)
+    and the recall assertion in tests/test_search.py.
+    Reference basis: vdb.py's Milvus IVF_PQ index params."""
+    import numpy as np
+
+    from coldata_spark.operators import ivf
+
+    emb_q = _quantized_emb(spark, sf_dir)
+    queries = emb_q.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    w = W.partitionBy("label").orderBy("vec_id")
+    cents = (
+        emb_q.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("label").cast("int").alias("centroid_id"),
+            F.col("embedding").alias("cvec"),
+        )
+    )
+    assigned = ivf.assign_to_centroids(emb_q, cents, metric="L2")
+    # deterministic codebook: vectors 0..15, subspace j = dims [8j, 8j+8)
+    rows = sorted(
+        emb_q.filter(F.col("vec_id") < 16)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    codebook = np.stack([X[:, j * 8 : (j + 1) * 8] for j in range(8)])
+    codes = ivf.pq_encode(emb_q, codebook, id_col="vec_id")
+    index = assigned.join(codes, "vec_id")
     return ivf.search_ivf_pq(
-        index, queries, centroids, codebook, k=4, nprobe=4, overfetch=8
+        index, queries, cents, codebook, k=4, nprobe=5, overfetch=8,
+        metric="L2",
     )
 
 

@@ -46,6 +46,15 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q33_centroid_assign",
     "q34_knn_l2_topk",
     "q35_ann_ivf_search",
+    # Pruned IVF under an exact per-configuration oracle (r11 verdict
+    # ask #3): nprobe < nlist over the deterministic label-mean
+    # centroids — the SQL twin replays probe selection, cell assignment
+    # and the partition-pruned in-cell top-k, so the SCALE path (not
+    # just q35's exhaustive one) is value-hash-checked.  Displaced
+    # q52_audio_features, whose ext-multimodal-audio tag stays covered
+    # by q171's real WAV decode (strictly stronger evidence) and which
+    # remains oracle-green in pytest.
+    "q150_ann_ivf_pruned",
     "q36_embed_documents",
     # round 10 (restarted session): q174 (declarative constraints audit —
     # the new ext-constraints capability) rotated in, displacing
@@ -144,7 +153,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q63_top_terms",
     # Multimodal layer
     "q50_image_features",
-    "q52_audio_features",
     # Real file-byte decode end-to-end (r10 verdict ask #1): actual WAV
     # files in tar shards, RIFF parse inside the Arrow UDF, header-read
     # sample_rate under the hash check.  Displaced q86_ivf_pq_search,
