@@ -246,6 +246,31 @@ def serve(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def interactive(spark: SparkSession):
+    """Sub-second serving burst: AQE off for the duration, restored after.
+
+    AQE's per-stage replanning is a measured ~0.06-0.08 s of the ~0.18 s
+    per-submission floor on q44's single-table sub-second plan
+    (tools/probe_serve_floor.py, headline sf0.1, best-of-7: full
+    0.167-0.216 vs 0.107-0.130 with AQE off; the optimizer+codegen
+    replan is ~0.08 s, measured as plan_only) — while AQE's benefit
+    (runtime re-plan of BIG shuffles: coalesce, skew split) cannot apply
+    at interactive result sizes.  Results are identical either way; only
+    the physical strategy changes, so this is a serving-mode knob, not a
+    semantics switch.  Scope it to the burst: batch/curation jobs keep
+    AQE on — at 100 TB its runtime re-planning is load-bearing there."""
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+
+
 def oracle_sql() -> dict[str, str]:
     return {n: s.sql for n, s in specs().items() if s.sql is not None}
 

@@ -153,3 +153,33 @@ def test_serve_rebuilds_on_fixture_mutation(spark, tmp_path):
 
     # and an unchanged dir keeps hitting the cache
     assert registry.serve(spark, sf, "q01_pricing_summary") is c
+
+
+def test_interactive_mode_flips_and_restores_aqe(spark):
+    """registry.interactive (round-11 verdict ask #5): AQE off for the
+    burst, restored after — even when the body raises — and the served
+    result is IDENTICAL either way (physical strategy, not semantics)."""
+    import pytest
+
+    from coldata_spark import registry
+
+    sf = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    base = {
+        tuple(r)
+        for r in registry.serve(spark, sf, "q01_pricing_summary").collect()
+    }
+    with registry.interactive(spark):
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+        got = {
+            tuple(r)
+            for r in registry.serve(
+                spark, sf, "q01_pricing_summary"
+            ).collect()
+        }
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert got == base
+    with pytest.raises(RuntimeError):
+        with registry.interactive(spark):
+            raise RuntimeError("boom")
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"

@@ -86,6 +86,16 @@ def measure_serve(
         t0 = time.perf_counter()
         fresh_exec(registry.serve(spark, tier_dir, name)).collect()
         serve_runs.append(round(time.perf_counter() - t0, 3))
+    # serve + interactive mode (round 11): AQE off for the burst —
+    # the measured per-stage-replanning share of the floor
+    # (registry.interactive's docstring has the decomposition)
+    with registry.interactive(spark):
+        fresh_exec(registry.serve(spark, tier_dir, name)).collect()  # warm
+        interactive_runs = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            fresh_exec(registry.serve(spark, tier_dir, name)).collect()
+            interactive_runs.append(round(time.perf_counter() - t0, 3))
     # disclosed separately: re-collecting the same Dataset (what a client
     # re-rendering the IDENTICAL query gets) — merge-stage-only time, the
     # scan+score map stage is skipped via MapOutputTracker reuse
@@ -147,13 +157,18 @@ def measure_serve(
         "plan_floor_sec": round(
             max(0.0, _median(rebuild_runs) - _median(serve_runs)), 3
         ),
+        "interactive_runs": interactive_runs,
+        "interactive_sec": min(interactive_runs),
+        "interactive_ratio": round(min(interactive_runs) / d_best, 2),
         "cached_shuffle_runs": cached_runs,
         "cached_shuffle_sec": min(cached_runs),
         "pretouch_s": pretouch_s,
         "protocol": "page-cache-hot both engines (fixture pre-touched), "
         f"{session_note}, best-of-{repeats}; serve mode executes the "
         "registry.serve-cached plan through a fresh QueryExecution per run "
-        "(full re-execution, prepared-statement semantics), rebuild mode "
+        "(full re-execution, prepared-statement semantics), interactive "
+        "mode is serve inside registry.interactive (AQE off for the "
+        "burst, restored after), rebuild mode "
         "reconstructs the DataFrame per run, cached_shuffle re-collects "
         "the same Dataset (skipped map stages — identical-query re-render "
         "only); DuckDB re-parses per run (~ms)",
@@ -164,7 +179,13 @@ def main() -> None:
     tier = sys.argv[1] if len(sys.argv) > 1 else "256x"
     repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 7
     name = sys.argv[3] if len(sys.argv) > 3 else NAME
-    rec = measure_serve(tier, repeats, name=name)
+    # the headline "tier" is the sf dir itself, like tools/spread.py
+    tier_dir = (
+        os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        if tier == "headline"
+        else None
+    )
+    rec = measure_serve(tier, repeats, name=name, tier_dir=tier_dir)
     try:
         with open(DETAIL) as f:
             detail = json.load(f)
