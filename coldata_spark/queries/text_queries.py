@@ -631,9 +631,14 @@ def q25_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY doc_id, seed
     ),
     banded AS (
-        SELECT doc_id, cast(floor(seed / 2) AS INT) AS band,
-               string_agg(cast(minhash AS VARCHAR), '|' ORDER BY seed) AS band_key
-        FROM sig GROUP BY doc_id, cast(floor(seed / 2) AS INT)
+        SELECT doc_id, band, band_key FROM (
+            SELECT doc_id, cast(floor(seed / 2) AS INT) AS band,
+                   string_agg(cast(minhash AS VARCHAR), '|' ORDER BY seed)
+                       AS band_key
+            FROM sig GROUP BY doc_id, cast(floor(seed / 2) AS INT)
+        )
+        -- hot-bucket cap (64), matching the Spark plan's max_bucket_size
+        QUALIFY count(*) OVER (PARTITION BY band, band_key) <= 64
     ),
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -653,8 +658,19 @@ def q25_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q26_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidate pairs (band collision) verified by
     signature agreement.  Banding turns O(n^2) into groupBy(band_key) +
-    within-bucket join — the scale path for 100 TB dedup."""
-    return DD.minhash_neardup_pairs(load(spark, sf_dir, "documents"), "text", "doc_id")
+    within-bucket join — the scale path for 100 TB dedup.
+
+    max_bucket_size=64 (the curation ladder's production cap, mirrored
+    by QUALIFY in the twin): round 11's spill stress caught this query
+    UNCAPPED at the 16x replicated tier — the regenerated corpus's
+    boilerplate band keys made the within-bucket self-join spill 37 GB
+    and take 152 s at 16x, and fill the disk at 64x (STRESS.md).  The
+    oracle fixtures' buckets sit far below 64, so the hash check is
+    unchanged; the cap exists exactly for the tiers where it fired."""
+    return DD.minhash_neardup_pairs(
+        load(spark, sf_dir, "documents"), "text", "doc_id",
+        max_bucket_size=64,
+    )
 
 
 @register(
@@ -691,10 +707,15 @@ def q26_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY doc_id, seed
     ),
     banded AS (
-        SELECT doc_id, cast(floor(seed / 2) AS INT) AS band,
-               string_agg(cast(minhash AS VARCHAR), '|' ORDER BY seed)
-                   AS band_key
-        FROM sig GROUP BY doc_id, cast(floor(seed / 2) AS INT)
+        SELECT doc_id, band, band_key FROM (
+            SELECT doc_id, cast(floor(seed / 2) AS INT) AS band,
+                   string_agg(cast(minhash AS VARCHAR), '|' ORDER BY seed)
+                       AS band_key
+            FROM sig GROUP BY doc_id, cast(floor(seed / 2) AS INT)
+        )
+        -- hot-bucket cap by TOTAL population (corpus + new), matching the
+        -- incremental operator's max_bucket_size contract
+        QUALIFY count(*) OVER (PARTITION BY band, band_key) <= 64
     ),
     flags AS (SELECT doc_id, is_new FROM allb),
     cand AS (
@@ -736,8 +757,13 @@ def q159_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     corpus_wide = DD.minhash_signatures_wide(corpus, "text", "doc_id")
+    # cap=64 like q26/the ladder: round 11's spill stress showed the
+    # regenerated corpus's boilerplate band keys blow the bucket join up
+    # at replicated tiers (q26 uncapped: 37 GB spill at 16x) — the
+    # incremental shape bounds batch x bucket instead of bucket^2, but a
+    # hot corpus bucket would still dominate every fold that touches it
     pairs, new_wide = DD.minhash_neardup_incremental(
-        newb, corpus_wide, "text", "doc_id"
+        newb, corpus_wide, "text", "doc_id", max_bucket_size=64
     )
     # drop the operator's cache hint right away: this query path never
     # folds new_wide, and driver/oracle harnesses run it repeatedly — an

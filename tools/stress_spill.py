@@ -42,8 +42,8 @@ CONSTRAINED_CONF = {
 }
 
 
-def _spill_totals(ui_port: int, app_id: str) -> dict:
-    url = f"http://localhost:{ui_port}/api/v1/applications/{app_id}/stages?status=complete"
+def _spill_totals(ui_base: str, app_id: str) -> dict:
+    url = f"{ui_base}/api/v1/applications/{app_id}/stages?status=complete"
     with urllib.request.urlopen(url, timeout=10) as r:
         stages = json.load(r)
     return {
@@ -60,6 +60,21 @@ def _spill_totals(ui_port: int, app_id: str) -> dict:
     }
 
 
+GATE_CONF = {
+    # force UnsafeExternalSorter spills deterministically at tiny scale:
+    # the REGRESSION GATE (tests/test_spill_gate.py) must prove the
+    # spill path completes on every build without needing a 64x fixture
+    # or minutes of wall clock — memory-pressure realism is this tool's
+    # constrained mode, determinism is the gate's job
+    "spark.shuffle.spill.numElementsForceSpillThreshold": "500",
+    "spark.sql.windowExec.buffer.spill.threshold": "500",
+    "spark.sql.sortMergeJoinExec.buffer.spill.threshold": "500",
+    "spark.sql.shuffle.partitions": "2",
+}
+
+GATE_QUERIES = ["q116_time_weighted_avg", "q25_minhash_signatures"]
+
+
 def run(tier: str, mode: str) -> dict:
     os.environ["SPARK_UI"] = "true"
     if mode == "constrained":
@@ -68,35 +83,45 @@ def run(tier: str, mode: str) -> dict:
     from coldata_spark import registry
     from coldata_spark.session import dir_bytes, get_spark, tune_for_input
 
-    tier_dir = os.path.join("/root/repo/.bench_cache", tier)
+    if mode == "gate":
+        tier_dir = os.environ.get(
+            "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+        )
+    else:
+        tier_dir = os.path.join("/root/repo/.bench_cache", tier)
     if not os.path.isdir(tier_dir):
         raise SystemExit(f"tier fixture {tier_dir} missing — run bench.py first")
     _pretouch(tier_dir)
-    extra = dict(CONSTRAINED_CONF) if mode == "constrained" else {}
+    extra = {
+        "constrained": dict(CONSTRAINED_CONF),
+        "gate": dict(GATE_CONF),
+    }.get(mode, {})
     spark = get_spark(app_name=f"stress_spill_{mode}", extra_conf=extra)
-    if mode == "constrained":
+    if "spark.sql.shuffle.partitions" in extra:
         # get_spark sizes shuffle partitions to cores AFTER extra_conf;
         # re-pin the constrained value on the live session (runtime conf,
         # takes effect per query)
         spark.conf.set(
             "spark.sql.shuffle.partitions",
-            CONSTRAINED_CONF["spark.sql.shuffle.partitions"],
+            extra["spark.sql.shuffle.partitions"],
         )
-    else:
+    if mode == "normal":
         tune_for_input(spark, dir_bytes(tier_dir))
-    ui_port = int(spark.conf.get("spark.ui.port", "4040") or "4040")
+    # the ACTUAL bound UI address (a concurrent session shifts 4040 ->
+    # 4041+; reading the conf would poll a stranger's application)
+    ui_base = spark.sparkContext.uiWebUrl
     app_id = spark.sparkContext.applicationId
     specs = registry.specs()
     out = {"tier": tier, "mode": mode, "heap": os.environ.get("SPARK_DRIVER_MEM", "8g"),
            "conf": extra, "queries": {}}
-    before = _spill_totals(ui_port, app_id)
-    for name in QUERIES:
+    before = _spill_totals(ui_base, app_id)
+    for name in GATE_QUERIES if mode == "gate" else QUERIES:
         t0 = time.perf_counter()
         specs[name].fn(spark, tier_dir).write.format("noop").mode(
             "overwrite"
         ).save()
         secs = round(time.perf_counter() - t0, 1)
-        after = _spill_totals(ui_port, app_id)
+        after = _spill_totals(ui_base, app_id)
         out["queries"][name] = {
             "sec": secs,
             "memory_spilled_mb": round(
