@@ -188,3 +188,137 @@ def snapshot_drift(
     va = table.read(spark, from_version)
     vb = table.read(spark, to_version)
     return distribution_drift(va, vb, value_col, nbins=nbins)
+
+
+OTHER = "<other>"
+
+
+def categorical_drift(
+    a: DataFrame, b: DataFrame, col: str, top_k: int = 16
+) -> DataFrame:
+    """Per-category drift of a STRING column between snapshots — the
+    categorical twin of distribution_drift (PSI over category cells is
+    the standard form; equi-width bins only exist for numerics).
+
+    Cells are the top_k values by COMBINED count (ties to the smaller
+    string, both engines) plus one ``<other>`` bucket, so the result is
+    bounded whatever the column's cardinality.  The top-K selection runs
+    over the (value, n_a, n_b) COUNT table — already shrunk to the
+    column's distinct values by one map-side-combined aggregate; for
+    unbounded-cardinality columns shrink first with the heavy-hitters
+    sketch (q115), then drift over its output.  Same integer fixed-point
+    ppm + intlog2 term as the numeric path; NULLs excluded (null_ppm's
+    job).  A real category literally named '<other>' would fold into
+    the bucket — rename upstream if that ever matters."""
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    xa = a.select(F.col(col).cast("string").alias("x")).where(
+        F.col("x").isNotNull()
+    )
+    xb = b.select(F.col(col).cast("string").alias("x")).where(
+        F.col("x").isNotNull()
+    )
+    both = xa.select("x", F.lit(0).alias("side")).unionByName(
+        xb.select("x", F.lit(1).alias("side"))
+    )
+    counts = both.groupBy("x").agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.orderBy((F.col("n_a") + F.col("n_b")).desc(), F.col("x").asc())
+    )
+    cells = (
+        counts.withColumn("_rn", rn)
+        .select(
+            F.when(F.col("_rn") <= top_k, F.col("x"))
+            .otherwise(F.lit(OTHER))
+            .alias("value"),
+            "n_a",
+            "n_b",
+        )
+        .groupBy("value")
+        .agg(F.sum("n_a").cast("long").alias("n_a"),
+             F.sum("n_b").cast("long").alias("n_b"))
+    )
+    totals = cells.agg(
+        F.sum("n_a").cast("long").alias("na"),
+        F.sum("n_b").cast("long").alias("nb"),
+        F.count(F.lit(1)).cast("long").alias("ncells"),
+    )
+    L = lambda m: intlog2_fp(m, "spark")  # noqa: E731
+    p_ppm = "(1000000 * (n_a + 1)) div (na + ncells)"
+    q_ppm = "(1000000 * (n_b + 1)) div (nb + ncells)"
+    log_ratio = (
+        f"({L('n_a + 1')} - {L('na + ncells')}"
+        f" - {L('n_b + 1')} + {L('nb + ncells')})"
+    )
+    return cells.crossJoin(F.broadcast(totals)).selectExpr(
+        "value",
+        "n_a",
+        "n_b",
+        f"cast({p_ppm} as bigint) as p_ppm",
+        f"cast({q_ppm} as bigint) as q_ppm",
+        f"cast(({p_ppm} - {q_ppm}) * {log_ratio} as bigint) as psi_term_fp",
+    )
+
+
+def categorical_drift_sql(
+    a_sql: str, b_sql: str, top_k: int = 16, dialect: str = "duckdb"
+) -> str:
+    """Engine-twin SQL of categorical_drift (subqueries must project one
+    column aliased ``x``) — generated from the same constants and intlog2
+    snippet, like drift_sql."""
+    L = lambda m: intlog2_fp(m, dialect)  # noqa: E731
+    div = "//" if dialect == "duckdb" else "div"
+    p_ppm = f"(1000000 * (n_a + 1)) {div} (na + ncells)"
+    q_ppm = f"(1000000 * (n_b + 1)) {div} (nb + ncells)"
+    log_ratio = (
+        f"({L('n_a + 1')} - {L('na + ncells')}"
+        f" - {L('n_b + 1')} + {L('nb + ncells')})"
+    )
+    return f"""
+    WITH both_sides AS (
+        SELECT CAST(x AS VARCHAR) AS x, 0 AS side FROM ({a_sql})
+        WHERE x IS NOT NULL
+        UNION ALL
+        SELECT CAST(x AS VARCHAR) AS x, 1 AS side FROM ({b_sql})
+        WHERE x IS NOT NULL
+    ),
+    counts AS (
+        SELECT x,
+               CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_a,
+               CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_b
+        FROM both_sides GROUP BY x
+    ),
+    cells AS (
+        SELECT value, CAST(sum(n_a) AS BIGINT) AS n_a,
+               CAST(sum(n_b) AS BIGINT) AS n_b
+        FROM (
+            SELECT CASE WHEN row_number() OVER (
+                            ORDER BY n_a + n_b DESC, x ASC) <= {top_k}
+                        THEN x ELSE '{OTHER}' END AS value,
+                   n_a, n_b
+            FROM counts
+        ) GROUP BY value
+    ),
+    totals AS (
+        SELECT CAST(sum(n_a) AS BIGINT) AS na,
+               CAST(sum(n_b) AS BIGINT) AS nb,
+               CAST(count(*) AS BIGINT) AS ncells
+        FROM cells
+    )
+    SELECT value, n_a, n_b,
+           CAST({p_ppm} AS BIGINT) AS p_ppm,
+           CAST({q_ppm} AS BIGINT) AS q_ppm,
+           CAST(({p_ppm} - {q_ppm}) * {log_ratio} AS BIGINT) AS psi_term_fp
+    FROM cells, totals
+    """

@@ -2077,3 +2077,56 @@ def q177_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("x")
     )
     return distribution_drift(v1, v2, "x", nbins=16)
+
+
+def _q178_snapshots_sql() -> tuple[str, str]:
+    """q178's deterministic snapshot subqueries over documents.lang: v2
+    drops every 10th doc and re-labels every 7th into a NEW category —
+    both a mix shift and a novel-category appearance for the drift to
+    surface (the '<other>' bucket absorbs whatever falls off the top-k)."""
+    a = "SELECT lang AS x FROM documents"
+    b = (
+        "SELECT CASE WHEN doc_id % 7 = 0 THEN 'zz' ELSE lang END AS x "
+        "FROM documents WHERE doc_id % 10 <> 1"
+    )
+    return a, b
+
+
+def _q178_sql() -> str:
+    from coldata_spark.operators.drift import categorical_drift_sql
+
+    a, b = _q178_snapshots_sql()
+    return categorical_drift_sql(a, b, top_k=4, dialect="duckdb")
+
+
+@register(
+    "q178_categorical_drift",
+    survey="ext-constraints,A5,W1",
+    sql=_q178_sql(),
+)
+def q178_categorical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical drift between snapshots (operators/drift.py
+    categorical_drift) — the string-column half of the monitoring story
+    q177 opened: cells are the top-4 lang values by combined count plus
+    '<other>', proportions in Laplace-smoothed integer ppm, the same
+    intlog2 PSI term as the numeric path.  v2 re-labels every 7th doc
+    into a NEW category ('zz') and drops every 10th doc, so the result
+    shows mass leaving the incumbent cells and arriving in a cell that
+    did not exist in v1 — the re-crawl regression a blind scheduler
+    never notices.  Oracle SQL GENERATED from the same term builder
+    (categorical_drift_sql).
+
+    Plan: one union scan -> distinct-value count table (map-side
+    combine), a single bounded window over that COUNT table for top-k,
+    one broadcast totals row — no per-row window, no join wider than
+    the cell list."""
+    from coldata_spark.operators.drift import categorical_drift
+
+    docs = load(spark, sf_dir, "documents")
+    v1 = docs.select(F.col("lang").alias("x"))
+    v2 = docs.filter("doc_id % 10 <> 1").select(
+        F.expr(
+            "CASE WHEN doc_id % 7 = 0 THEN 'zz' ELSE lang END"
+        ).alias("x")
+    )
+    return categorical_drift(v1, v2, "x", top_k=4)

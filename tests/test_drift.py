@@ -80,3 +80,34 @@ def test_drift_sql_twin_matches_spark(spark):
     sql = D.drift_sql("SELECT x FROM ta", "SELECT x FROM tb", "x", nbins=4)
     want = sorted(map(tuple, con.execute(sql).fetchall()))
     assert got == want
+
+
+def test_categorical_drift_identity_and_shift(spark):
+    import duckdb
+
+    a = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(["en"] * 6 + ["de"] * 3 + ["fr"])],
+        "id BIGINT, x STRING",
+    )
+    same = D.categorical_drift(a, a, "x", top_k=2).collect()
+    assert all(r.psi_term_fp == 0 for r in same)
+    # top-2 + <other>: fr folds into the bucket
+    assert {r.value for r in same} == {"en", "de", D.OTHER}
+    b = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(["zz"] * 8 + ["en"] * 2)],
+        "id BIGINT, x STRING",
+    )
+    shifted = D.categorical_drift(a, b, "x", top_k=2)
+    assert sum(r.psi_term_fp for r in shifted.collect()) > 0
+    with pytest.raises(ValueError, match="top_k"):
+        D.categorical_drift(a, b, "x", top_k=0)
+    # generated twin agrees
+    con = duckdb.connect()
+    con.register("ta", a.toPandas())
+    con.register("tb", b.toPandas())
+    sql = D.categorical_drift_sql(
+        "SELECT x FROM ta", "SELECT x FROM tb", top_k=2
+    )
+    got = sorted(map(tuple, shifted.collect()))
+    want = sorted(map(tuple, con.execute(sql).fetchall()))
+    assert got == want
