@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from coldata_spark.operators.quality import DatasetRule, Rule, audit
+from coldata_spark.operators.quality import DatasetRule, Rule
 from coldata_spark.streaming.foldcommit import fold_once
 
 # Dataset-rule kinds whose measurement is a pure function of ADDITIVE
