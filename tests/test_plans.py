@@ -432,3 +432,31 @@ def test_curation_pipeline_materializes_once(spark, sf_dir):
             saw_window = True
             assert "_bucket" in line, f"global window in plan: {line}"
     assert saw_window, "expected the deterministic-shuffle window in plan"
+
+
+def test_drift_plans_stay_bounded(spark, sf_dir):
+    """Drift plans (round 11): the numeric path's only wide shuffle is
+    the 2 x nbins-group combine agg (stats ride a broadcast), and the
+    categorical path's top-k window runs over the already-shrunk
+    distinct-value COUNT table, never over data rows — the properties
+    that keep snapshot monitoring scan-bound at 100 TB."""
+    q177 = registry.specs()["q177_snapshot_drift"]
+    plan = plan_of(q177.fn(spark, sf_dir))
+    # the 1-row stats aggregate must arrive via broadcast, and no
+    # sort-merge join (a SMJ would mean the stats side shuffled data)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    # no Window operator anywhere in the numeric path
+    assert "Window" not in plan
+
+    q178 = registry.specs()["q178_categorical_drift"]
+    plan178 = plan_of(q178.fn(spark, sf_dir))
+    # the top-k Window exists, and its input is the count table: the
+    # formatted tree lists children under their parent, so the node
+    # DIRECTLY under the Window's Sort must be an Aggregate, not a scan
+    assert "Window" in plan178
+    tree = plan178.split("\n\n")[0].splitlines()
+    w_line = next(i for i, l in enumerate(tree) if "Window" in l)
+    below = "\n".join(tree[w_line + 1 : w_line + 4])
+    assert "HashAggregate" in below or "Sort" in below, below
+    assert "SortMergeJoin" not in plan178
