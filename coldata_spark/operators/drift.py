@@ -11,24 +11,32 @@ with no distribution check at all (src/coldata/scheduler.py:21-33).
 
 Semantics — engine-exact by construction (ORACLE_PARITY.md rule 5):
 
-  * Bins: q122's equi-width integer rule over the SHARED [min, max] of
-    both snapshots — ``least(floor((x - mn) * nbins / (mx - mn + 1)),
-    nbins - 1)`` — identical arithmetic in any SQL engine; NULLs are
-    excluded from the distribution (they are null_ppm's job, not PSI's).
+  * Bins: equi-width over the SHARED [min, max] of both snapshots —
+    ``least(floor((x - mn) * nbins / (mx - mn)), nbins - 1)`` with a
+    mx == mn guard — identical IEEE arithmetic in any SQL engine (the
+    q122 integer idiom's ``+ 1`` span guard is for INTEGER domains; on
+    a continuous column it collapses any sub-1 range into bin 0, hiding
+    real drift on score/rate columns in [0, 1] — round-11 review
+    finding).  NULLs are excluded (they are null_ppm's job, not PSI's).
   * Proportions: Laplace-smoothed integer ppm — p_i = (1e6 * (n_i + 1))
     div (N + nbins) — so an empty-on-one-side bin never divides by zero
     and ppm values hash exactly.
-  * The log-ratio uses the integer fixed-point log2 surrogate
+  * The log-ratio MAGNITUDE uses the integer fixed-point log2 surrogate
     (functions/intmath.py, the q166 CCNet device) in its SUM form
     ``L(n_a+1) - L(N_a+nbins) - L(n_b+1) + L(N_b+nbins)`` — arguments
     stay <= N, keeping int64 headroom to ~8.7e12 rows per snapshot
-    (the product form n_i * N overflows 2^63 at ~3e9 rows).
-  * psi_term_fp = (p_ppm - q_ppm) * log-ratio-fp: units are
-    ppm x 2^-20 log2-steps — a monotone scaled PSI, comparable across
-    runs and engines bit-for-bit.  Total PSI = sum of terms (always
-    >= 0 in the true statistic; the surrogate keeps each term's sign
-    equal to the true term's sign because L is monotone and both
-    factors flip together).
+    (the product form n_i * N overflows 2^63 at ~3e9 rows).  The
+    surrogate's per-call error (~0.086 bits) could flip the SIGN of a
+    near-zero true ratio, so the term's sign comes from an EXACT
+    wide-integer cross-multiplication instead (decimal(38,0) /
+    HUGEINT): sign((n_a+1)(N_b+nbins) - (n_b+1)(N_a+nbins)).
+  * psi_term_fp = |p_ppm - q_ppm| * |log-ratio-fp|: units are
+    ppm x 2^-20 log2-steps — a scaled PSI surrogate, comparable across
+    runs and engines bit-for-bit, and >= 0 in every cell BY
+    CONSTRUCTION, exactly like the true statistic (a PSI term's two
+    factors always share sign).  A cell whose true ratio sits within
+    the surrogate's error band may overstate its tiny magnitude, never
+    produce a negative term that cancels real drift out of psi_total.
 
 Plan shape — the scale contract: one union scan of both snapshots with
 a map-side (side, bin) combine agg (shuffle bounded by 2 x nbins
@@ -43,6 +51,39 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from coldata_spark.functions.intmath import intlog2_fp
+
+
+def _psi_parts(den: str, dialect: str) -> tuple[str, str, str]:
+    """(p_ppm, q_ppm, psi_term) SQL snippets over cell columns n_a/n_b
+    and totals na/nb, with Laplace denominator ``<total> + den``.  ONE
+    builder for both dialects and both cell kinds (numeric bins,
+    categorical values) so the four call sites cannot drift apart.
+
+    The term is ``|p_ppm - q_ppm| * |log_ratio_fp|`` — non-negative BY
+    CONSTRUCTION, which is exactly the true statistic's shape: the two
+    factors of a PSI term always share sign ((p - q) and log(p/q) flip
+    together), so the true term is >= 0 in every cell and |.|*|.| is
+    its faithful surrogate.  The round-11 review caught the naive
+    ``(p_ppm - q_ppm) * lr`` form going NEGATIVE when the intlog2
+    surrogate's ~0.086 bit/call error flipped a near-zero log-ratio's
+    sign — negative terms cancel real drift out of psi_total, the one
+    thing a drift gate must never do.  (A first fix multiplied in an
+    exact cross-multiplied ratio sign — wrong algebra: that sign
+    belongs to BOTH factors at once, and signing the product flipped
+    mass-LOSING cells negative, cancelling symmetric shifts to a zero
+    total.)  Magnitude error stays bounded by the surrogate's per-call
+    band; direction per cell is read from p_ppm vs q_ppm directly."""
+    L = lambda m: intlog2_fp(m, dialect)  # noqa: E731
+    div = "//" if dialect == "duckdb" else "div"
+    p = f"((1000000 * (n_a + 1)) {div} (na + {den}))"
+    q = f"((1000000 * (n_b + 1)) {div} (nb + {den}))"
+    lr = (
+        f"({L('n_a + 1')} - {L(f'na + {den}')}"
+        f" - {L('n_b + 1')} + {L(f'nb + {den}')})"
+    )
+    term = f"(abs({p} - {q}) * abs({lr}))"
+    return p, q, term
+
 
 
 def distribution_drift(
@@ -77,7 +118,8 @@ def distribution_drift(
     binned = both.crossJoin(F.broadcast(stats)).select(
         F.least(
             F.expr(
-                f"cast(floor((x - mn) * {nbins} / (mx - mn + 1)) as bigint)"
+                f"cast(floor((x - mn) * {nbins} / "
+                f"(case when mx = mn then 1.0 else mx - mn end)) as bigint)"
             ),
             F.lit(nbins - 1).cast("long"),
         ).alias("bin"),
@@ -93,20 +135,14 @@ def distribution_drift(
         .cast("long")
         .alias("n_b"),
     )
-    L = lambda m: intlog2_fp(m, "spark")  # noqa: E731
-    p_ppm = f"(1000000 * (n_a + 1)) div (na + {nbins})"
-    q_ppm = f"(1000000 * (n_b + 1)) div (nb + {nbins})"
-    log_ratio = (
-        f"({L('n_a + 1')} - {L(f'na + {nbins}')}"
-        f" - {L('n_b + 1')} + {L(f'nb + {nbins}')})"
-    )
+    p_ppm, q_ppm, term = _psi_parts(str(nbins), "spark")
     return counts.selectExpr(
         "bin",
         "n_a",
         "n_b",
         f"cast({p_ppm} as bigint) as p_ppm",
         f"cast({q_ppm} as bigint) as q_ppm",
-        f"cast(({p_ppm} - {q_ppm}) * {log_ratio} as bigint) as psi_term_fp",
+        f"cast({term} as bigint) as psi_term_fp",
     )
 
 
@@ -127,21 +163,14 @@ def drift_sql(
     subqueries — generated from the SAME constants and the SAME intlog2
     snippet so the Spark plan and the oracle can never drift apart
     (the q166 pattern: one term generator, two dialects)."""
-    L = lambda m: intlog2_fp(m, dialect)  # noqa: E731
-    div = "//" if dialect == "duckdb" else "div"
-    p_ppm = f"(1000000 * (n_a + 1)) {div} (na + {nbins})"
-    q_ppm = f"(1000000 * (n_b + 1)) {div} (nb + {nbins})"
-    log_ratio = (
-        f"({L('n_a + 1')} - {L(f'na + {nbins}')}"
-        f" - {L('n_b + 1')} + {L(f'nb + {nbins}')})"
-    )
+    p_ppm, q_ppm, term = _psi_parts(str(nbins), dialect)
     return f"""
     WITH both_sides AS (
-        SELECT CAST(x AS DOUBLE) AS x, 0 AS side FROM ({a_sql})
-        WHERE x IS NOT NULL
+        SELECT CAST({col} AS DOUBLE) AS x, 0 AS side FROM ({a_sql})
+        WHERE {col} IS NOT NULL
         UNION ALL
-        SELECT CAST(x AS DOUBLE) AS x, 1 AS side FROM ({b_sql})
-        WHERE x IS NOT NULL
+        SELECT CAST({col} AS DOUBLE) AS x, 1 AS side FROM ({b_sql})
+        WHERE {col} IS NOT NULL
     ),
     stats AS (
         SELECT min(x) AS mn, max(x) AS mx,
@@ -152,7 +181,8 @@ def drift_sql(
         FROM both_sides
     ),
     counts AS (
-        SELECT least(CAST(floor((x - mn) * {nbins} / (mx - mn + 1))
+        SELECT least(CAST(floor((x - mn) * {nbins} /
+                          (CASE WHEN mx = mn THEN 1.0 ELSE mx - mn END))
                           AS BIGINT), {nbins - 1}) AS bin,
                na, nb,
                CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT)
@@ -165,7 +195,7 @@ def drift_sql(
     SELECT bin, n_a, n_b,
            CAST({p_ppm} AS BIGINT) AS p_ppm,
            CAST({q_ppm} AS BIGINT) AS q_ppm,
-           CAST(({p_ppm} - {q_ppm}) * {log_ratio} AS BIGINT) AS psi_term_fp
+           CAST({term} AS BIGINT) AS psi_term_fp
     FROM counts
     """
 
@@ -252,20 +282,14 @@ def categorical_drift(
         F.sum("n_b").cast("long").alias("nb"),
         F.count(F.lit(1)).cast("long").alias("ncells"),
     )
-    L = lambda m: intlog2_fp(m, "spark")  # noqa: E731
-    p_ppm = "(1000000 * (n_a + 1)) div (na + ncells)"
-    q_ppm = "(1000000 * (n_b + 1)) div (nb + ncells)"
-    log_ratio = (
-        f"({L('n_a + 1')} - {L('na + ncells')}"
-        f" - {L('n_b + 1')} + {L('nb + ncells')})"
-    )
+    p_ppm, q_ppm, term = _psi_parts("ncells", "spark")
     return cells.crossJoin(F.broadcast(totals)).selectExpr(
         "value",
         "n_a",
         "n_b",
         f"cast({p_ppm} as bigint) as p_ppm",
         f"cast({q_ppm} as bigint) as q_ppm",
-        f"cast(({p_ppm} - {q_ppm}) * {log_ratio} as bigint) as psi_term_fp",
+        f"cast({term} as bigint) as psi_term_fp",
     )
 
 
@@ -275,14 +299,7 @@ def categorical_drift_sql(
     """Engine-twin SQL of categorical_drift (subqueries must project one
     column aliased ``x``) — generated from the same constants and intlog2
     snippet, like drift_sql."""
-    L = lambda m: intlog2_fp(m, dialect)  # noqa: E731
-    div = "//" if dialect == "duckdb" else "div"
-    p_ppm = f"(1000000 * (n_a + 1)) {div} (na + ncells)"
-    q_ppm = f"(1000000 * (n_b + 1)) {div} (nb + ncells)"
-    log_ratio = (
-        f"({L('n_a + 1')} - {L('na + ncells')}"
-        f" - {L('n_b + 1')} + {L('nb + ncells')})"
-    )
+    p_ppm, q_ppm, term = _psi_parts("ncells", dialect)
     return f"""
     WITH both_sides AS (
         SELECT CAST(x AS VARCHAR) AS x, 0 AS side FROM ({a_sql})
@@ -319,6 +336,6 @@ def categorical_drift_sql(
     SELECT value, n_a, n_b,
            CAST({p_ppm} AS BIGINT) AS p_ppm,
            CAST({q_ppm} AS BIGINT) AS q_ppm,
-           CAST(({p_ppm} - {q_ppm}) * {log_ratio} AS BIGINT) AS psi_term_fp
+           CAST({term} AS BIGINT) AS psi_term_fp
     FROM cells, totals
     """

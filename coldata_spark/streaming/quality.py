@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from coldata_spark.operators.quality import DatasetRule, Rule
+from coldata_spark.operators.quality import DatasetRule, Rule, _check_rules
 from coldata_spark.streaming.foldcommit import fold_once
 
 # Dataset-rule kinds whose measurement is a pure function of ADDITIVE
@@ -50,6 +50,13 @@ _ADDITIVE_DATASET_KINDS = frozenset({"row_count", "null_ppm"})
 
 
 def _monitor_rules(rules: list) -> list:
+    # the same fail-fast validation the batch audit runs: duplicate rule
+    # names would SILENTLY merge in the monitor fold (groupBy('rule')
+    # sums two rules' counts into one corrupted row), and quote/';'
+    # names would die as an opaque parse error inside stack() — this
+    # path stopped routing through audit() in round 11, so it must call
+    # the validator itself (round-11 review finding)
+    _check_rules(rules)
     bad = [
         r
         for r in rules

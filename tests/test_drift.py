@@ -111,3 +111,59 @@ def test_categorical_drift_identity_and_shift(spark):
     got = sorted(map(tuple, shifted.collect()))
     want = sorted(map(tuple, con.execute(sql).fetchall()))
     assert got == want
+
+
+def test_sub_unit_range_still_bins(spark):
+    """Round-11 review: the integer-domain '+1' span guard collapsed any
+    sub-1 range into bin 0 — a [0,0.01] vs [0.04,0.05] shift (score/rate
+    columns) must register, not hash to zero drift."""
+    a = _mk(spark, [0.001 * i for i in range(1, 11)])      # [0.001, 0.01]
+    b = _mk(spark, [0.04 + 0.001 * i for i in range(1, 11)])
+    rows = D.distribution_drift(a, b, "x", nbins=4).collect()
+    assert len({r.bin for r in rows}) > 1, rows
+    total = D.psi_total(D.distribution_drift(a, b, "x", nbins=4)).collect()[0]
+    assert total.psi_fp > 0
+    # degenerate mx == mn still defines (single clamped bin, zero drift)
+    c = _mk(spark, [0.5, 0.5, 0.5])
+    same = D.distribution_drift(c, c, "x", nbins=4).collect()
+    assert len(same) == 1 and same[0].psi_term_fp == 0
+
+
+def test_psi_term_sign_is_exact(spark):
+    """Round-11 review: the intlog2 surrogate's ~0.086 bit/call error can
+    flip a near-zero true log-ratio's sign, and the naive signed product
+    then CANCELS real drift out of psi_total.  The term is now
+    |p_ppm - q_ppm| * |log_ratio| — non-negative by construction, like
+    the true statistic — so every cell term is >= 0 even on the
+    adversarial near-equal-ratio cell (p=3/4 vs q=16/22, where the raw
+    surrogate reads the ratio NEGATIVE)."""
+    import duckdb
+
+    a = _mk(spark, [7, 8])
+    b = _mk(spark, [1, 2, 3, 4, 4] + [6, 7, 8] * 5)
+    rows = D.distribution_drift(a, b, "x", nbins=2).collect()
+    assert all(r.psi_term_fp >= 0 for r in rows), rows
+    hot = next(r for r in rows if r.n_a == 2 and r.n_b == 15)
+    assert hot.psi_term_fp > 0  # sign-corrected, not zeroed
+    con = duckdb.connect()
+    con.register("ta", a.toPandas())
+    con.register("tb", b.toPandas())
+    sql = D.drift_sql("SELECT x FROM ta", "SELECT x FROM tb", "x", nbins=2)
+    assert sorted(map(tuple, rows)) == sorted(
+        map(tuple, con.execute(sql).fetchall())
+    )
+
+
+def test_drift_sql_threads_the_column(spark):
+    """drift_sql must project the CALLER's column name, not assume the
+    subquery pre-aliased it to x (round-11 review)."""
+    import duckdb
+
+    a = _mk(spark, [1, 2, 3, 4])
+    con = duckdb.connect()
+    con.register("ta", a.toPandas().rename(columns={"x": "score"}))
+    sql = D.drift_sql(
+        "SELECT score FROM ta", "SELECT score FROM ta", "score", nbins=2
+    )
+    rows = con.execute(sql).fetchall()
+    assert rows and all(r[-1] == 0 for r in rows)

@@ -299,3 +299,19 @@ def test_stream_monitor_additive_dataset_rules(spark, sf_dir, tmp_path):
         SQ.quality_partial(
             docs, rules + [Q.distinct_ratio_ppm_between("lang", 1, 10)]
         )
+
+
+def test_stream_monitor_validates_rules(spark):
+    """Round-11 review: quality_partial stopped routing through audit()
+    and lost _check_rules — a duplicate rule name would silently merge
+    two rules' counts into one corrupted monitor row.  The monitor path
+    must fail fast like the batch audit."""
+    import pytest as _pytest
+
+    from coldata_spark.streaming import quality as SQ
+
+    df = spark.createDataFrame([(1, "a")], "id BIGINT, name STRING")
+    with _pytest.raises(ValueError, match="duplicate rule name"):
+        SQ.quality_partial(df, [Q.not_null("name"), Q.not_null("name")])
+    with _pytest.raises(ValueError, match="quote, backtick"):
+        SQ.quality_partial(df, [Q.expr_rule("bad'name", "id > 0")])

@@ -61,7 +61,19 @@ def measure_serve(
     from tools.spread import fixture_stamp_of
 
     if tier_dir is None:
-        tier_dir = os.path.join(REPO, ".bench_cache", tier)
+        if tier.rstrip("x").isdigit() and tier.endswith("x"):
+            # flat int tiers resolve through bench._tier_dir so the
+            # SPARK_GRAFT_{times}X_DIR override means the same directory
+            # to the writer and the staleness gate (round-11 review —
+            # the same fix tools/spread.py got)
+            from bench import _tier_dir
+
+            tier_dir = _tier_dir(
+                os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+                int(tier[:-1]),
+            )
+        else:
+            tier_dir = os.path.join(REPO, ".bench_cache", tier)
     spec = registry.specs()[name]
     pretouch_s = _pretouch(tier_dir)
     spark = get_spark(app_name="probe_q30_serve")
@@ -140,6 +152,9 @@ def measure_serve(
         # for the staleness check (times alone is ambiguous: 256x,
         # 256x_vector and 256x_clustered records all carry times=256)
         "tier": tier,
+        # the RESOLVED directory this record measured — the staleness
+        # checker prefers it over re-deriving (bench._current_fixture_stamp)
+        "tier_dir": tier_dir,
         "times": int(tier.rstrip("x")) if tier.rstrip("x").isdigit() else tier,
         "spark_sec": min(serve_runs),
         "duckdb_sec": d_best,

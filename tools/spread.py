@@ -66,8 +66,9 @@ def measure(spec_name: str, tier: str, repeats: int = 7) -> dict:
         # against a directory it never measured (round-10 ADVICE)
         from bench import _tier_dir
 
-        src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-        tier_dir = _tier_dir(src, int(tier[:-1]))
+        # _tier_dir ignores its sf_dir param for resolution (env override
+        # or CACHE_ROOT); pass the default for signature compatibility
+        tier_dir = _tier_dir("/root/testdata/sf0.1", int(tier[:-1]))
     else:
         tier_dir = os.path.join(REPO, ".bench_cache", tier)
     if not os.path.isdir(tier_dir):

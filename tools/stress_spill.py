@@ -87,6 +87,9 @@ def run(tier: str, mode: str) -> dict:
         tier_dir = os.environ.get(
             "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
         )
+        # the record must name the fixture actually measured, not the
+        # CLI's tier argument (gate mode always runs the tiny sf dir)
+        tier = os.path.basename(tier_dir.rstrip("/"))
     else:
         tier_dir = os.path.join("/root/repo/.bench_cache", tier)
     if not os.path.isdir(tier_dir):
