@@ -352,3 +352,98 @@ def quarantine(
         marked.filter(F.col(col) == "").drop(col),
         marked.filter(F.col(col) != ""),
     )
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def _aggregate_pushdown(spark):
+    """Enable parquet aggregate pushdown for the duration: it needs the
+    DSv2 scan path (parquet off the v1 list) and the pushdown flag, both
+    runtime confs consulted at planning — set around plan+action,
+    restored after (the same scoped-conf device as registry.interactive)."""
+    old_push = spark.conf.get("spark.sql.parquet.aggregatePushdown", "false")
+    old_v1 = spark.conf.get(
+        "spark.sql.sources.useV1SourceList",
+        "avro,csv,json,kafka,orc,parquet,text",
+    )
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    spark.conf.set(
+        "spark.sql.sources.useV1SourceList",
+        ",".join(s for s in old_v1.split(",") if s and s != "parquet"),
+    )
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", old_push)
+        spark.conf.set("spark.sql.sources.useV1SourceList", old_v1)
+
+
+STATS_ONLY_KINDS = frozenset({"row_count", "null_ppm"})
+
+
+def audit_table_stats(
+    spark, path: str, rules: list[DatasetRule]
+) -> DataFrame:
+    """METADATA-ONLY audit: row_count / null_ppm expectations answered
+    from parquet FOOTER statistics via DSv2 aggregate pushdown —
+    count(*) and count(col) never touch a data page (the BatchScan node
+    carries ``PushedAggregation: [COUNT(*), COUNT(col)]``; gated in
+    tests/test_quality.py).  Parquet null counts are exact, so the
+    verdicts equal audit()'s bit-for-bit (asserted in the same test).
+
+    The contract is BYTES, not toy-scale wall time: at the 256x fixture
+    (one ~150 MB file) this path reads 0.63-0.91 s vs the scan audit's
+    0.27-0.34 s, because per-call file listing + DSv2 planning dominate
+    when there is one footer to read — measured and accepted.  The
+    crossover is where data outweighs metadata: a 100 TB table's daily
+    row_count/null gate becomes thousands of footer reads instead of a
+    full-column scan, while the scan audit's cost keeps growing with
+    the data.  Use audit() interactively at small scale; use this for
+    scheduled gates on large tables.
+
+    Takes a PATH, not a DataFrame: pushdown requires the aggregate to
+    sit directly on the scan — any upstream filter/projection would
+    silently fall back to a full read, and a fast path that sometimes
+    silently scans 100 TB is worse than no fast path.  Rules outside
+    row_count/null_ppm (anything needing row values or distincts) are
+    refused with the reason."""
+    bad = [
+        r
+        for r in rules
+        if not (isinstance(r, DatasetRule) and r.kind in STATS_ONLY_KINDS)
+    ]
+    if bad:
+        raise ValueError(
+            "audit_table_stats answers row_count/null_ppm from parquet "
+            f"footers only; {[getattr(r, 'name', r) for r in bad]} need "
+            "row values — run them through audit()"
+        )
+    _check_rules(rules)
+    null_cols = sorted({r.col for r in rules if r.kind == "null_ppm"})
+    with _aggregate_pushdown(spark):
+        df = spark.read.parquet(path)
+        aggs = [F.count(F.lit(1)).cast("long").alias("_n")] + [
+            F.count(F.col(c)).cast("long").alias(f"_nn_{i}")
+            for i, c in enumerate(null_cols)
+        ]
+        wide = df.agg(*aggs)
+        # materialize INSIDE the conf scope (one tiny row) — laziness
+        # would otherwise plan the scan after the confs are restored,
+        # silently degrading to a full read
+        row = wide.collect()[0]
+    n = row["_n"]
+    nulls = {
+        c: n - row[f"_nn_{i}"] for i, c in enumerate(null_cols)
+    }
+    out = []
+    for r in rules:
+        if r.kind == "row_count":
+            m = n
+        else:
+            m = 0 if n == 0 else (1_000_000 * nulls[r.col]) // n
+        out.append((r.name, 1 if (m < r.lo or m > r.hi) else 0, m))
+    return spark.createDataFrame(
+        out, "rule string, violations long, checked long"
+    )

@@ -315,3 +315,51 @@ def test_stream_monitor_validates_rules(spark):
         SQ.quality_partial(df, [Q.not_null("name"), Q.not_null("name")])
     with _pytest.raises(ValueError, match="quote, backtick"):
         SQ.quality_partial(df, [Q.expr_rule("bad'name", "id > 0")])
+
+
+def test_audit_table_stats_is_footer_only_and_equal(spark, sf_dir):
+    """audit_table_stats answers row_count/null_ppm from parquet footer
+    statistics: the scan must carry PushedAggregation (no data pages),
+    verdicts must equal audit()'s bit-for-bit, and value-needing rules
+    are refused with the reason."""
+    import os
+
+    from coldata_spark.tables import load
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    rules = [
+        Q.row_count_between(1, 100),          # fails
+        Q.row_count_between(1, 10_000_000),   # passes
+        Q.null_fraction_ppm_max("text", 0),
+    ]
+    got = {
+        (r.rule, r.violations, r.checked)
+        for r in Q.audit_table_stats(spark, path, rules).collect()
+    }
+    want = {
+        (r.rule, r.violations, r.checked)
+        for r in Q.audit(spark.read.parquet(path), rules).collect()
+    }
+    assert got == want
+
+    # the plan the fast path builds must actually push the aggregates
+    with Q._aggregate_pushdown(spark):
+        import pyspark.sql.functions as F
+
+        plan = (
+            spark.read.parquet(path)
+            .agg(F.count(F.lit(1)), F.count("text"))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    assert "PushedAggregation" in plan, plan[:500]
+    # confs restored after the scope
+    assert spark.conf.get("spark.sql.parquet.aggregatePushdown") == "false"
+
+    with pytest.raises(ValueError, match="need\nrow values|need row values"):
+        Q.audit_table_stats(spark, path, rules + [Q.not_null("text")])
+    with pytest.raises(ValueError, match="row values"):
+        Q.audit_table_stats(
+            spark, path, rules + [Q.distinct_ratio_ppm_between("lang", 1, 9)]
+        )
