@@ -85,7 +85,7 @@ class DatasetRule:
     the same tiny result row as the verdict."""
 
     name: str
-    kind: str  # "row_count" | "null_ppm" | "distinct_ppm"
+    kind: str  # row_count | null_ppm | distinct_ppm | distinct_hll
     col: str | None
     lo: int
     hi: int
@@ -140,6 +140,29 @@ def null_fraction_ppm_max(col: str, max_ppm: int) -> DatasetRule:
     )
 
 
+def distinct_ratio_ppm_hll(col: str, lo_ppm: int, hi_ppm: int) -> DatasetRule:
+    """Distinct ratio via the PORTABLE HLL sketch (operators/sketches.py)
+    instead of an exact multi-distinct — the scale form of
+    distinct_ratio_ppm_between: the register build shuffles at most 256
+    rows whatever the cardinality (vs the exact form's
+    hash-table-of-every-key, the q02-family engine constant SCALE.md
+    measures at ~0.9 s/1.28 M pk values), and registers MERGE by max,
+    which is what makes this the one distinct expectation the STREAMING
+    monitor can fold (hll_partial / fold_into_quality_hll — per-batch
+    distincts don't sum, but per-batch registers max-merge exactly).
+    The estimate is integer fixed-point (q114's hash-green formula), so
+    the measurement stays oracle-checkable; set bounds with the sketch's
+    ~6% error band in mind.  ``col`` must be integral (the portable
+    fold hashes int64); derive an integer key for strings first."""
+    return DatasetRule(
+        f"distinct_hll({col},{lo_ppm},{hi_ppm})",
+        "distinct_hll",
+        col,
+        lo_ppm,
+        hi_ppm,
+    )
+
+
 def distinct_ratio_ppm_between(col: str, lo_ppm: int, hi_ppm: int) -> DatasetRule:
     """Distinct ratio of ``col`` in [lo_ppm, hi_ppm] parts-per-million —
     catches both a constant-column regression (ratio collapses) and a
@@ -173,6 +196,30 @@ def _dataset_measure(r: DatasetRule) -> Column:
             f"(1000000 * count(distinct `{r.col}`)) div count(1) end"
         ).cast("long")
     raise ValueError(f"unknown dataset rule kind {r.kind!r}")
+
+
+def _hll_rule_part(df: DataFrame, r: DatasetRule) -> DataFrame:
+    """One (rule, violations, checked) row for a distinct_hll rule: a
+    register pass (shuffle <= 256 rows) + a count pass, both over a
+    one-column projection; checked = the estimated distinct ratio in
+    ppm (the measurement, like every dataset rule)."""
+    from coldata_spark.operators import sketches as SK
+
+    regs = SK.hll_registers(df.select(r.col), [], r.col)
+    est = SK.hll_estimate(regs, []).select(
+        F.coalesce(F.col("hll_estimate"), F.lit(0)).alias("_est")
+    )
+    cnt = df.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    m = (
+        "cast(case when _n = 0 then 0 else "
+        "(1000000 * _est) div _n end as bigint)"
+    )
+    return est.crossJoin(F.broadcast(cnt)).selectExpr(
+        f"'{r.name}' as rule",
+        f"cast(case when {m} < {int(r.lo)} or {m} > {int(r.hi)} "
+        "then 1 else 0 end as bigint) as violations",
+        f"{m} as checked",
+    )
 
 
 def foreign_key(col: str, dim: DataFrame, dim_col: str, dim_name: str = "") -> ForeignKeyRule:
@@ -227,7 +274,11 @@ def audit(df: DataFrame, rules: list) -> DataFrame:
     _check_rules(rules)
     row_rules = [r for r in rules if isinstance(r, Rule)]
     fk_rules = [r for r in rules if isinstance(r, ForeignKeyRule)]
-    ds_rules = [r for r in rules if isinstance(r, DatasetRule)]
+    ds_rules = [
+        r
+        for r in rules
+        if isinstance(r, DatasetRule) and r.kind != "distinct_hll"
+    ]
     parts: list[DataFrame] = []
     if row_rules or fk_rules or ds_rules:
         base = df
@@ -289,6 +340,8 @@ def audit(df: DataFrame, rules: list) -> DataFrame:
             )
         )
     for r in rules:
+        if isinstance(r, DatasetRule) and r.kind == "distinct_hll":
+            parts.append(_hll_rule_part(df, r))
         if isinstance(r, UniqueRule):
             keys = df.groupBy(*r.cols).count()
             summary = keys.agg(

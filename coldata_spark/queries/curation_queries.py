@@ -2130,3 +2130,83 @@ def q178_categorical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("x")
     )
     return categorical_drift(v1, v2, "x", top_k=4)
+
+
+def _q179_sql() -> str:
+    from coldata_spark.operators import sketches as SK
+
+    return (
+        "WITH "
+        + SK.hll_h32_sql("documents", "1 AS g", "doc_id")
+        + f""",
+    b AS (SELECT h // {SK._W_MOD} AS idx, h % {SK._W_MOD} AS w24 FROM m5),
+    r AS (
+        SELECT idx,
+               max(CASE WHEN w24 = 0 THEN {SK._MAX_RANK}
+                        ELSE {SK._MAX_RANK - 1}
+                             - CAST(floor(log2(w24)) AS INT) END) AS mx
+        FROM b GROUP BY idx
+    ),
+    s AS (
+        SELECT count(*) AS n_used,
+               sum((1::BIGINT) << ({SK._MAX_RANK} - mx)) AS s_present
+        FROM r
+    ),
+    n AS (SELECT CAST(count(1) AS BIGINT) AS nn FROM documents),
+    est AS (
+        SELECT CAST(coalesce({SK.HLL_C} // (s_present
+                    + ({SK.HLL_M} - n_used) * {1 << SK._MAX_RANK}), 0)
+               AS BIGINT) AS e
+        FROM s
+    ),
+    m AS (
+        SELECT CAST(CASE WHEN nn = 0 THEN 0
+                    ELSE (1000000 * e) // nn END AS BIGINT) AS ratio, nn
+        FROM est, n
+    )
+    SELECT 'row_count(1,100)' AS rule,
+           CAST(CASE WHEN nn < 1 OR nn > 100 THEN 1 ELSE 0 END AS BIGINT)
+               AS violations,
+           nn AS checked
+    FROM m
+    UNION ALL
+    SELECT 'distinct_hll(doc_id,800000,1200000)',
+           CAST(CASE WHEN ratio < 800000 OR ratio > 1200000
+                THEN 1 ELSE 0 END AS BIGINT),
+           ratio
+    FROM m
+    """
+    )
+
+
+@register(
+    "q179_distinct_hll_expectation",
+    survey="ext-constraints,ext-sketch,A5",
+    sql=_q179_sql(),
+)
+def q179_distinct_hll_expectation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SKETCHED distinct-ratio expectation
+    (quality.distinct_ratio_ppm_hll): the dataset rule whose register
+    build shuffles <= 256 rows at any cardinality — the scale answer to
+    q176's exact-distinct engine constant (SCALE.md decomposes that to
+    ~0.9 s/1.28 M keys at 256x), and the ONE distinct expectation the
+    streaming monitor can fold (per-batch registers max-merge exactly;
+    hll_partial/fold_into_quality_hll/hll_verdicts, stream == batch
+    bit-for-bit in tests/test_quality.py).  The estimate is q114's
+    integer fixed-point formula, so the MEASUREMENT hash-checks against
+    the DuckDB twin (same portable murmur fold, same register math);
+    the failing row_count companion value-checks both verdict polarities.
+
+    Plan: one register pass (map-side fold+mix hash, groupBy(idx) max,
+    shuffle <= 256 rows) + the shared count — no hash table of the key
+    set anywhere."""
+    from coldata_spark.operators import quality as Q
+
+    docs = load(spark, sf_dir, "documents")
+    return Q.audit(
+        docs,
+        [
+            Q.row_count_between(1, 100),
+            Q.distinct_ratio_ppm_hll("doc_id", 800_000, 1_200_000),
+        ],
+    )

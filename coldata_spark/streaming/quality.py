@@ -17,15 +17,18 @@ so the monitor stores the folded components and dataset_verdicts()
 re-derives measurement + verdict at read time — a continuously-updated
 table-level expectation check at zero extra scan cost.
 
-UNIQUE, FOREIGN-KEY and distinct_ppm rules are deliberately REJECTED
-here: key uniqueness across the corpus is a property of the MERGED
-table, not a sum of per-batch answers (two batches can each be
+UNIQUE, FOREIGN-KEY and exact distinct_ppm rules are deliberately
+REJECTED here: key uniqueness across the corpus is a property of the
+MERGED table, not a sum of per-batch answers (two batches can each be
 internally unique and still collide), an fk verdict against a mutable
 dimension changes retroactively, and per-batch distinct counts don't
 sum.  Those run as the batch audit over the maintained table (q174's
 shape) on whatever cadence the pipeline schedules — refusing to fold
 them here keeps the monitor's numbers exact rather than silently
-wrong.
+wrong.  The SKETCHED distinct expectation (distinct_ratio_ppm_hll)
+IS streamable: per-batch HLL registers max-merge exactly (see the
+register-monitor section below), which is the standard production
+answer for continuous distinct monitoring.
 
 Scale: each batch shrinks to one row per rule before touching the
 table; the monitor table's size is the rule count, at any event volume.
@@ -75,7 +78,9 @@ def _monitor_rules(rules: list) -> list:
             f"{[getattr(r, 'name', r) for r in bad]} need the batch audit "
             "over the merged table (per-batch answers don't sum: two "
             "internally-unique batches can still collide on a key, and a "
-            "batch's distinct count says nothing about the corpus's)"
+            "batch's distinct count says nothing about the corpus's); "
+            "distinct_hll rules fold through the REGISTER monitor "
+            "(hll_partial/fold_into_quality_hll) instead"
         )
     return rules
 
@@ -198,3 +203,103 @@ def stream_quality_monitor(
     )
     q.awaitTermination()
     return q
+
+
+# ---- distinct-ratio monitoring via mergeable HLL registers (round 11) ----
+#
+# Per-batch DISTINCT COUNTS don't sum — but per-batch HLL REGISTERS
+# max-merge EXACTLY: max over batches of per-batch register maxima == the
+# register the whole corpus would build, because max is idempotent,
+# commutative and associative and every row lands in exactly one batch.
+# So the one distinct expectation a stream can fold is the sketched one
+# (quality.distinct_ratio_ppm_hll); the register monitor table holds
+# (rule, idx, mx) — at most 256 rows per rule at ANY event volume.
+
+
+def hll_partial(batch_df: DataFrame, rules: list) -> DataFrame:
+    """Per-batch register partial for the distinct_hll rules: one
+    (rule, idx, mx) row set per rule — a register build per rule over
+    the batch (shuffle <= 256 rows each)."""
+    from coldata_spark.operators import sketches as SK
+
+    hll_rules = [
+        r
+        for r in rules
+        if isinstance(r, DatasetRule) and r.kind == "distinct_hll"
+    ]
+    if not hll_rules:
+        raise ValueError("hll_partial needs at least one distinct_hll rule")
+    _check_rules(hll_rules)
+    parts = [
+        SK.hll_registers(batch_df.select(r.col), [], r.col).select(
+            F.lit(r.name).alias("rule"), "idx", "mx"
+        )
+        for r in hll_rules
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def fold_into_quality_hll(
+    partial: DataFrame, table_path: str, batch_id: int
+) -> None:
+    """Max-merge a register partial into the register monitor, once
+    (the same fold_once sentinel protocol as the count monitor)."""
+
+    def merge(existing: DataFrame, part: DataFrame) -> DataFrame:
+        return (
+            existing.unionByName(part)
+            .groupBy("rule", "idx")
+            .agg(F.max("mx").alias("mx"))
+        )
+
+    fold_once(partial, table_path, batch_id, merge)
+
+
+def hll_verdicts(
+    registers: DataFrame, rules: list, total_rows: int
+) -> DataFrame:
+    """Evaluate distinct_hll expectations over the FOLDED register
+    monitor: same (rule, violations, checked = estimated ratio ppm)
+    semantics as the batch audit.  ``total_rows`` comes from the count
+    monitor's row_count rule (fold both monitors side by side); the
+    estimate formula is the q114 integer fixed-point one, so stream and
+    batch agree bit-for-bit once their registers match."""
+    from coldata_spark.operators.sketches import HLL_C, HLL_M, _MAX_RANK
+
+    hll_rules = {
+        r.name: r
+        for r in rules
+        if isinstance(r, DatasetRule) and r.kind == "distinct_hll"
+    }
+    if not hll_rules:
+        raise ValueError("hll_verdicts needs at least one distinct_hll rule")
+    per_rule = registers.groupBy("rule").agg(
+        F.count(F.lit(1)).alias("n_used"),
+        F.sum(
+            F.expr(f"shiftleft(cast(1 as bigint), {_MAX_RANK} - mx)")
+        ).alias("s_present"),
+    )
+    est = (
+        f"coalesce({HLL_C} div (s_present + ({HLL_M} - n_used) * "
+        f"{1 << _MAX_RANK}), 0)"
+    )
+    n = int(total_rows)
+    m = f"cast(case when {n} = 0 then 0 else (1000000 * {est}) div {n} end as bigint)"
+    whens = None
+    for r in hll_rules.values():
+        verdict = (
+            f"cast(case when {m} < {int(r.lo)} or {m} > {int(r.hi)} "
+            "then 1 else 0 end as bigint)"
+        )
+        pair = F.expr(f"struct({verdict} as v, {m} as c)")
+        cond = F.col("rule") == r.name
+        whens = (
+            F.when(cond, pair) if whens is None else whens.when(cond, pair)
+        )
+    out = whens.otherwise(F.expr("struct(cast(null as bigint) as v, cast(null as bigint) as c)"))
+    return per_rule.select(
+        "rule", out["v"].alias("violations"), out["c"].alias("checked")
+    ).where(F.col("violations").isNotNull())

@@ -363,3 +363,41 @@ def test_audit_table_stats_is_footer_only_and_equal(spark, sf_dir):
         Q.audit_table_stats(
             spark, path, rules + [Q.distinct_ratio_ppm_between("lang", 1, 9)]
         )
+
+
+def test_hll_register_monitor_stream_equals_batch(spark, sf_dir, tmp_path):
+    """distinct_ratio_ppm_hll is the ONE streamable distinct expectation:
+    per-batch registers max-merge exactly, so the folded monitor's
+    verdicts equal the batch audit bit-for-bit; replayed batch ids are
+    no-ops; non-hll rules are refused from the register path."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from coldata_spark.streaming import quality as SQ
+    from coldata_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    rules = [
+        Q.distinct_ratio_ppm_hll("doc_id", 800_000, 1_200_000),
+        Q.distinct_ratio_ppm_hll("n_chars", 1, 10),
+    ]
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    path = str(tmp_path / "hll_regs")
+    SQ.fold_into_quality_hll(SQ.hll_partial(a, rules), path, 0)
+    SQ.fold_into_quality_hll(SQ.hll_partial(b, rules), path, 1)
+    SQ.fold_into_quality_hll(SQ.hll_partial(a, rules), path, 0)  # replay
+    regs = spark.read.parquet(path)
+    got = {
+        tuple(r)
+        for r in SQ.hll_verdicts(regs, rules, docs.count()).collect()
+    }
+    want = {(r.rule, r.violations, r.checked) for r in Q.audit(docs, rules).collect()}
+    assert got == want
+    # register monitor table is bounded: <= 256 rows per rule
+    assert regs.count() <= 256 * len(rules)
+    with _pytest.raises(ValueError, match="distinct_hll"):
+        SQ.hll_partial(docs, [Q.row_count_between(1, 10)])
+    # the count monitor still refuses the exact kind with the reason
+    with _pytest.raises(ValueError, match="distinct count"):
+        SQ.quality_partial(docs, [Q.distinct_ratio_ppm_between("lang", 1, 9)])
