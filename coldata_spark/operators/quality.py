@@ -264,13 +264,14 @@ def audit(df: DataFrame, rules: list) -> DataFrame:
     just another conditional sum in the same aggregate as the row
     rules); each unique rule is one groupBy pass whose OWN group counts
     yield both ``violations`` (members of duplicated keys) and
-    ``checked`` (sum of all group counts == row count) — no rule kind
-    ever triggers a dedicated count-the-table scan.  DATASET rules
+    ``checked`` (sum of all group counts == row count).  DATASET rules
     (row_count / null_ppm / distinct_ppm expectations) are expressions
     over counts this same aggregate already produces, so they fold into
     the one pass too — their rows report (verdict 0/1, measurement).
-    Total passes: 1 + #unique, independent of how many row/fk/dataset
-    rules are declared."""
+    distinct_hll rules each add a register pass (shuffle <= 256 rows)
+    plus a count pass over a one-column projection (_hll_rule_part).
+    Total passes: 1 + #unique + 2 x #distinct_hll, independent of how
+    many row/fk/dataset rules are declared."""
     _check_rules(rules)
     row_rules = [r for r in rules if isinstance(r, Rule)]
     fk_rules = [r for r in rules if isinstance(r, ForeignKeyRule)]
