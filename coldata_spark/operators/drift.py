@@ -294,19 +294,20 @@ def categorical_drift(
 
 
 def categorical_drift_sql(
-    a_sql: str, b_sql: str, top_k: int = 16, dialect: str = "duckdb"
+    a_sql: str, b_sql: str, top_k: int = 16, dialect: str = "duckdb",
+    col: str = "x",
 ) -> str:
-    """Engine-twin SQL of categorical_drift (subqueries must project one
-    column aliased ``x``) — generated from the same constants and intlog2
-    snippet, like drift_sql."""
+    """Engine-twin SQL of categorical_drift over two snapshot
+    subqueries projecting ``col`` — generated from the same constants
+    and intlog2 snippet, like drift_sql."""
     p_ppm, q_ppm, term = _psi_parts("ncells", dialect)
     return f"""
     WITH both_sides AS (
-        SELECT CAST(x AS VARCHAR) AS x, 0 AS side FROM ({a_sql})
-        WHERE x IS NOT NULL
+        SELECT CAST({col} AS VARCHAR) AS x, 0 AS side FROM ({a_sql})
+        WHERE {col} IS NOT NULL
         UNION ALL
-        SELECT CAST(x AS VARCHAR) AS x, 1 AS side FROM ({b_sql})
-        WHERE x IS NOT NULL
+        SELECT CAST({col} AS VARCHAR) AS x, 1 AS side FROM ({b_sql})
+        WHERE {col} IS NOT NULL
     ),
     counts AS (
         SELECT x,
