@@ -340,3 +340,48 @@ def categorical_drift_sql(
            CAST({term} AS BIGINT) AS psi_term_fp
     FROM cells, totals
     """
+
+
+def drift_from_histograms(
+    hist_a: DataFrame, hist_b: DataFrame, nbins: int
+) -> DataFrame:
+    """Drift between two PERSISTED histogram sketches
+    (operators/sketches.py hist_build over the SAME (lo, hi, n_bins)
+    spec) — the zero-rescan path: a pipeline that already maintains
+    per-snapshot histograms (mergeable, additive) compares versions by
+    joining two (bin, cnt) tables, never touching raw data again.  Same
+    (bin, n_a, n_b, p_ppm, q_ppm, psi_term_fp) output and the same
+    fixed-point term as distribution_drift, so gates written against
+    one feed accept the other.  ``nbins`` is the sketch's n_bins (the
+    Laplace cell count); NULL-bin rows (hist_build tracks nulls as a
+    NULL bin) are excluded like distribution_drift excludes NULLs.
+    Caller contract: both sketches were built with the same spec —
+    joining histograms of different [lo, hi] domains compares
+    incomparable bins (same caveat as hist_merge)."""
+    a = hist_a.where(F.col("bin").isNotNull()).select(
+        "bin", F.col("cnt").alias("n_a")
+    )
+    b = hist_b.where(F.col("bin").isNotNull()).select(
+        "bin", F.col("cnt").alias("n_b")
+    )
+    cells = (
+        a.join(b, "bin", "full")
+        .select(
+            "bin",
+            F.coalesce("n_a", F.lit(0)).cast("long").alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).cast("long").alias("n_b"),
+        )
+    )
+    totals = cells.agg(
+        F.sum("n_a").cast("long").alias("na"),
+        F.sum("n_b").cast("long").alias("nb"),
+    )
+    p_ppm, q_ppm, term = _psi_parts(str(nbins), "spark")
+    return cells.crossJoin(F.broadcast(totals)).selectExpr(
+        "bin",
+        "n_a",
+        "n_b",
+        f"cast({p_ppm} as bigint) as p_ppm",
+        f"cast({q_ppm} as bigint) as q_ppm",
+        f"cast({term} as bigint) as psi_term_fp",
+    )

