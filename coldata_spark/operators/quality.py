@@ -501,3 +501,29 @@ def audit_table_stats(
     return spark.createDataFrame(
         out, "rule string, violations long, checked long"
     )
+
+
+def commit_if_clean(
+    table, df: DataFrame, rules: list, mode: str = "overwrite"
+):
+    """Audit-then-commit: the quality gate the reference's blind daily
+    re-crawl lacks (scheduler.py:21-33 republishes whatever the crawl
+    produced).  Runs the full audit over ``df``; commits a new
+    VersionedTable version ONLY when every rule reports zero violations,
+    so a truncated ingest / constant column / broken fk never becomes
+    the table's latest readable version — readers keep time-traveling
+    the last clean commit.
+
+    Returns ``(version | None, report_rows)`` where report_rows is the
+    collected audit (tiny: one row per rule) — None means REFUSED, and
+    the caller alerts/quarantines with the named rules.  ``df`` is
+    evaluated twice (audit scan + write): hand in a checkpointed frame
+    or a re-readable source for expensive pipelines, exactly like
+    pipeline.py's curation stages do."""
+    report = [
+        (r["rule"], int(r["violations"]), int(r["checked"]))
+        for r in audit(df, rules).collect()
+    ]
+    if any(v for _, v, _ in report):
+        return None, report
+    return table.commit(df, mode=mode), report

@@ -401,3 +401,29 @@ def test_hll_register_monitor_stream_equals_batch(spark, sf_dir, tmp_path):
     # the count monitor still refuses the exact kind with the reason
     with _pytest.raises(ValueError, match="distinct count"):
         SQ.quality_partial(docs, [Q.distinct_ratio_ppm_between("lang", 1, 9)])
+
+
+def test_commit_if_clean_gates_the_versioned_table(spark, tmp_path):
+    """The refresh gate: a clean batch commits and becomes latest; a dirty
+    batch is REFUSED — the table's latest version stays the last clean
+    one and the report names the firing rules."""
+    from coldata_spark.operators.table import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "gated"))
+    clean = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id BIGINT, name STRING"
+    )
+    rules = [Q.not_null("name"), Q.row_count_between(1, 10)]
+    v0, report = Q.commit_if_clean(t, clean, rules)
+    assert v0 == 0 and all(v == 0 for _, v, _ in report)
+
+    dirty = spark.createDataFrame(
+        [(3, None)] * 20, "id BIGINT, name STRING"
+    )
+    v1, report = Q.commit_if_clean(t, dirty, rules)
+    assert v1 is None
+    fired = {name for name, v, _ in report if v}
+    assert fired == {"not_null(name)", "row_count(1,10)"}
+    # latest readable version is still the clean one
+    assert t.latest_version() == 0
+    assert t.read(spark, 0).count() == 2
