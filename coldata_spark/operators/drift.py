@@ -25,11 +25,12 @@ Semantics — engine-exact by construction (ORACLE_PARITY.md rule 5):
     (functions/intmath.py, the q166 CCNet device) in its SUM form
     ``L(n_a+1) - L(N_a+nbins) - L(n_b+1) + L(N_b+nbins)`` — arguments
     stay <= N, keeping int64 headroom to ~8.7e12 rows per snapshot
-    (the product form n_i * N overflows 2^63 at ~3e9 rows).  The
-    surrogate's per-call error (~0.086 bits) could flip the SIGN of a
-    near-zero true ratio, so the term's sign comes from an EXACT
-    wide-integer cross-multiplication instead (decimal(38,0) /
-    HUGEINT): sign((n_a+1)(N_b+nbins) - (n_b+1)(N_a+nbins)).
+    (the product form n_i * N overflows 2^63 at ~3e9 rows).  Its sign
+    is discarded: the surrogate's per-call error (~0.086 bits) can flip
+    a near-zero true ratio's sign, and a PSI term doesn't need it —
+    see the next bullet and _psi_parts' docstring (which also records
+    why an exact cross-multiplied sign was tried and was the WRONG
+    algebra).
   * psi_term_fp = |p_ppm - q_ppm| * |log-ratio-fp|: units are
     ppm x 2^-20 log2-steps — a scaled PSI surrogate, comparable across
     runs and engines bit-for-bit, and >= 0 in every cell BY

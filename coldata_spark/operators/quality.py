@@ -198,18 +198,20 @@ def _dataset_measure(r: DatasetRule) -> Column:
     raise ValueError(f"unknown dataset rule kind {r.kind!r}")
 
 
-def _hll_rule_part(df: DataFrame, r: DatasetRule) -> DataFrame:
+def _hll_rule_part(
+    df: DataFrame, r: DatasetRule, cnt: DataFrame
+) -> DataFrame:
     """One (rule, violations, checked) row for a distinct_hll rule: a
-    register pass (shuffle <= 256 rows) + a count pass, both over a
-    one-column projection; checked = the estimated distinct ratio in
-    ppm (the measurement, like every dataset rule)."""
+    register pass (shuffle <= 256 rows) over a one-column projection;
+    ``cnt`` is the SHARED one-row count frame (computed once per audit,
+    not per rule — round-11 review finding); checked = the estimated
+    distinct ratio in ppm (the measurement, like every dataset rule)."""
     from coldata_spark.operators import sketches as SK
 
     regs = SK.hll_registers(df.select(r.col), [], r.col)
     est = SK.hll_estimate(regs, []).select(
         F.coalesce(F.col("hll_estimate"), F.lit(0)).alias("_est")
     )
-    cnt = df.agg(F.count(F.lit(1)).cast("long").alias("_n"))
     m = (
         "cast(case when _n = 0 then 0 else "
         "(1000000 * _est) div _n end as bigint)"
@@ -269,9 +271,10 @@ def audit(df: DataFrame, rules: list) -> DataFrame:
     over counts this same aggregate already produces, so they fold into
     the one pass too — their rows report (verdict 0/1, measurement).
     distinct_hll rules each add a register pass (shuffle <= 256 rows)
-    plus a count pass over a one-column projection (_hll_rule_part).
-    Total passes: 1 + #unique + 2 x #distinct_hll, independent of how
-    many row/fk/dataset rules are declared."""
+    over a one-column projection, plus ONE shared count pass however
+    many there are (_hll_rule_part).  Total passes:
+    1 + #unique + #distinct_hll (+1 if any distinct_hll), independent
+    of how many row/fk/dataset rules are declared."""
     _check_rules(rules)
     row_rules = [r for r in rules if isinstance(r, Rule)]
     fk_rules = [r for r in rules if isinstance(r, ForeignKeyRule)]
@@ -340,9 +343,14 @@ def audit(df: DataFrame, rules: list) -> DataFrame:
                 "as (rule, violations, checked)",
             )
         )
+    hll_cnt = None  # ONE count pass shared by every distinct_hll rule
     for r in rules:
         if isinstance(r, DatasetRule) and r.kind == "distinct_hll":
-            parts.append(_hll_rule_part(df, r))
+            if hll_cnt is None:
+                hll_cnt = df.agg(
+                    F.count(F.lit(1)).cast("long").alias("_n")
+                )
+            parts.append(_hll_rule_part(df, r, hll_cnt))
         if isinstance(r, UniqueRule):
             keys = df.groupBy(*r.cols).count()
             summary = keys.agg(
@@ -483,6 +491,21 @@ def audit_table_stats(
             for i, c in enumerate(null_cols)
         ]
         wide = df.agg(*aggs)
+        # VERIFY the pushdown actually planned before executing: a
+        # nested field, an incompatible reader conf or a future Spark
+        # declining the pushdown would silently fall back to a full
+        # data-page scan — the one failure mode this API exists to
+        # forbid (round-11 review finding; the docstring's contract is
+        # enforced here, not just tested on one fixture)
+        plan = wide._jdf.queryExecution().executedPlan().toString()
+        if "PushedAggregation" not in plan:
+            raise RuntimeError(
+                "audit_table_stats: parquet aggregate pushdown did not "
+                "plan (no PushedAggregation in the scan) — this call "
+                "would silently read every data page; run audit() "
+                "instead or fix the reader conf. Plan head: "
+                + plan[:300]
+            )
         # materialize INSIDE the conf scope (one tiny row) — laziness
         # would otherwise plan the scan after the confs are restored,
         # silently degrading to a full read

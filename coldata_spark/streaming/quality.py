@@ -276,15 +276,35 @@ def hll_verdicts(
     }
     if not hll_rules:
         raise ValueError("hll_verdicts needs at least one distinct_hll rule")
-    per_rule = registers.groupBy("rule").agg(
-        F.count(F.lit(1)).alias("n_used"),
-        F.sum(
-            F.expr(f"shiftleft(cast(1 as bigint), {_MAX_RANK} - mx)")
-        ).alias("s_present"),
+    # LEFT-join the folded registers onto the RULE LIST: a rule whose
+    # monitored column has been all-NULL (or that was just added) has
+    # ZERO register rows, and grouping the registers alone would emit no
+    # verdict at all — the exact constant-column regression the rule
+    # exists to catch (round-11 review finding).  Zero registers means
+    # nothing was ever observed: estimate 0, matching the batch audit's
+    # empty-register coalesce bit-for-bit.
+    spark = registers.sparkSession
+    names = spark.createDataFrame(
+        [(n,) for n in hll_rules], "rule string"
+    )
+    per_rule = names.join(
+        registers.groupBy("rule").agg(
+            F.count(F.lit(1)).alias("n_used"),
+            F.sum(
+                F.expr(f"shiftleft(cast(1 as bigint), {_MAX_RANK} - mx)")
+            ).alias("s_present"),
+        ),
+        "rule",
+        "left",
+    ).select(
+        "rule",
+        F.coalesce("n_used", F.lit(0)).alias("n_used"),
+        "s_present",
     )
     est = (
+        f"case when n_used = 0 then 0 else "
         f"coalesce({HLL_C} div (s_present + ({HLL_M} - n_used) * "
-        f"{1 << _MAX_RANK}), 0)"
+        f"{1 << _MAX_RANK}), 0) end"
     )
     n = int(total_rows)
     m = f"cast(case when {n} = 0 then 0 else (1000000 * {est}) div {n} end as bigint)"

@@ -171,10 +171,12 @@ def test_drift_sql_threads_the_column(spark):
 
 def test_drift_from_histograms_matches_raw_path(spark):
     """The zero-rescan path: drift over two persisted hist_build
-    sketches must produce the same statistic SHAPE as the raw path and
-    agree exactly when the sketch bins coincide with the raw bins
-    (integer domain, same width), including zero for identical inputs
-    and positive for a shift."""
+    sketches has the same statistic SHAPE and invariants as the raw
+    path — zero terms for identical sketches, positive total for a
+    shift, non-negative everywhere, totals preserved through the
+    full-outer join.  (Exact raw-path equality is NOT claimed: hist_build
+    bins by the integer span hi-lo+1 while distribution_drift bins by
+    mx-mn, so the binnings differ in general — round-11 review.)"""
     from coldata_spark.operators import sketches as SK
 
     a = _mk(spark, [1, 1, 2, 3, 5, 8, 9, 9])

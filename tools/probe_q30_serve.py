@@ -61,17 +61,17 @@ def measure_serve(
     from tools.spread import fixture_stamp_of
 
     if tier_dir is None:
-        if tier.rstrip("x").isdigit() and tier.endswith("x"):
+        import re as _re
+
+        if _re.fullmatch(r"\d+x", tier):
             # flat int tiers resolve through bench._tier_dir so the
             # SPARK_GRAFT_{times}X_DIR override means the same directory
             # to the writer and the staleness gate (round-11 review —
-            # the same fix tools/spread.py got)
+            # the same fix, and the same \d+x idiom, as tools/spread.py;
+            # _tier_dir ignores its sf_dir param for resolution)
             from bench import _tier_dir
 
-            tier_dir = _tier_dir(
-                os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
-                int(tier[:-1]),
-            )
+            tier_dir = _tier_dir("/root/testdata/sf0.1", int(tier[:-1]))
         else:
             tier_dir = os.path.join(REPO, ".bench_cache", tier)
     spec = registry.specs()[name]
