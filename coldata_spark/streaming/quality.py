@@ -323,3 +323,37 @@ def hll_verdicts(
     return per_rule.select(
         "rule", out["v"].alias("violations"), out["c"].alias("checked")
     ).where(F.col("violations").isNotNull())
+
+
+def stream_hll_monitor(
+    stream_df: DataFrame, rules: list, table_path: str, checkpoint: str
+):
+    """availableNow run of the REGISTER monitor: build per-batch HLL
+    registers for the distinct_hll rules and max-merge them into the
+    register table, then stop — the distinct-side twin of
+    stream_quality_monitor (run both against the same source, two
+    checkpoints; hll_verdicts reads the verdicts out with the row count
+    from the count monitor)."""
+    hll_rules = [
+        r
+        for r in rules
+        if isinstance(r, DatasetRule) and r.kind == "distinct_hll"
+    ]
+    if not hll_rules:
+        raise ValueError("stream_hll_monitor needs distinct_hll rules")
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        fold_into_quality_hll(
+            hll_partial(batch_df, hll_rules), table_path, batch_id
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -396,6 +396,20 @@ def test_hll_register_monitor_stream_equals_batch(spark, sf_dir, tmp_path):
     assert got == want
     # register monitor table is bounded: <= 256 rows per rule
     assert regs.count() <= 256 * len(rules)
+    # the availableNow wrapper folds the same registers exactly-once
+    in_dir = tmp_path / "hll_in"
+    in_dir.mkdir()
+    docs.write.parquet(str(in_dir / "drop0"))
+    stream = spark.readStream.schema(docs.schema).parquet(str(in_dir) + "/*")
+    wrapped = str(tmp_path / "hll_regs_stream")
+    SQ.stream_hll_monitor(stream, rules, wrapped, str(tmp_path / "hll_ckpt"))
+    got_w = {
+        tuple(r)
+        for r in SQ.hll_verdicts(
+            spark.read.parquet(wrapped), rules, docs.count()
+        ).collect()
+    }
+    assert got_w == want
     with _pytest.raises(ValueError, match="distinct_hll"):
         SQ.hll_partial(docs, [Q.row_count_between(1, 10)])
     # the count monitor still refuses the exact kind with the reason
