@@ -199,24 +199,28 @@ def _dataset_measure(r: DatasetRule) -> Column:
 
 
 def _hll_rule_part(
-    df: DataFrame, r: DatasetRule, cnt: DataFrame
+    df: DataFrame, r: DatasetRule, n: int
 ) -> DataFrame:
     """One (rule, violations, checked) row for a distinct_hll rule: a
     register pass (shuffle <= 256 rows) over a one-column projection;
-    ``cnt`` is the SHARED one-row count frame (computed once per audit,
-    not per rule — round-11 review finding); checked = the estimated
-    distinct ratio in ppm (the measurement, like every dataset rule)."""
+    ``n`` is the SHARED row count, collected ONCE per audit() call and
+    inlined as a literal (round-11/12 review findings: a shared count
+    *DataFrame* only shared a subplan, so one physical pass depended on
+    Spark exchange reuse rather than being guaranteed); checked = the
+    estimated distinct ratio in ppm (the measurement, like every
+    dataset rule)."""
     from coldata_spark.operators import sketches as SK
 
     regs = SK.hll_registers(df.select(r.col), [], r.col)
     est = SK.hll_estimate(regs, []).select(
         F.coalesce(F.col("hll_estimate"), F.lit(0)).alias("_est")
     )
+    n = int(n)
     m = (
-        "cast(case when _n = 0 then 0 else "
-        "(1000000 * _est) div _n end as bigint)"
+        f"cast(case when {n} = 0 then 0 else "
+        f"(1000000 * _est) div {n} end as bigint)"
     )
-    return est.crossJoin(F.broadcast(cnt)).selectExpr(
+    return est.selectExpr(
         f"'{r.name}' as rule",
         f"cast(case when {m} < {int(r.lo)} or {m} > {int(r.hi)} "
         "then 1 else 0 end as bigint) as violations",
@@ -272,7 +276,9 @@ def audit(df: DataFrame, rules: list) -> DataFrame:
     the one pass too — their rows report (verdict 0/1, measurement).
     distinct_hll rules each add a register pass (shuffle <= 256 rows)
     over a one-column projection, plus ONE shared count pass however
-    many there are (_hll_rule_part).  Total passes:
+    many there are — that count is collected eagerly at audit() call
+    time and inlined as a literal into every hll part, so the "+1" is
+    guaranteed, not hoping for exchange reuse.  Total passes:
     1 + #unique + #distinct_hll (+1 if any distinct_hll), independent
     of how many row/fk/dataset rules are declared."""
     _check_rules(rules)
@@ -343,13 +349,18 @@ def audit(df: DataFrame, rules: list) -> DataFrame:
                 "as (rule, violations, checked)",
             )
         )
-    hll_cnt = None  # ONE count pass shared by every distinct_hll rule
+    # ONE count pass shared by every distinct_hll rule — collected HERE
+    # (the only eager step in audit(); a shared count DataFrame would
+    # embed one count subplan per rule and rely on exchange reuse to
+    # dedup them) and inlined as a literal into each hll part.  The
+    # count is therefore as-of audit() CALL time; re-reading a mutated
+    # path between build and execute would not refresh it, which is the
+    # deterministic behavior a publish gate wants anyway.
+    hll_cnt: int | None = None
     for r in rules:
         if isinstance(r, DatasetRule) and r.kind == "distinct_hll":
             if hll_cnt is None:
-                hll_cnt = df.agg(
-                    F.count(F.lit(1)).cast("long").alias("_n")
-                )
+                hll_cnt = df.count()
             parts.append(_hll_rule_part(df, r, hll_cnt))
         if isinstance(r, UniqueRule):
             keys = df.groupBy(*r.cols).count()
@@ -424,7 +435,11 @@ def _aggregate_pushdown(spark):
     """Enable parquet aggregate pushdown for the duration: it needs the
     DSv2 scan path (parquet off the v1 list) and the pushdown flag, both
     runtime confs consulted at planning — set around plan+action,
-    restored after (the same scoped-conf device as registry.interactive)."""
+    restored after (the same scoped-conf device as registry.interactive,
+    with the same single-threaded-session assumption: session-global
+    confs, so a concurrent job on the SAME SparkSession would briefly
+    plan with v1 parquet disabled — give concurrent jobs their own
+    newSession())."""
     old_push = spark.conf.get("spark.sql.parquet.aggregatePushdown", "false")
     old_v1 = spark.conf.get(
         "spark.sql.sources.useV1SourceList",

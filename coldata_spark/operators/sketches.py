@@ -153,21 +153,32 @@ def hll_merge(regs: DataFrame, group_cols: list[str]) -> DataFrame:
     return regs.groupBy(*group_cols, "idx").agg(F.max("mx").alias("mx"))
 
 
+def hll_present_sum_expr() -> str:
+    """SQL term a register row contributes to the estimate denominator:
+    sum this over a group's `mx` registers to get `s_present`."""
+    return f"shiftleft(cast(1 as bigint), {_MAX_RANK} - mx)"
+
+
+def hll_estimate_sql(n_used: str = "n_used", s_present: str = "s_present") -> str:
+    """The ONE place the register->estimate division lives.  Every
+    consumer (batch hll_estimate, quality._hll_rule_part via it, and the
+    streaming hll_verdicts read-out) formats this snippet so the integer
+    math can never diverge between the paths that claim bit-for-bit
+    stream==batch parity."""
+    empty_term = 1 << _MAX_RANK  # empty register contributes 2^-0 scaled
+    return f"{HLL_C} div ({s_present} + ({HLL_M} - {n_used}) * {empty_term})"
+
+
 def hll_estimate(regs: DataFrame, group_cols: list[str]) -> DataFrame:
     """Per-group cardinality estimate from a register table."""
     per_group = regs.groupBy(*group_cols).agg(
         F.count("*").alias("n_used"),
-        F.sum(
-            F.expr(f"shiftleft(cast(1 as bigint), {_MAX_RANK} - mx)")
-        ).alias("s_present"),
+        F.sum(F.expr(hll_present_sum_expr())).alias("s_present"),
     )
-    empty_term = 1 << _MAX_RANK  # empty register contributes 2^-0 scaled
     return per_group.select(
         *group_cols,
         F.col("n_used").cast("long").alias("n_registers"),
-        F.expr(
-            f"{HLL_C} div (s_present + ({HLL_M} - n_used) * {empty_term})"
-        ).cast("long").alias("hll_estimate"),
+        F.expr(hll_estimate_sql()).cast("long").alias("hll_estimate"),
     )
 
 

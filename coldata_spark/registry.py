@@ -262,7 +262,15 @@ def interactive(spark: SparkSession):
     at interactive result sizes.  Results are identical either way; only
     the physical strategy changes, so this is a serving-mode knob, not a
     semantics switch.  Scope it to the burst: batch/curation jobs keep
-    AQE on — at 100 TB its runtime re-planning is load-bearing there."""
+    AQE on — at 100 TB its runtime re-planning is load-bearing there.
+
+    Concurrency contract: the conf is SESSION-global, and save/restore
+    is LIFO-nesting-safe but NOT thread-safe — a concurrent job sharing
+    this SparkSession would briefly plan with AQE off, and if it also
+    toggles the conf the restore can clobber it.  Serve bursts own
+    their session (the deployment shape tools/bench_concurrent.py
+    measures: one session per serving thread via newSession());
+    same assumption in quality._aggregate_pushdown."""
     old = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:

@@ -267,7 +267,10 @@ def hll_verdicts(
     monitor's row_count rule (fold both monitors side by side); the
     estimate formula is the q114 integer fixed-point one, so stream and
     batch agree bit-for-bit once their registers match."""
-    from coldata_spark.operators.sketches import HLL_C, HLL_M, _MAX_RANK
+    from coldata_spark.operators.sketches import (
+        hll_estimate_sql,
+        hll_present_sum_expr,
+    )
 
     hll_rules = {
         r.name: r
@@ -290,9 +293,7 @@ def hll_verdicts(
     per_rule = names.join(
         registers.groupBy("rule").agg(
             F.count(F.lit(1)).alias("n_used"),
-            F.sum(
-                F.expr(f"shiftleft(cast(1 as bigint), {_MAX_RANK} - mx)")
-            ).alias("s_present"),
+            F.sum(F.expr(hll_present_sum_expr())).alias("s_present"),
         ),
         "rule",
         "left",
@@ -301,10 +302,12 @@ def hll_verdicts(
         F.coalesce("n_used", F.lit(0)).alias("n_used"),
         "s_present",
     )
+    # The division itself comes from sketches.hll_estimate_sql — one
+    # implementation feeds both the batch audit and this read-out, so a
+    # register-math change cannot silently break stream==batch parity.
     est = (
         f"case when n_used = 0 then 0 else "
-        f"coalesce({HLL_C} div (s_present + ({HLL_M} - n_used) * "
-        f"{1 << _MAX_RANK}), 0) end"
+        f"coalesce({hll_estimate_sql()}, 0) end"
     )
     n = int(total_rows)
     m = f"cast(case when {n} = 0 then 0 else (1000000 * {est}) div {n} end as bigint)"
