@@ -39,11 +39,17 @@ Semantics — engine-exact by construction (ORACLE_PARITY.md rule 5):
     the surrogate's error band may overstate its tiny magnitude, never
     produce a negative term that cancels real drift out of psi_total.
 
-Plan shape — the scale contract: one union scan of both snapshots with
-a map-side (side, bin) combine agg (shuffle bounded by 2 x nbins
-groups), one tiny min/max + totals aggregate broadcast into the bin
-expression.  Nothing is ever per-row beyond the projection; no window,
-no join wider than the nbins-row result.
+Plan shape — the scale contract: TWO passes over the snapshot pair
+(round-12 review correction; an earlier draft claimed one): first the
+tiny min/max + totals aggregate (whose one-row result is broadcast into
+the bin expression), then the map-side (side, bin) combine agg (shuffle
+bounded by 2 x nbins groups).  At 100 TB the monitoring cost is two
+full scans of both snapshots — cache/checkpoint the projected union
+when a single scan matters, or feed persisted sketches to
+drift_from_histograms (zero rescans).  For MANY columns use drift_many:
+still the same two passes TOTAL, not per column.  Nothing is ever
+per-row beyond the projection; no window, no join wider than the
+cells-row result.
 """
 
 from __future__ import annotations
@@ -145,6 +151,136 @@ def distribution_drift(
         f"cast({q_ppm} as bigint) as q_ppm",
         f"cast({term} as bigint) as psi_term_fp",
     )
+
+
+def drift_many(
+    a: DataFrame, b: DataFrame, cols: list[str], nbins: int = 16
+) -> DataFrame:
+    """Per-bin drift for MANY numeric columns in TWO passes over the
+    snapshot pair TOTAL — not two per column.  Output: (column, bin,
+    n_a, n_b, p_ppm, q_ppm, psi_term_fp); per-column rows are
+    bit-identical to distribution_drift(a, b, col, nbins) (the plan
+    test and the q180 oracle both pin this), so a nightly gate watching
+    50 columns pays 2 scans instead of 100.
+
+    Shape: pass 1 is ONE wide stats aggregate (per-column min/max +
+    per-side non-null totals — 4k scalar aggs for k columns, one row
+    out, broadcast); pass 2 unpivots each row into k (column, x) cells
+    with stack() — an Expand, still one scan — picks each cell's edges
+    out of the broadcast stats row by column name, and runs the same
+    map-side (column, bin, side) combine agg.  Shuffle bounded by
+    k x 2 x nbins groups.  NULLs excluded per column (a row null in one
+    column still contributes its other columns, exactly like running
+    the single-column op k times)."""
+    if nbins < 2:
+        raise ValueError("nbins must be >= 2")
+    if not cols:
+        raise ValueError("drift_many needs at least one column")
+    if len(set(cols)) != len(cols):
+        raise ValueError(f"duplicate columns in {cols!r}")
+    for c in cols:
+        if "'" in c or "`" in c:
+            raise ValueError(
+                f"column name {c!r} contains a quote/backtick — it is "
+                "spliced into stack() literals"
+            )
+        if c in ("side", "column", "x"):
+            raise ValueError(
+                f"column name {c!r} collides with drift_many's internal "
+                "side/column/x names — alias it in the snapshot projection"
+            )
+    proj = [F.col(c).cast("double").alias(c) for c in cols]
+    both = a.select(*proj, F.lit(0).alias("side")).unionByName(
+        b.select(*proj, F.lit(1).alias("side"))
+    )
+    aggs = []
+    for i, c in enumerate(cols):
+        aggs += [
+            F.min(c).alias(f"mn_{i}"),
+            F.max(c).alias(f"mx_{i}"),
+            F.sum(
+                F.when((F.col("side") == 0) & F.col(c).isNotNull(), 1)
+                .otherwise(0)
+            ).cast("long").alias(f"na_{i}"),
+            F.sum(
+                F.when((F.col("side") == 1) & F.col(c).isNotNull(), 1)
+                .otherwise(0)
+            ).cast("long").alias(f"nb_{i}"),
+        ]
+    stats = both.agg(*aggs)
+    stacked = both.selectExpr(
+        "side",
+        "stack({n}, {cells}) as (column, x)".format(
+            n=len(cols),
+            cells=", ".join(f"'{c}', `{c}`" for c in cols),
+        ),
+    ).where(F.col("x").isNotNull())
+    pick = lambda pre: F.coalesce(  # noqa: E731
+        *[
+            F.when(F.col("column") == c, F.col(f"{pre}_{i}"))
+            for i, c in enumerate(cols)
+        ]
+    )
+    binned = stacked.crossJoin(F.broadcast(stats)).select(
+        "column",
+        "side",
+        F.least(
+            F.floor(
+                (F.col("x") - pick("mn"))
+                * nbins
+                / F.when(pick("mx") == pick("mn"), F.lit(1.0)).otherwise(
+                    pick("mx") - pick("mn")
+                )
+            ).cast("long"),
+            F.lit(nbins - 1).cast("long"),
+        ).alias("bin"),
+        pick("na").alias("na"),
+        pick("nb").alias("nb"),
+    )
+    counts = binned.groupBy("column", "bin", "na", "nb").agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    p_ppm, q_ppm, term = _psi_parts(str(nbins), "spark")
+    return counts.selectExpr(
+        "column",
+        "bin",
+        "n_a",
+        "n_b",
+        f"cast({p_ppm} as bigint) as p_ppm",
+        f"cast({q_ppm} as bigint) as q_ppm",
+        f"cast({term} as bigint) as psi_term_fp",
+    )
+
+
+def drift_many_sql(
+    a_sql: str,
+    b_sql: str,
+    cols: list[str],
+    nbins: int = 16,
+    dialect: str = "duckdb",
+) -> str:
+    """Engine-twin SQL of drift_many: a UNION ALL of per-column
+    drift_sql bodies, each labelled with its column name.  The oracle
+    deliberately takes the SIMPLE 2-scans-PER-COLUMN shape — per-column
+    results are defined to equal the single-column operator's, so the
+    cheapest provably-identical SQL is k copies of that operator's
+    already-verified twin; the 2-scans-TOTAL plan is the Spark side's
+    job and is pinned by the plan test, not the oracle."""
+    # "column" is a reserved word in DuckDB (ALTER ... ADD COLUMN) —
+    # quote it there; Spark takes it bare (and backticks elsewhere).
+    label = '"column"' if dialect == "duckdb" else "column"
+    parts = [
+        f"SELECT '{c}' AS {label}, * FROM ("
+        + drift_sql(a_sql, b_sql, c, nbins=nbins, dialect=dialect)
+        + ")"
+        for c in cols
+    ]
+    return " UNION ALL ".join(parts)
 
 
 def psi_total(drift: DataFrame) -> DataFrame:

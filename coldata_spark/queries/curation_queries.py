@@ -2210,3 +2210,69 @@ def q179_distinct_hll_expectation(spark: SparkSession, sf_dir: str) -> DataFrame
             Q.distinct_ratio_ppm_hll("doc_id", 800_000, 1_200_000),
         ],
     )
+
+
+def _q180_snapshots_sql() -> tuple[str, str]:
+    """q180's snapshot subqueries: q177's synthesized-version device,
+    but projecting THREE numeric columns — a shifted one
+    (o_totalprice), an unshifted high-cardinality one (o_custkey), and
+    a constant one (o_shippriority, exercising the mx == mn bin
+    guard)."""
+    a = (
+        "SELECT o_totalprice, o_custkey, 0 AS o_flat "
+        "FROM orders WHERE o_orderkey % 10 <> 0"
+    )
+    b = (
+        "SELECT o_totalprice + (CASE WHEN o_orderkey % 3 = 0 "
+        "THEN 15000 ELSE 0 END) AS o_totalprice, "
+        "o_custkey, 0 AS o_flat "
+        "FROM orders WHERE o_orderkey % 10 <> 1"
+    )
+    return a, b
+
+
+_Q180_COLS = ["o_totalprice", "o_custkey", "o_flat"]
+
+
+def _q180_sql() -> str:
+    from coldata_spark.operators.drift import drift_many_sql
+
+    a, b = _q180_snapshots_sql()
+    return drift_many_sql(a, b, _Q180_COLS, nbins=16, dialect="duckdb")
+
+
+@register(
+    "q180_drift_many_columns",
+    survey="ext-constraints,A5,R6",
+    sql=_q180_sql(),
+)
+def q180_drift_many_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column drift in TWO passes TOTAL (drift.drift_many): the
+    nightly-gate shape — k columns watched for the price of one, where
+    q177's single-column operator would rescan the snapshot pair per
+    column (2k scans for k columns).  Per-column rows are defined (and
+    plan-tested, tests/test_drift.py) to equal distribution_drift's;
+    the oracle is therefore GENERATED as a UNION ALL of the
+    already-verified per-column twins (drift_many_sql) — simple on the
+    oracle side, 2-scans-total on the Spark side, identical values.
+    o_totalprice lights up where v2 shifted mass; o_custkey stays
+    flat; o_flat (a projected constant) exercises the mx == mn guard.
+
+    Plan: ONE wide stats agg (4k scalars, one broadcast row) + ONE
+    stack()-unpivoted combine agg — shuffle bounded by k x 2 x nbins
+    groups; scans of each snapshot: exactly 2, independent of k."""
+    from coldata_spark.operators.drift import drift_many
+
+    o = load(spark, sf_dir, "orders")
+    v1 = o.filter("o_orderkey % 10 <> 0").select(
+        "o_totalprice", "o_custkey", F.lit(0).alias("o_flat")
+    )
+    v2 = o.filter("o_orderkey % 10 <> 1").select(
+        F.expr(
+            "o_totalprice + (CASE WHEN o_orderkey % 3 = 0 "
+            "THEN 15000 ELSE 0 END)"
+        ).alias("o_totalprice"),
+        "o_custkey",
+        F.lit(0).alias("o_flat"),
+    )
+    return drift_many(v1, v2, _Q180_COLS, nbins=16)

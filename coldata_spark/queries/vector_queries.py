@@ -772,24 +772,88 @@ def q33_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q85_pq_candidates", survey="V3,V4,ext-ivf", sql=None)
+@register(
+    "q85_pq_candidates",
+    survey="V3,V4,ext-ivf",
+    sql="""
+    WITH eq AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                              x -> CAST(floor(x * 1024) AS BIGINT)) AS v
+        FROM embeddings
+    ),
+    cb AS (
+        SELECT j.j AS j, e.vec_id AS code, s.s AS s,
+               e.v[j.j * 8 + s.s] AS val
+        FROM eq e,
+             unnest(generate_series(0, 7)) AS j(j),
+             unnest(generate_series(1, 8)) AS s(s)
+        WHERE e.vec_id < 16
+    ),
+    enc_d AS (
+        SELECT e.vec_id, cb.j, cb.code,
+               sum((e.v[cb.j * 8 + cb.s] - cb.val)
+                   * (e.v[cb.j * 8 + cb.s] - cb.val)) AS d2
+        FROM eq e JOIN cb ON true
+        GROUP BY e.vec_id, cb.j, cb.code
+    ),
+    enc AS (
+        SELECT vec_id, j, code FROM (
+            SELECT vec_id, j, code,
+                   row_number() OVER (PARTITION BY vec_id, j
+                                      ORDER BY d2, code) AS rn
+            FROM enc_d) WHERE rn = 1
+    ),
+    lut AS (SELECT j, code, d2 FROM enc_d WHERE vec_id = 0),
+    adc AS (
+        SELECT e.vec_id, sum(l.d2) AS approx
+        FROM enc e JOIN lut l ON l.j = e.j AND l.code = e.code
+        GROUP BY e.vec_id
+    )
+    SELECT vec_id AS item_id, CAST(approx AS DOUBLE) AS approx_l2sq
+    FROM adc ORDER BY approx, vec_id LIMIT 50
+    """,
+)
 def q85_pq_candidates(spark, sf_dir):
     """Product-quantization candidate generation (IVF-PQ's compression
-    half): train a (m=8, k=16) codebook on a sample, encode the corpus to
-    8-byte codes (32x compression of 64-dim f32), ADC-scan for the first
-    vector's 50 nearest candidates.  Rows-only: k-means codebooks are not
-    SQL-expressible; recall vs the exact path is asserted in
-    tests/test_search.py::test_pq_encode_compresses_and_recalls.
-    """
+    half) under an EXACT oracle — the last retirable rows-only row
+    (round-11 verdict ask #3, the q151 device): 10-bit quantized vectors
+    (_quantized_emb), a deterministic (m=8, k=16) codebook (the first 16
+    vectors' subvectors, code order = vec_id order, matching
+    np.argmin's first-min tie-break), encode the corpus to 8 codes/row
+    through the REAL numpy mapInPandas (ivf.pq_encode), ADC-scan for
+    vector 0's 50 nearest candidates (ivf.pq_search's broadcast-LUT
+    scan).  With integer-valued vectors every LUT entry and every ADC
+    sum is an exact integer in float64 (max ~2.7e8 << 2^53), so the
+    CANDIDATE SET ITSELF hash-checks against the SQL replay — "recall
+    is a curve" retired; the cut is the checked value.  What stays
+    non-replayable is ivf.pq_train's k-means TRAINING loop (float
+    centroid means, 20 Lloyd iterations — see ORACLE_PARITY.md); the
+    trained-codebook path is asserted by recall in
+    tests/test_search.py::test_pq_encode_compresses_and_recalls and
+    runs in q151's production pipeline shape.
+    Reference basis: vdb.py's Milvus IVF_PQ index params (compression
+    half)."""
     import numpy as np
 
     from coldata_spark.operators import ivf
-    from coldata_spark.tables import load as _load
 
-    emb = _load(spark, sf_dir, "embeddings").withColumnRenamed("vec_id", "item_id")
-    codebook = ivf.pq_train(emb, m=8, k=16, sample_limit=500)
-    codes = ivf.pq_encode(emb, codebook)
-    q = np.array(emb.select("embedding").first()[0], dtype=np.float64)
+    emb_q = _quantized_emb(spark, sf_dir).withColumnRenamed(
+        "vec_id", "item_id"
+    )
+    rows = sorted(
+        emb_q.filter(F.col("item_id") < 16)
+        .select("item_id", "embedding")
+        .collect(),
+        key=lambda r: r["item_id"],
+    )
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    codebook = np.stack([X[:, j * 8 : (j + 1) * 8] for j in range(8)])
+    codes = ivf.pq_encode(emb_q, codebook)
+    q = np.array(
+        emb_q.filter(F.col("item_id") == 0).select("embedding").first()[0],
+        dtype=np.float64,
+    )
     return ivf.pq_search(codes, q, codebook, top_k=50)
 
 

@@ -5,6 +5,8 @@ check itself is q177's oracle row)."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -192,3 +194,85 @@ def test_drift_from_histograms_matches_raw_path(spark):
     # n_a/n_b totals preserved through the join
     assert sum(r.n_a for r in via_hist.values()) == 8
     assert sum(r.n_b for r in via_hist.values()) == 8
+
+
+def _mk3(spark, rows):
+    return spark.createDataFrame(
+        [(i, float(p), float(c), float(s)) for i, (p, c, s) in enumerate(rows)],
+        "id BIGINT, price DOUBLE, cust DOUBLE, prio DOUBLE",
+    )
+
+
+def test_drift_many_matches_single_column(spark):
+    """Per-column drift_many rows are BIT-IDENTICAL to running
+    distribution_drift per column — including a shifted column, an
+    unshifted one, a constant one (mx == mn guard), and per-column null
+    exclusion (a row null in one column still contributes the others)."""
+    a = _mk3(spark, [(1, 10, 0), (2, 20, 0), (3, 30, 0), (8, 40, 0)])
+    b = _mk3(spark, [(5, 10, 0), (6, 20, 0), (7, 30, 0), (8, 40, 0)])
+    # inject a null into one column of one side
+    a = a.withColumn(
+        "cust", F.when(F.col("id") == 0, None).otherwise(F.col("cust"))
+    )
+    cols = ["price", "cust", "prio"]
+    many = D.drift_many(a, b, cols, nbins=4).collect()
+    for c in cols:
+        got = sorted(
+            (r.bin, r.n_a, r.n_b, r.p_ppm, r.q_ppm, r.psi_term_fp)
+            for r in many
+            if r.column == c
+        )
+        want = sorted(
+            map(tuple, D.distribution_drift(a, b, c, nbins=4).collect())
+        )
+        assert got == want, c
+    with pytest.raises(ValueError, match="duplicate"):
+        D.drift_many(a, b, ["price", "price"])
+    with pytest.raises(ValueError, match="at least one"):
+        D.drift_many(a, b, [])
+    with pytest.raises(ValueError, match="quote"):
+        D.drift_many(a, b, ["pr'ice"])
+
+
+def test_drift_many_sql_twin_matches_spark(spark):
+    """drift_many_sql (the UNION ALL of per-column twins) reproduces
+    drift_many's rows exactly — the q180 oracle contract."""
+    import duckdb
+
+    a = _mk3(spark, [(1, 10, 0), (2, 20, 0), (3, 30, 0), (8, 40, 0)])
+    b = _mk3(spark, [(5, 15, 0), (6, 25, 0), (7, 35, 0), (8, 40, 0)])
+    cols = ["price", "cust", "prio"]
+    got = sorted(
+        (r.column, r.bin, r.n_a, r.n_b, r.p_ppm, r.q_ppm, r.psi_term_fp)
+        for r in D.drift_many(a, b, cols, nbins=4).collect()
+    )
+    con = duckdb.connect()
+    con.register("ta", a.toPandas())
+    con.register("tb", b.toPandas())
+    sql = D.drift_many_sql(
+        "SELECT price, cust, prio FROM ta",
+        "SELECT price, cust, prio FROM tb",
+        cols,
+        nbins=4,
+    )
+    want = sorted(map(tuple, con.execute(sql).fetchall()))
+    assert got == want
+
+
+def test_drift_many_two_scans_total(spark, tmp_path):
+    """The scale contract: 2 scans of each snapshot TOTAL, independent
+    of how many columns are watched — the naive per-column loop would
+    plan 2 scans PER column."""
+    from tests.test_plans import plan_of as _formatted
+
+    pa, pb = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    _mk3(spark, [(1, 10, 0), (2, 20, 0)]).write.parquet(pa)
+    _mk3(spark, [(3, 30, 0), (4, 40, 0)]).write.parquet(pb)
+    a, b = spark.read.parquet(pa), spark.read.parquet(pb)
+    plan1 = _formatted(D.drift_many(a, b, ["price"], nbins=4))
+    plan3 = _formatted(D.drift_many(a, b, ["price", "cust", "prio"], nbins=4))
+    # count TREE nodes ("Scan parquet  (7)"), not the details section
+    # which re-prints every node as "(7) Scan parquet"
+    tree = lambda plan: len(re.findall(r"Scan parquet\s+\(\d+\)", plan))
+    assert tree(plan1) == 4, plan1  # stats pass + binned pass, each reading a and b
+    assert tree(plan3) == 4, plan3  # unchanged with 3x the columns
