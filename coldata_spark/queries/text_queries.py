@@ -1054,19 +1054,50 @@ def q88_token_freq_histogram(spark, sf_dir):
     )
 
 
+Q108_CAP = 64  # max docs per (lang, pos, chunk) signature bucket
+
+
 @register(
     "q108_fuzzy_match",
     survey="V6,A2",
-    sql="""
+    sql=f"""
     WITH titles AS (
         SELECT doc_id AS title_doc, lang,
                replace(substring(text, 1, 30), 'a', '@') AS title
         FROM documents WHERE doc_id % 10 = 0
     ),
+    pref AS (
+        SELECT doc_id, lang, substring(text, 1, 30) AS s FROM documents
+    ),
+    dch AS (
+        SELECT doc_id, lang, p.p AS pos,
+               substring(s, p.p * 4 + 1, 4) AS chunk
+        FROM pref, unnest(generate_series(0, 6)) AS p(p)
+    ),
+    keep AS (
+        SELECT lang, pos, chunk FROM dch
+        GROUP BY lang, pos, chunk HAVING count(*) <= {Q108_CAP}
+    ),
+    dk AS (
+        SELECT d.doc_id, d.lang, d.pos, d.chunk
+        FROM dch d JOIN keep k
+          ON d.lang = k.lang AND d.pos = k.pos AND d.chunk = k.chunk
+    ),
+    tch AS (
+        SELECT title_doc, lang, p.p AS pos,
+               substring(title, p.p * 4 + 1, 4) AS chunk
+        FROM titles, unnest(generate_series(0, 6)) AS p(p)
+    ),
+    cand AS (
+        SELECT DISTINCT t.title_doc, d.doc_id
+        FROM tch t JOIN dk d
+          ON t.lang = d.lang AND t.pos = d.pos AND t.chunk = d.chunk
+    ),
     scored AS (
-        SELECT t.title_doc, d.doc_id,
-               levenshtein(t.title, substring(d.text, 1, 30)) AS dist
-        FROM titles t JOIN documents d ON t.lang = d.lang
+        SELECT c.title_doc, c.doc_id, levenshtein(t.title, p.s) AS dist
+        FROM cand c
+        JOIN titles t ON t.title_doc = c.title_doc
+        JOIN pref p ON p.doc_id = c.doc_id
     )
     SELECT title_doc,
            CAST(doc_id AS BIGINT) AS matched_doc,
@@ -1082,24 +1113,68 @@ def q88_token_freq_histogram(spark, sf_dir):
 def q108_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy entity matching (typo-tolerant lookup): corrupted titles
     (every 'a' replaced) matched back to their documents by minimum
-    Levenshtein distance within a language block.  The standard
+    Levenshtein distance among PIGEONHOLE candidates.  The standard
     dedup/entity-resolution flavor the exact/minhash/simhash ladder lacks
     — edit distance catches char-level noise n-gram sets miss.
 
-    Plan: language blocking bounds candidate pairs (block join, never the
-    full n^2); argmin via one min(struct) aggregation — single shuffle on
-    title_doc, no window sort.  At 100 TB the block key sharpens (lang +
-    length bucket + first-char class) and the same plan holds."""
+    Candidate generation (Ed-Join-style signature blocking): both sides
+    cut their 30-char prefix into 7 aligned 4-char chunks; a (title,
+    doc) pair is scored iff it shares >= 1 (lang, pos, chunk) signature
+    whose bucket holds <= Q108_CAP docs.  Pigeonhole guarantee: a true
+    source within 6 SUBSTITUTIONS leaves >= 1 of the 7 chunks untouched
+    (indel-shifted matches and all-chunks-corrupted titles can drop —
+    the documented approximation, standard for signature schemes).  The
+    bucket cap is MANDATORY, not tuning: the round-12 full-registry
+    sweep caught the original lang-only blocking at 167M levenshtein
+    pairs on the 16x tier (quadratic in replication — the q26 uncapped-
+    LSH lesson verbatim, found by the same kind of tier run), while
+    chunk blocking scores ~5.6M; popular-chunk buckets (shared
+    boilerplate prefixes) are dropped deterministically, exactly like
+    minhash_neardup's max_bucket_size.
+
+    Plan: chunk explode (7x rows, map-side), one count aggregate for the
+    cap, equi-join on (lang, pos, chunk), distinct pairs, join back for
+    the two strings, levenshtein on candidates only; argmin via one
+    min(struct) aggregation — no window over the full corpus, no n^2
+    block join.  At 100 TB the chunk width/count sharpen with the
+    distance bound k (k+1 chunks) and the same plan holds."""
     docs = load(spark, sf_dir, "documents")
     titles = docs.filter(F.col("doc_id") % 10 == 0).select(
         F.col("doc_id").alias("title_doc"),
         "lang",
         F.replace(F.substring("text", 1, 30), F.lit("a"), F.lit("@")).alias("title"),
     )
-    scored = titles.join(docs, "lang").select(
-        "title_doc",
-        "doc_id",
-        F.levenshtein("title", F.substring("text", 1, 30)).alias("dist"),
+    pref = docs.select(
+        "doc_id", "lang", F.substring("text", 1, 30).alias("s")
+    )
+    pos = F.explode(F.sequence(F.lit(0), F.lit(6))).alias("pos")
+
+    def chunks(df, id_col, s_col):
+        return df.select(id_col, "lang", pos, F.col(s_col).alias("_s")).select(
+            id_col,
+            "lang",
+            "pos",
+            F.expr("substring(_s, pos * 4 + 1, 4)").alias("chunk"),
+        )
+
+    dch = chunks(pref, "doc_id", "s")
+    keep = dch.groupBy("lang", "pos", "chunk").agg(
+        F.count(F.lit(1)).alias("_n")
+    ).filter(F.col("_n") <= Q108_CAP).drop("_n")
+    cand = (
+        chunks(titles, "title_doc", "title")
+        .join(dch.join(keep, ["lang", "pos", "chunk"]), ["lang", "pos", "chunk"])
+        .select("title_doc", "doc_id")
+        .distinct()
+    )
+    scored = (
+        cand.join(titles.select("title_doc", "title"), "title_doc")
+        .join(pref.select("doc_id", "s"), "doc_id")
+        .select(
+            "title_doc",
+            "doc_id",
+            F.levenshtein("title", "s").alias("dist"),
+        )
     )
     best = (
         scored.groupBy("title_doc")
