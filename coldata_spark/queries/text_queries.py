@@ -448,9 +448,14 @@ def q55_chunk_parent_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY doc_id, seed
     ),
     banded AS (
-        SELECT doc_id, cast(floor(seed / 2) AS INT) AS band,
-               string_agg(cast(minhash AS VARCHAR), '|' ORDER BY seed) AS band_key
-        FROM sig GROUP BY doc_id, cast(floor(seed / 2) AS INT)
+        SELECT doc_id, band, band_key FROM (
+            SELECT doc_id, cast(floor(seed / 2) AS INT) AS band,
+                   string_agg(cast(minhash AS VARCHAR), '|' ORDER BY seed)
+                       AS band_key
+            FROM sig GROUP BY doc_id, cast(floor(seed / 2) AS INT)
+        )
+        -- hot-bucket cap (64), matching the Spark plan's max_bucket_size
+        QUALIFY count(*) OVER (PARTITION BY band, band_key) <= 64
     ),
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -492,11 +497,17 @@ def q59_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     to their keeper.  The Spark side iterates label propagation to a
     fixpoint (one shuffle per round, O(diameter) rounds); the oracle
     reaches the same fixpoint declaratively with a recursive CTE computing
-    min reachable id per member."""
+    min reachable id per member.  max_bucket_size=64 on the pair
+    generation (QUALIFY twin in the SQL): the round-12 registry sweep
+    caught this call site UNCAPPED at the 16x tier — the same
+    within-bucket quadratic the round-11 stress caught in q26, hiding in
+    a different caller."""
     from coldata_spark.operators.dedup import dedup_keepers
 
     docs = load(spark, sf_dir, "documents")
-    pairs = DD.minhash_neardup_pairs(docs, "text", "doc_id").filter(
+    pairs = DD.minhash_neardup_pairs(
+        docs, "text", "doc_id", max_bucket_size=64
+    ).filter(
         F.col("est_jaccard") >= 0.75
     )
     kept = dedup_keepers(docs, pairs)
@@ -1435,9 +1446,14 @@ def q134_length_deciles(spark, sf_dir):
         GROUP BY doc_id, seed
     ),
     banded AS (
-        SELECT doc_id, cast(floor(seed / 2) AS INT) AS band,
-               string_agg(cast(minhash AS VARCHAR), '|' ORDER BY seed) AS band_key
-        FROM sig GROUP BY doc_id, cast(floor(seed / 2) AS INT)
+        SELECT doc_id, band, band_key FROM (
+            SELECT doc_id, cast(floor(seed / 2) AS INT) AS band,
+                   string_agg(cast(minhash AS VARCHAR), '|' ORDER BY seed)
+                       AS band_key
+            FROM sig GROUP BY doc_id, cast(floor(seed / 2) AS INT)
+        )
+        -- hot-bucket cap (64), matching the Spark plan's max_bucket_size
+        QUALIFY count(*) OVER (PARTITION BY band, band_key) <= 64
     ),
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -1501,11 +1517,16 @@ def q140_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: the pair graph + O(diameter) label propagation from q59, then
     one map-side hash and a 3-group combine agg — the split itself adds
-    no shuffle beyond the dedup pipeline it reuses."""
+    no shuffle beyond the dedup pipeline it reuses.  max_bucket_size=64
+    on the pair generation (QUALIFY twin in the SQL): caught uncapped by
+    the round-12 registry sweep at 16x, q26's lesson at a third call
+    site — 20+ minutes of spill-bound wall clock restored to seconds."""
     from coldata_spark.operators.dedup import connected_components
 
     docs = load(spark, sf_dir, "documents")
-    pairs = DD.minhash_neardup_pairs(docs, "text", "doc_id").filter(
+    pairs = DD.minhash_neardup_pairs(
+        docs, "text", "doc_id", max_bucket_size=64
+    ).filter(
         F.col("est_jaccard") >= 0.75
     )
     comp = connected_components(pairs)

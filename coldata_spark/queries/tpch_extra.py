@@ -1419,8 +1419,8 @@ def q137_integrity_audit(spark, sf_dir):
         FROM per_part
     ),
     classed AS (
-        SELECT CASE WHEN (1000000 * cum_rev_c) // total_rev_c <= 800000 THEN 'A'
-                    WHEN (1000000 * cum_rev_c) // total_rev_c <= 950000 THEN 'B'
+        SELECT CASE WHEN 5 * cum_rev_c <= 4 * total_rev_c THEN 'A'
+                    WHEN 20 * cum_rev_c <= 19 * total_rev_c THEN 'B'
                     ELSE 'C' END AS abc_class,
                rev_c
         FROM ranked
@@ -1435,8 +1435,13 @@ def q138_pareto_abc(spark, sf_dir):
     """Pareto / ABC inventory classification: parts ranked by revenue,
     classed A/B/C at the 80% / 95% cumulative-share breakpoints — the
     80/20 analysis behind stocking and curation-priority decisions.
-    Revenue in integer cents and shares in ppm floor-division keep every
-    class boundary bit-exact under the tie-broken cumulative order.
+    Revenue in integer cents and CROSS-MULTIPLIED class tests
+    (5*cum <= 4*total, 20*cum <= 19*total) keep every boundary bit-exact
+    under the tie-broken cumulative order with int64 headroom to
+    ~4.6e17 cents of total revenue — the round-12 registry sweep caught
+    the previous ppm form's ``1000000 * cum_rev_c`` overflowing at the
+    16x tier (~3.7e13 cents), a correctness-at-scale bug invisible at
+    sf0.01.
 
     Plan: one fact shuffle to per-part revenue; the cumulative window
     runs over #parts rows (the rolled-up entity table, not the fact
@@ -1458,8 +1463,8 @@ def q138_pareto_abc(spark, sf_dir):
     )
     classed = ranked.select(
         F.expr(
-            "CASE WHEN (1000000 * cum_rev_c) div total_rev_c <= 800000 THEN 'A'"
-            " WHEN (1000000 * cum_rev_c) div total_rev_c <= 950000 THEN 'B'"
+            "CASE WHEN 5 * cum_rev_c <= 4 * total_rev_c THEN 'A'"
+            " WHEN 20 * cum_rev_c <= 19 * total_rev_c THEN 'B'"
             " ELSE 'C' END"
         ).alias("abc_class"),
         "rev_c",
