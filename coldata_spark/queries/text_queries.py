@@ -1557,10 +1557,19 @@ def q140_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q141_shingle_containment",
     survey="V6,A5,J5",
     sql="""
-    WITH sh AS (
+    WITH sh0 AS (
         SELECT DISTINCT doc_id, substring(text, i, 5) AS shingle
         FROM documents, unnest(generate_series(1,
              greatest(1, length(text) - 4))) AS t(i)
+    ),
+    -- stop-shingle cap (64): a shingle seen in more docs is boilerplate,
+    -- not containment evidence, and its pair fan-out is quadratic
+    keep AS (
+        SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 64
+    ),
+    sh AS (
+        SELECT s.doc_id, s.shingle
+        FROM sh0 s JOIN keep k ON s.shingle = k.shingle
     ),
     sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
     inter AS (
@@ -1586,14 +1595,18 @@ def q141_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: distinct shingles per doc (one combine shuffle), the
     intersection via a shingle-keyed self-join with map-side combine on
-    the (a, b) pair — the candidate space is bounded by co-occurring
-    shingles exactly like the q29 n-gram join; at 100 TB stop-shingle
-    capping (drop shingles above a doc-frequency ceiling) bounds the hot
-    shingle lists, the same mitigation q29 documents."""
+    the (a, b) pair.  Stop-shingle capping is IMPLEMENTED, not just
+    documented (round-12 registry sweep: the uncapped self-join's pair
+    fan-out is sum over shingles of df^2 — boilerplate shingles made it
+    grind at the 16x tier): shingles with doc-frequency > 64 are dropped
+    before the join on BOTH sides and excluded from the denominator, so
+    containment reads "share of A's informative shingles found in B" —
+    self-consistent, and the pair space is bounded by 64 x kept-shingle
+    count."""
     from coldata_spark.tables import fan_out
 
     docs = load(spark, sf_dir, "documents")
-    sh = (
+    sh0 = (
         fan_out(docs)
         .select(
             "doc_id",
@@ -1606,6 +1619,13 @@ def q141_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    keep = (
+        sh0.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= 64)
+        .drop("_df")
+    )
+    sh = sh0.join(keep, "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")

@@ -1576,7 +1576,8 @@ def q145_mode_per_group(spark, sf_dir):
         FROM ranked
     )
     SELECT n, s_x,
-           CAST(((2 * s_ix - (n + 1) * s_x) * 1000) // (n * s_x) AS BIGINT)
+           CAST(((2 * CAST(s_ix AS HUGEINT) - (n + 1) * CAST(s_x AS HUGEINT))
+                 * 1000) // (CAST(n AS HUGEINT) * s_x) AS BIGINT)
                AS gini_milli
     FROM sums
     """,
@@ -1585,9 +1586,14 @@ def q147_revenue_gini(spark, sf_dir):
     """Revenue concentration as an exact integer Gini coefficient: the
     rank-sum identity G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over
     ascending-ranked per-customer revenue — inequality measured with zero
-    floats (milli units via one floor division; milli rather than micro
-    keeps the scaled numerator inside int64 through ~10^7 customers —
-    rescale or decimal beyond that).  The same query shape measures corpus
+    floats.  The final milli division runs in 128-bit integers
+    (DECIMAL(38,0) div on Spark, HUGEINT // in the oracle — both exact
+    floor division): the round-12 registry sweep caught the int64 form
+    overflowing at the 16x tier, where the scaled numerator
+    (2*s_ix - (n+1)*s_x)*1000 needs ~67 bits — the old docstring's
+    "safe through 10^7 customers" bound was on the wrong axis (the
+    binding product is customers x total-revenue-cents, ~1.4e17 at 16x).
+    The same query shape measures corpus
     concentration over sources or token budgets over documents.
 
     Plan: per-customer agg (one fact shuffle), a global-order window over
@@ -1611,7 +1617,9 @@ def q147_revenue_gini(spark, sf_dir):
         "n",
         "s_x",
         F.expr(
-            "CAST(((2 * s_ix - (n + 1) * s_x) * 1000) div (n * s_x) AS BIGINT)"
+            "CAST(((2 * CAST(s_ix AS DECIMAL(38,0))"
+            " - (n + 1) * CAST(s_x AS DECIMAL(38,0))) * 1000)"
+            " div (CAST(n AS DECIMAL(38,0)) * s_x) AS BIGINT)"
         ).alias("gini_milli"),
     )
 
