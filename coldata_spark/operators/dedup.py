@@ -703,6 +703,7 @@ def embedding_neardup_lsh_exact(
     quant: int = 1000,
     seed: int = 0,
     dim: int = 64,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Banded hyperplane-LSH near-dup with a bit-exact cross-engine
     contract (the hash-verified twin of embedding_neardup_lsh; pair with
@@ -780,6 +781,21 @@ def embedding_neardup_lsh_exact(
             ).alias("band_key")
         )
     )
+    if max_bucket_size is not None:
+        # hot-bucket cap, same contract as minhash_neardup_pairs: the
+        # within-bucket join is quadratic in bucket population, and a
+        # 4-bit band key has only 16 buckets per band — a corpus of
+        # near-identical vectors (the replicated tier fixture is the
+        # degenerate case: replicas are EXACT copies) multiplies every
+        # bucket and squares the verify join.  Oracle twin: the QUALIFY
+        # clause lsh_exact_sql emits from the same parameter.
+        kept = (
+            bands.groupBy("band", "band_key")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket_size)
+            .drop("_n")
+        )
+        bands = bands.join(kept, ["band", "band_key"])
     a = bands.select(F.col("vec_id").alias("id_a"), "band", "band_key")
     b = bands.select(F.col("vec_id").alias("id_b"), "band", "band_key")
     cand = (
@@ -821,11 +837,20 @@ def lsh_exact_sql(
     quant: int = 1000,
     seed: int = 0,
     dim: int = 64,
+    max_bucket_size: int | None = None,
 ) -> str:
     """DuckDB oracle for embedding_neardup_lsh_exact, generated from the
     SAME parameters so the two engines cannot drift.  ``base_cte`` must
     select (vec_id, e DOUBLE[])."""
     num2, den2 = thresh_num * thresh_num, thresh_den * thresh_den
+    cap_clause = (
+        ""
+        if max_bucket_size is None
+        else (
+            "\n        QUALIFY count(*) OVER (PARTITION BY band, band_key)"
+            f" <= {max_bucket_size}"
+        )
+    )
     return f"""
     WITH base AS ({base_cte}),
     qv AS (
@@ -849,9 +874,12 @@ def lsh_exact_sql(
         FROM qv, planes
     ),
     bands AS (
-        SELECT vec_id, j // {band_size} AS band,
-               CAST(sum(bit * (1 << (j % {band_size}))) AS BIGINT) AS band_key
-        FROM bits GROUP BY vec_id, j // {band_size}
+        SELECT vec_id, band, band_key FROM (
+            SELECT vec_id, j // {band_size} AS band,
+                   CAST(sum(bit * (1 << (j % {band_size}))) AS BIGINT)
+                       AS band_key
+            FROM bits GROUP BY vec_id, j // {band_size}
+        ){cap_clause}
     ),
     cand AS (
         SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
@@ -934,7 +962,7 @@ def embedding_neardup_pairs(
     """
     from coldata_spark.functions import vector as V
     from coldata_spark.operators.similarity import (
-        QUADRATIC_GATE_BYTES,
+        PAIR_GATE_BYTES,
         refuse_at_scale,
     )
     from coldata_spark.tables import fan_out
@@ -945,7 +973,7 @@ def embedding_neardup_pairs(
         "This is the O(n^2) verification baseline — use "
         "embedding_neardup_lsh for the production near-dup path.",
         force,
-        QUADRATIC_GATE_BYTES,
+        PAIR_GATE_BYTES,
     )
     emb = fan_out(emb)
     a = emb.select(

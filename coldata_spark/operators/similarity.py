@@ -32,6 +32,13 @@ from coldata_spark.functions import vector as V
 # (or that must broadcast) a side refuse to run unless forced: nobody should
 # ship an O(n^2) plan to a 100 TB table by accident.
 QUADRATIC_GATE_BYTES = 64 * 1024 * 1024
+# Tighter gate for SELF-join pair ops (n^2 in the INPUT, not in a bounded
+# query side): 64 MB of parquet-compressed 64-dim vectors is ~250k rows =
+# ~3e10 pairs — far past verification scale.  4 MB ~ 15k rows ~ 1e8 pairs
+# is where the brute-force baseline stops being a minutes-scale check.
+# Found by the round-12 registry sweep: q32 at the 16x tier (~13 MB
+# estimate) sailed through the 64 MB gate into a 4.6e9-pair grind.
+PAIR_GATE_BYTES = 4 * 1024 * 1024
 
 
 

@@ -1282,10 +1282,10 @@ def q133_join_key_skew_profile(spark, sf_dir):
     ),
     tot AS (SELECT CAST(sum(rev_c) AS BIGINT) AS total_rev_c FROM nat)
     SELECT r.r_name, nat.n_name, nat.rev_c,
-           CAST((1000000 * nat.rev_c) // reg.region_rev_c AS BIGINT)
-               AS share_of_region_ppm,
-           CAST((1000000 * reg.region_rev_c) // tot.total_rev_c AS BIGINT)
-               AS region_share_ppm
+           CAST((1000000 * CAST(nat.rev_c AS HUGEINT))
+                // reg.region_rev_c AS BIGINT) AS share_of_region_ppm,
+           CAST((1000000 * CAST(reg.region_rev_c AS HUGEINT))
+                // tot.total_rev_c AS BIGINT) AS region_share_ppm
     FROM nat
     JOIN reg USING (n_regionkey)
     JOIN region r ON r.r_regionkey = nat.n_regionkey
@@ -1328,11 +1328,16 @@ def q136_percent_of_parent(spark, sf_dir):
             "r_name",
             "n_name",
             "rev_c",
+            # ppm in 128-bit (DECIMAL(38,0) div / HUGEINT //): the
+            # round-12 sweep caught the int64 form overflowing at 16x
+            # (1e6 x total-cents needs ~66 bits) — same fix as q147
             F.expr(
-                "CAST((1000000 * rev_c) div region_rev_c AS BIGINT)"
+                "CAST((1000000 * CAST(rev_c AS DECIMAL(38,0)))"
+                " div region_rev_c AS BIGINT)"
             ).alias("share_of_region_ppm"),
             F.expr(
-                "CAST((1000000 * region_rev_c) div total_rev_c AS BIGINT)"
+                "CAST((1000000 * CAST(region_rev_c AS DECIMAL(38,0)))"
+                " div total_rev_c AS BIGINT)"
             ).alias("region_share_ppm"),
         )
     )

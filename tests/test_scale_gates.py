@@ -115,7 +115,7 @@ def test_neardup_pairs_gate(spark, sf_dir, monkeypatch):
     from coldata_spark.operators import similarity
 
     emb = load(spark, sf_dir, "embeddings")
-    monkeypatch.setattr(similarity, "QUADRATIC_GATE_BYTES", 1)
+    monkeypatch.setattr(similarity, "PAIR_GATE_BYTES", 1)
     with pytest.raises(ValueError, match="embedding_neardup_lsh"):
         DD.embedding_neardup_pairs(emb)
     assert DD.embedding_neardup_pairs(emb.limit(20), force=True).count() >= 0

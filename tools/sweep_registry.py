@@ -74,11 +74,30 @@ def _save_state(times: int, state: dict) -> None:
 
 
 def _fresh_spark(tier_dir: str):
-    from coldata_spark.session import dir_bytes, get_spark, tune_for_input
+    """get_spark's defaults — AQE ON, shuffle partitions = cores —
+    deliberately NOT bench.py's tune_for_input: its small-input branch
+    (AQE off, 8 reduce partitions for a sub-GB tier) is sized for the
+    headline scan-shaped queries and starved q140's 80M-row shingle
+    explode down to 8-way parallelism (10+ min where the defaults run it
+    in ~1 min).  A 178-query mix has no single right static tuning; the
+    runtime-replanning default is the safe harness choice, and the sweep
+    is a blow-up detector, not the record of note (bench.py keeps its
+    protocol for those).
 
-    spark = get_spark(app_name="sweep_registry")
-    tune_for_input(spark, dir_bytes(tier_dir))
-    return spark
+    parallelismFirst stays at Spark's TRUE here, overriding get_spark's
+    size-based coalescing: the dedup family's shuffles are CPU-dense but
+    byte-small (a minhash row is ~30 bytes that cost ~1000 md5s to
+    make), and coalesce-by-64MiB collapsed q140's verify join to 3 fat
+    tasks on a 32-core box — the second way this one query exposed a
+    harness tuning assumption (see SWEEP.md notes)."""
+    from coldata_spark.session import get_spark
+
+    return get_spark(
+        app_name="sweep_registry",
+        extra_conf={
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst": "true"
+        },
+    )
 
 
 def _time_spark(spark, fn, tier_dir: str) -> tuple[float, int]:
@@ -146,6 +165,10 @@ def sweep(times: int, only: list[str] | None, force: bool) -> None:
 
     def duck_connect():
         con = duckdb.connect()
+        # a quadratic oracle (q140's transitive-closure CTE at 16x) can
+        # spill until the DISK fills — cap the temp dir so it dies with
+        # a recordable error instead of taking the box down
+        con.execute("SET max_temp_directory_size='20GB'")
         for t in TABLES:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM "
