@@ -83,10 +83,19 @@ def alpha_ratio(col: Column) -> Column:
 def fingerprint(col: Column) -> Column:
     """Document fingerprint: md5 of the canonicalized text (lowercase,
     punctuation stripped, whitespace collapsed, trimmed).  Two documents with
-    the same fingerprint are exact near-dups modulo case/punct/spacing."""
+    the same fingerprint are exact near-dups modulo case/punct/spacing.
+
+    ONE regex pass, not two: ``[^a-z0-9]+ -> " "`` is exactly equivalent
+    to per-char substitution followed by space-run collapsing (any run of
+    non-alphanumerics, spaces included, becomes one space either way),
+    and the canonicalization IS the cost of the fingerprint rung — the
+    round-12 64x sweep measured the two-pass form at 10 s/320k docs
+    with DuckDB ~30x faster per byte (SCALE.md), so halving the regex
+    work is the cheap exact-preserving cut.  The oracle twins keep
+    whichever form they had: the canonical string is provably identical,
+    so the md5 hash-check is unaffected."""
     c = F.lower(col)
-    c = F.regexp_replace(c, r"[^a-z0-9 ]", " ")
-    c = F.regexp_replace(c, r" +", " ")
+    c = F.regexp_replace(c, r"[^a-z0-9]+", " ")
     return F.md5(F.trim(c))
 
 
