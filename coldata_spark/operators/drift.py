@@ -153,6 +153,28 @@ def distribution_drift(
     )
 
 
+def _validate_drift_cols(cols: list[str]) -> None:
+    """Shared name checks for every entry point that splices column names
+    into SQL/stack() literals (drift_many AND drift_many_sql — a quoted
+    name that only the Spark side rejected would silently generate broken
+    or injected SQL in the oracle twin)."""
+    if not cols:
+        raise ValueError("drift_many needs at least one column")
+    if len(set(cols)) != len(cols):
+        raise ValueError(f"duplicate columns in {cols!r}")
+    for c in cols:
+        if "'" in c or "`" in c or '"' in c:
+            raise ValueError(
+                f"column name {c!r} contains a quote/backtick — it is "
+                "spliced into stack()/SQL literals"
+            )
+        if c in ("side", "column", "x"):
+            raise ValueError(
+                f"column name {c!r} collides with drift_many's internal "
+                "side/column/x names — alias it in the snapshot projection"
+            )
+
+
 def drift_many(
     a: DataFrame, b: DataFrame, cols: list[str], nbins: int = 16
 ) -> DataFrame:
@@ -174,21 +196,7 @@ def drift_many(
     the single-column op k times)."""
     if nbins < 2:
         raise ValueError("nbins must be >= 2")
-    if not cols:
-        raise ValueError("drift_many needs at least one column")
-    if len(set(cols)) != len(cols):
-        raise ValueError(f"duplicate columns in {cols!r}")
-    for c in cols:
-        if "'" in c or "`" in c:
-            raise ValueError(
-                f"column name {c!r} contains a quote/backtick — it is "
-                "spliced into stack() literals"
-            )
-        if c in ("side", "column", "x"):
-            raise ValueError(
-                f"column name {c!r} collides with drift_many's internal "
-                "side/column/x names — alias it in the snapshot projection"
-            )
+    _validate_drift_cols(cols)
     proj = [F.col(c).cast("double").alias(c) for c in cols]
     both = a.select(*proj, F.lit(0).alias("side")).unionByName(
         b.select(*proj, F.lit(1).alias("side"))
@@ -271,6 +279,7 @@ def drift_many_sql(
     cheapest provably-identical SQL is k copies of that operator's
     already-verified twin; the 2-scans-TOTAL plan is the Spark side's
     job and is pinned by the plan test, not the oracle."""
+    _validate_drift_cols(cols)
     # "column" is a reserved word in DuckDB (ALTER ... ADD COLUMN) —
     # quote it there; Spark takes it bare (and backticks elsewhere).
     label = '"column"' if dialect == "duckdb" else "column"

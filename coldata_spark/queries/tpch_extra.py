@@ -1448,6 +1448,15 @@ def q138_pareto_abc(spark, sf_dir):
     16x tier (~3.7e13 cents), a correctness-at-scale bug invisible at
     sf0.01.
 
+    Boundary note (round-12 advice): the cross-multiplied tests are NOT
+    bit-identical to the old ppm floors — ``floor(1e6*cum/total) <=
+    800000`` admitted cum/total in [0.8, 0.800001), while ``5*cum <=
+    4*total`` admits exactly cum/total <= 0.8 (same at the 95% edge).
+    Both engines use the cross-multiplied form, so parity holds; the
+    exact-rational boundary is the DEFINED semantics from round 12 on
+    (it is the textbook 80/95 breakpoint — the ppm slack was a
+    fixed-point artifact, not a spec).
+
     Plan: one fact shuffle to per-part revenue; the cumulative window
     runs over #parts rows (the rolled-up entity table, not the fact
     table), then a 3-group agg.  The single-partition ordered window is

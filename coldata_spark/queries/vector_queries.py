@@ -783,12 +783,18 @@ def q33_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings
     ),
     cb AS (
-        SELECT j.j AS j, e.vec_id AS code, s.s AS s,
+        -- code = RANK of the seed vector among vec_id < 16, not raw
+        -- vec_id: the Spark codebook's codes are positional indices
+        -- 0..15 over the id-sorted seed rows (round-12 advice — raw
+        -- vec_id only coincided because fixture ids are dense from 0;
+        -- rank is the equivalence by construction, id-gap-proof).
+        SELECT j.j AS j, e.code, s.s AS s,
                e.v[j.j * 8 + s.s] AS val
-        FROM eq e,
+        FROM (SELECT v,
+                     row_number() OVER (ORDER BY vec_id) - 1 AS code
+              FROM eq WHERE vec_id < 16) e,
              unnest(generate_series(0, 7)) AS j(j),
              unnest(generate_series(1, 8)) AS s(s)
-        WHERE e.vec_id < 16
     ),
     enc_d AS (
         SELECT e.vec_id, cb.j, cb.code,
@@ -973,12 +979,18 @@ def _quantized_emb(spark, sf_dir):
             FROM assign_d) WHERE rn = 1
     ),
     cb AS (
-        SELECT j.j AS j, e.vec_id AS code, s.s AS s,
+        -- code = RANK of the seed vector among vec_id < 16, not raw
+        -- vec_id: the Spark codebook's codes are positional indices
+        -- 0..15 over the id-sorted seed rows (round-12 advice — raw
+        -- vec_id only coincided because fixture ids are dense from 0;
+        -- rank is the equivalence by construction, id-gap-proof).
+        SELECT j.j AS j, e.code, s.s AS s,
                e.v[j.j * 8 + s.s] AS val
-        FROM eq e,
+        FROM (SELECT v,
+                     row_number() OVER (ORDER BY vec_id) - 1 AS code
+              FROM eq WHERE vec_id < 16) e,
              unnest(generate_series(0, 7)) AS j(j),
              unnest(generate_series(1, 8)) AS s(s)
-        WHERE e.vec_id < 16
     ),
     enc_d AS (
         SELECT e.vec_id, cb.j, cb.code,

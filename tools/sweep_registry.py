@@ -73,7 +73,7 @@ def _save_state(times: int, state: dict) -> None:
     os.replace(tmp, path)
 
 
-def _fresh_spark(tier_dir: str):
+def _fresh_spark():
     """get_spark's defaults — AQE ON, shuffle partitions = cores —
     deliberately NOT bench.py's tune_for_input: its small-input branch
     (AQE off, 8 reduce partitions for a sub-GB tier) is sized for the
@@ -128,7 +128,12 @@ def _time_duck(con, sql: str) -> float:
     return round(best, 3)
 
 
-def sweep(times: int, only: list[str] | None, force: bool) -> None:
+def sweep(
+    times: int,
+    only: list[str] | None,
+    force: bool,
+    retry_errors: bool = False,
+) -> None:
     import duckdb
 
     from bench import _marker_content, _pretouch, _tier_dir
@@ -139,7 +144,7 @@ def sweep(times: int, only: list[str] | None, force: bool) -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     tier_dir = _tier_dir(sf_dir, times)
 
-    spark = _fresh_spark(sf_dir)
+    spark = _fresh_spark()
     replicate_fixture(spark, sf_dir, tier_dir, times=times)
     stamp = _marker_content(tier_dir)
     pretouch_s = _pretouch(tier_dir)
@@ -160,6 +165,11 @@ def sweep(times: int, only: list[str] | None, force: bool) -> None:
         if force
         or state.get(n, {}).get("stamp") != stamp
         or ("spark_sec" not in state.get(n, {}) and "error" not in state.get(n, {}))
+        # --retry-errors: a stamp-matched ERROR row normally sticks (the
+        # error IS the result), but after fixing the underlying query the
+        # only way to re-check used to be --force (full re-sweep) or a
+        # manual state edit (round-12 advice #4)
+        or (retry_errors and "error" in state.get(n, {}))
     ]
     print(f"{len(todo)}/{len(names)} to measure", flush=True)
 
@@ -180,7 +190,7 @@ def sweep(times: int, only: list[str] | None, force: bool) -> None:
     for i in range(0, len(todo), CHUNK):
         chunk = todo[i : i + CHUNK]
         if spark is None:
-            spark = _fresh_spark(tier_dir)
+            spark = _fresh_spark()
         con = duck_connect()
         for name in chunk:
             rec: dict = {"stamp": stamp, "times": times}
@@ -311,11 +321,17 @@ def main() -> None:
     ap.add_argument("--times", type=int, default=16)
     ap.add_argument("--queries", type=str, default="")
     ap.add_argument("--force", action="store_true")
+    ap.add_argument(
+        "--retry-errors",
+        action="store_true",
+        help="re-measure stamp-matched entries that recorded an error "
+        "(after a query fix) without forcing the whole sweep",
+    )
     ap.add_argument("--report", action="store_true")
     args = ap.parse_args()
     if not args.report:
         only = [q for q in args.queries.split(",") if q] or None
-        sweep(args.times, only, args.force)
+        sweep(args.times, only, args.force, retry_errors=args.retry_errors)
     report()
 
 
