@@ -164,8 +164,67 @@ def test_replicated_tier_marker_carries_source_version(tmp_path, spark):
     dst = str(tmp_path / "2x")
     R.replicate_fixture(spark, sf, dst, times=2)
     marker = (tmp_path / "2x" / "_REPLICATED_OK").read_text()
-    assert marker == f"v3|{sf}|2|{R.source_stamp(sf)}", marker
+    assert marker == f"v4|{sf}|2|{R.source_stamp(sf)}", marker
     # reverting to a path+times-only stamp (the pre-v3 format) must read
     # as stale: the builder would rebuild, not cache-hit
     assert f"v2|{sf}|2" != marker
     assert R.source_stamp(sf) in marker
+
+
+def test_perturb_isometry_invariants(spark):
+    """The per-replica embedding transform must be an EXACT isometry:
+    norms and within-replica inner products bit-identical to the base
+    (±1 multiplication and reordering are lossless in IEEE float), while
+    cross-replica copies of the same vector decorrelate — the property
+    that makes tier near-dup structure scale linearly instead of
+    squaring (round-12 verdict #1).  Replica 0 must be the identity
+    (query batches at vec_id < 8 live there)."""
+    import math
+    import random
+
+    import pyspark.sql.functions as F
+
+    from tools.replicate import perturb_isometry
+
+    rng = random.Random(13)
+    vecs = [
+        [rng.uniform(-1, 1) for _ in range(64)] for _ in range(6)
+    ]
+    base = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id INT, embedding ARRAY<FLOAT>",
+    )
+    got = {}
+    for i in (0, 1, 7, 255, 3 * 1_000_003):
+        rows = base.select(
+            "vec_id", perturb_isometry("embedding", i).alias("e")
+        ).collect()
+        got[i] = {r.vec_id: list(r.e) for r in rows}
+    base_rows = {r.vec_id: list(r.embedding) for r in base.collect()}
+    dot = lambda u, v: sum(a * b for a, b in zip(u, v))  # noqa: E731
+    assert got[0] == base_rows, "replica 0 must be the identity"
+    for i in (1, 7, 255, 3 * 1_000_003):
+        for vid, v in got[i].items():
+            # exact norm preservation: same multiset of |components|
+            assert sorted(abs(x) for x in v) == sorted(
+                abs(x) for x in base_rows[vid]
+            ), f"replica {i} changed component magnitudes"
+            assert v != base_rows[vid], f"replica {i} left vec {vid} verbatim"
+        # within-replica inner products preserved exactly
+        for a in range(3):
+            for b in range(a + 1, 4):
+                assert math.isclose(
+                    dot(got[i][a], got[i][b]),
+                    dot(base_rows[a], base_rows[b]),
+                    rel_tol=1e-9,
+                    abs_tol=1e-9,
+                )
+        # cross-replica copies of the SAME base vector decorrelate: far
+        # below any near-dup threshold (|cos| bound is loose — random
+        # signed rotations of a 64-dim vector concentrate near 0)
+        for vid, v in got[i].items():
+            u = base_rows[vid]
+            cos = dot(u, v) / math.sqrt(dot(u, u) * dot(v, v))
+            assert abs(cos) < 0.55, (
+                f"replica {i} vec {vid} still correlated: cos={cos}"
+            )

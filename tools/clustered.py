@@ -365,10 +365,15 @@ def build_embeddings_tier(
 
     def deep_stamp() -> str:
         # v2: source content version folded in (see build_events_tier)
+        # v3: deep replicas get perturb_isometry on a DISJOINT index
+        # stream (r * 1_000_003) — with the plain vec_id shift, deep
+        # replica r of inner replica 0 carried the SAME vector as inner
+        # replica r of the same base row (both T_r(base)), re-creating
+        # the verbatim-duplicate artifact one level up
         src = source_stamp(sf_dir) if sf_dir else (
             fixture_stamp_of(tier256_dir) or source_stamp(tier256_dir)
         )
-        return f"v2|{replicas}|{src}"
+        return f"v3|{replicas}|{src}"
 
     if os.path.exists(marker) and open(marker).read() == deep_stamp():
         return out_dir
@@ -378,9 +383,15 @@ def build_embeddings_tier(
         from tools.replicate import replicate_fixture
 
         replicate_fixture(spark, sf_dir, tier256_dir, times=256)
+    from tools.replicate import perturb_isometry
+
     emb = spark.read.parquet(os.path.join(tier256_dir, "embeddings.parquet"))
     parts = [
         emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * 4_000_000_000))
+        .withColumn(
+            "embedding",
+            perturb_isometry("embedding", i * 1_000_003),
+        )
         for i in range(replicas)
     ]
     out = parts[0]

@@ -54,6 +54,61 @@ def jitter_wrapped(ts_col: str, offset_us: int):
     )
 
 
+def _splitmix63(i: int) -> int:
+    """Deterministic 63-bit mix of a replica index (splitmix64 finalizer,
+    top bit cleared so the Spark SQL literal stays a positive BIGINT)."""
+    z = (i * 0x9E3779B97F4A7C15) & ((1 << 64) - 1)
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & ((1 << 64) - 1)
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & ((1 << 64) - 1)
+    return (z ^ (z >> 31)) & ((1 << 63) - 1)
+
+
+def perturb_isometry(vec_col: str, i: int):
+    """Per-replica SIGNED-ROTATION isometry for embedding columns:
+    component j of replica i becomes ``sign(i, j) * v[(j + i) mod d]``
+    (circular shift by i, then a deterministic per-replica ±1 diagonal
+    from ``_splitmix63(i)``'s bits).  Replica 0 is the identity (base
+    vectors, and the vec_id<8 query batches that live in them, pass
+    through unchanged).
+
+    Why an isometry and not noise (round-12 verdict #1): verbatim replica
+    vectors made every similarity structure DEGENERATE at tiers — each
+    base vector appeared ``times`` times at cosine 1.0, so LSH buckets,
+    SemDeDup cells and near-dup outputs multiplied x``times`` and pair
+    work squared, measuring the fixture, not the plan (a real 400M-vector
+    corpus is not 256 copies of a 1.5M-vector one).  Small noise would
+    not fix it (replicas would still sit above every near-dup threshold);
+    LARGE noise would distort within-replica geometry.  A signed rotation
+    is exact: multiplying by a diagonal ±1 matrix D and permuting
+    coordinates preserves every norm bit-for-bit (same multiset of
+    |components|) and every WITHIN-replica inner product exactly
+    ((DPu)·(DPv) = u·v — signs square away, the shift is applied to both
+    sides), so each replica is the base dataset in a different
+    orientation: per-replica near-dup/cluster structure is IDENTICAL to
+    the base fixture's, while CROSS-replica copies decorrelate (the
+    combined transform between two replicas is a non-trivial signed
+    permutation — expected cosine ~0 for dense vectors).  Near-dup pair
+    counts therefore grow linearly with ``times``, the scaling real data
+    has.
+
+    Exactness note: ±1 multiplication and reordering are lossless in IEEE
+    float, so this is not a precision perturbation — oracle parity at
+    tiers holds by construction (both engines read the same parquet).
+
+    Sign bits cycle with period 63 (``pmod(j, 63)`` over the 63-bit mix),
+    so two replicas with equal shift mod d (possible only on >64x-deep
+    stacks) still differ by an independent sign pattern."""
+    if i == 0:
+        return F.col(vec_col)
+    h = _splitmix63(i)
+    return F.expr(
+        f"transform({vec_col}, (x, j) -> CAST("
+        f"element_at({vec_col}, CAST(pmod(j + {i}, size({vec_col})) AS INT) + 1)"
+        f" * (1 - 2 * CAST(shiftright({h}L, CAST(pmod(j, 63) AS INT)) % 2 AS INT))"
+        " AS FLOAT))"
+    )
+
+
 def source_stamp(src_dir: str) -> str:
     """Content stamp of the SOURCE fixture dir, folded into every tier
     marker: when the driver regenerates /root/testdata between rounds, a
@@ -86,7 +141,11 @@ def replicate_fixture(
     # rebuild per source regeneration).  Carried *_spread records stamped
     # v2 go stale against v3 tiers by stamp inequality — correct, they
     # measured different bytes.
-    stamp = f"v3|{src_dir}|{times}|{source_stamp(src_dir)}"
+    # v4: per-replica embedding isometry (perturb_isometry) — replicas no
+    # longer carry verbatim vector copies (round-12 verdict #1).  Records
+    # stamped v3 measured the degenerate similarity structure and must
+    # re-measure.
+    stamp = f"v4|{src_dir}|{times}|{source_stamp(src_dir)}"
     if os.path.exists(marker) and open(marker).read() == stamp:
         return dst_dir
     os.makedirs(dst_dir, exist_ok=True)
@@ -134,8 +193,16 @@ def replicate_fixture(
     plans["orders"] = _replicate(orders, times, shift("o_orderkey"))
     plans["documents"] = _replicate(load(spark, src_dir, "documents"), times, docs_mutate)
     plans["events"] = _replicate(load(spark, src_dir, "events"), times, events_mutate)
+    def emb_mutate(df, i):
+        df = df.withColumn("vec_id", F.col("vec_id") + F.lit(i * SHIFT))
+        if i:
+            df = df.withColumn(
+                "embedding", perturb_isometry("embedding", i)
+            )
+        return df
+
     plans["embeddings"] = _replicate(
-        load(spark, src_dir, "embeddings"), times, shift("vec_id")
+        load(spark, src_dir, "embeddings"), times, emb_mutate
     )
 
     for name, df in plans.items():
