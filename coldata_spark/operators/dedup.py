@@ -26,6 +26,13 @@ from pyspark.sql import functions as F
 
 from coldata_spark.functions.text import fingerprint
 
+# Hyperplane-LSH verify joins are quadratic in bucket occupancy
+# (n / 2^band_size rows per band bucket); above this the banding is too
+# narrow for the corpus and the call refuses with the resizing rule.
+# Sized so the sf0.1 base fixture (~130 rows/bucket at 4-bit bands) and
+# the 16x tier at 8-bit bands (~127) pass with headroom.
+MAX_LSH_BUCKET_OCCUPANCY = 192
+
 N_HASHES = 8  # minhash signature length
 BAND_SIZE = 2  # hashes per LSH band -> N_HASHES/BAND_SIZE bands
 SHINGLE_LEN = 5  # character shingle width
@@ -726,10 +733,40 @@ def embedding_neardup_lsh_exact(
     Output (id_a, id_b, dot_q, norm_a, norm_b) is bit-exact on any
     engine.  Scale shape: plane scoring broadcasts ``n_planes`` constant
     rows, banding is one #vectors x (n_planes/band_size) shuffle, the
-    verify join touches only bucket-collided pairs.
+    verify join touches only bucket-collided pairs — QUADRATIC in bucket
+    occupancy n / 2^band_size, which is why band width is a function of
+    corpus size, not a constant: an occupancy gate below refuses configs
+    whose bands are too narrow for the input (the round-13 lesson: the
+    4x4-bit q152/q39 points, sized for the sf0.01/sf0.1 checks, ground
+    for 17+ minutes at the 16x tier — ~2040 rows/bucket, 266M candidate
+    pairs — even after the replica-isometry fix removed the verbatim-clone
+    artifact; the tier-sized operating point runs as
+    q182_embedding_neardup_lsh_scaled with 8-bit bands).
     """
     from coldata_spark.functions import vector as V
+    from coldata_spark.operators.similarity import (
+        _UNKNOWN_STATS_FLOOR,
+        _estimated_bytes,
+    )
     from coldata_spark.tables import fan_out
+
+    # row estimate from the optimizer size: a dim-element double/bigint
+    # array row is ~dim*8 B + overhead; occupancy above ~192 rows/bucket
+    # makes the verify join's within-bucket pair count the dominant term
+    est = _estimated_bytes(emb)
+    if 0 < est < _UNKNOWN_STATS_FLOOR:
+        occupancy = (est / (dim * 8 + 16)) / (1 << band_size)
+        if occupancy > MAX_LSH_BUCKET_OCCUPANCY:
+            raise ValueError(
+                f"embedding_neardup_lsh_exact: estimated bucket occupancy "
+                f"{occupancy:.0f} rows (est {est / 1e6:.0f} MB / "
+                f"2^{band_size} buckets) exceeds "
+                f"{MAX_LSH_BUCKET_OCCUPANCY} — the verify join is "
+                f"quadratic in occupancy.  Widen the bands so "
+                f"n/2^band_size stays bounded (band_size ~ log2(n) - 7; "
+                f"the 8-bit q182 operating point covers the 16x tier), "
+                f"the same way SemDeDup scales n_clusters with n."
+            )
 
     spark = emb.sparkSession
     quantized = F.transform(
@@ -1048,10 +1085,7 @@ def semantic_dedup_exact(
     assigned = _semdedup_assign(
         emb, id_col, vec_col, n_clusters, quant, seed, dim
     )
-    pairs = _semdedup_pairs(
-        _pair_side(assigned, "a"), _pair_side(assigned, "b")
-    ).filter(F.col("ia") < F.col("ib"))
-    losers = _semdedup_losers(pairs, thresh_num, thresh_den)
+    losers = _self_losers_grouped(assigned, thresh_num, thresh_den)
     return _apply_losers(assigned, losers)
 
 
@@ -1133,59 +1167,165 @@ def _semdedup_assign(
     )
 
 
-def _pair_side(assigned: DataFrame, side: str) -> DataFrame:
-    """Project an assignment census onto one side of a pair join."""
-    s = side
-    return assigned.select(
-        F.col("vec_id").alias(f"i{s}"),
-        F.col("q").alias(f"q{s}"),
-        "cell",
-        F.col("cdot").alias(f"c{s}"),
-        F.col("norm_q").alias(f"n{s}"),
+def _np_cross_mul(x, y, z):
+    """Exact-integer float64 product screen: x*y*z with inputs that are
+    exact integers in float64.  Callers compare two such products with
+    ``_np_cmp`` (clear-margin float verdicts + Python-int recheck in the
+    rounding band), which keeps the arithmetic bit-exact without
+    decimal(38) columns."""
+    return x * y * z
+
+
+def _np_cmp(lhs, rhs, li, ri):
+    """(ge, gt) boolean arrays for lhs vs rhs where both sides are float64
+    products of exact integers and ``li``/``ri`` return the PYTHON-INT
+    value of side k for index i (the exact recheck).  Float products of
+    three <2^53 ints carry <= ~7e-16 relative error; outside a 1e-9
+    relative band the float verdict is certain, inside it the Python-int
+    comparison decides."""
+    import numpy as np
+
+    scale = np.maximum(np.maximum(np.abs(lhs), np.abs(rhs)), 1.0)
+    band = np.abs(lhs - rhs) <= 1e-9 * scale
+    ge = lhs >= rhs
+    gt = lhs > rhs
+    for k in np.nonzero(band)[0]:
+        le, re_ = li(int(k)), ri(int(k))
+        ge[k] = le >= re_
+        gt[k] = le > re_
+    return ge, gt
+
+
+def _np_pair_losers(ia, ib, dab, na, nb, ca, cb, num2, den2):
+    """Loser vec_ids among candidate pairs — the EXACT numpy twin of
+    ``_semdedup_losers``'s expression chain (same dup test, same
+    sign-split keep-the-outlier rule, same greatest-id tie), used by the
+    vectorized cell engines below.  All value inputs are float64 holding
+    exact integers; comparisons go through _np_cmp's screen+recheck."""
+    import numpy as np
+
+    pos = dab > 0
+    ge, _ = _np_cmp(
+        _np_cross_mul(dab, dab, float(den2)),
+        _np_cross_mul(na, nb, float(num2)),
+        lambda k: int(dab[k]) * int(dab[k]) * den2,
+        lambda k: int(na[k]) * int(nb[k]) * num2,
     )
-
-
-def _semdedup_pairs(a: DataFrame, b: DataFrame) -> DataFrame:
-    """Within-cell pairs with the integer pair dot; caller filters/orders
-    the id relationship (self-join dedup vs cross-corpus pairing)."""
-    return a.join(b, "cell").select(
-        "ia", "ib", "ca", "cb", "na", "nb",
-        _idot(F.col("qa"), F.col("qb")).alias("dab"),
+    dup = pos & ge
+    if not dup.any():
+        return np.empty(0, dtype=np.int64)
+    ia, ib = ia[dup], ib[dup]
+    na, nb, ca, cb = na[dup], nb[dup], ca[dup], cb[dup]
+    a_pos, b_pos = ca >= 0, cb >= 0
+    _, a2_gt = _np_cmp(
+        _np_cross_mul(ca, ca, nb),
+        _np_cross_mul(cb, cb, na),
+        lambda k: int(ca[k]) * int(ca[k]) * int(nb[k]),
+        lambda k: int(cb[k]) * int(cb[k]) * int(na[k]),
     )
+    _, b2_gt = _np_cmp(
+        _np_cross_mul(cb, cb, na),
+        _np_cross_mul(ca, ca, nb),
+        lambda k: int(cb[k]) * int(cb[k]) * int(na[k]),
+        lambda k: int(ca[k]) * int(ca[k]) * int(nb[k]),
+    )
+    loser = np.maximum(ia, ib)  # the .otherwise(greatest) tie default
+    both_pos, both_neg = a_pos & b_pos, ~a_pos & ~b_pos
+    loser = np.where(a_pos & ~b_pos, ia, loser)
+    loser = np.where(b_pos & ~a_pos, ib, loser)
+    loser = np.where(both_pos & a2_gt, ia, loser)
+    loser = np.where(both_pos & b2_gt, ib, loser)
+    loser = np.where(both_neg & b2_gt, ia, loser)
+    loser = np.where(both_neg & a2_gt, ib, loser)
+    return np.unique(loser)
 
 
-def _semdedup_losers(
-    pairs: DataFrame, thresh_num: int, thresh_den: int
+def _np_block(pdf, col_q: str = "q"):
+    """(ids, Q, cdots, norms) numpy views of a census frame.  Q is
+    float64 — EXACT for quantized components (products <= ~4e8 and
+    64-term sums <= ~3e10 stay far under 2^53, so BLAS matmul returns
+    the exact integer dot), which is what makes the vectorized engine
+    bit-identical to the decimal expression path it replaced."""
+    import numpy as np
+
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    Q = np.array([np.asarray(v, dtype=np.float64) for v in pdf[col_q]])
+    cd = pdf["cdot"].to_numpy(dtype=np.float64)
+    nq = pdf["norm_q"].to_numpy(dtype=np.float64)
+    return ids, Q, cd, nq
+
+
+_LOSER_SCHEMA = "vec_id bigint"
+_SELF_BLOCK = 1024  # row-block for the within-cell gram matmul
+
+
+def _np_cand_mask(G, na, nb, num2, den2):
+    """Boolean (len(na), len(nb)) SUPERSET mask of above-threshold pairs —
+    the vectorized pre-filter that keeps pair-index extraction linear in
+    the DUP count, not the pair count.  Slightly generous (1e-9 slack +
+    an absolute guard) so no band-edge pair is lost; _np_pair_losers
+    re-tests every candidate exactly."""
+    import numpy as np
+
+    lhs = (G * G) * float(den2)
+    rhs = np.outer(na, nb) * float(num2)
+    return (G > 0) & (lhs >= rhs * (1 - 1e-9) - 1.0)
+
+
+def _cell_self_losers(pdf, num2: int, den2: int):
+    """Per-cell loser ids for SELF pairs (id_a < id_b) — the q164 rebuild
+    engine: one BLAS gram matmul per row-block instead of 33M decimal
+    expression rows (round-13: the round-12 'fixture artifact' read on
+    q164's 93 s was wrong — the cost was the pair JOIN materializing two
+    64-element arrays per pair and folding them in decimal(38); the
+    matmul computes the same exact integers ~25x faster)."""
+    import numpy as np
+    import pandas as pd
+
+    if len(pdf) < 2:
+        return pd.DataFrame({"vec_id": np.empty(0, dtype=np.int64)})
+    pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+    ids, Q, cd, nq = _np_block(pdf)
+    n = len(ids)
+    out = []
+    for s in range(0, n, _SELF_BLOCK):
+        e = min(s + _SELF_BLOCK, n)
+        G = Q[s:e] @ Q.T  # exact integer dots in float64
+        # pairs (i, j) with i in [s, e), j > i (ids sorted, so index
+        # order IS vec_id order), pre-screened to candidate dups
+        mask = _np_cand_mask(G, nq[s:e], nq, num2, den2)
+        mask &= np.arange(n)[None, :] > np.arange(s, e)[:, None]
+        bi, bj = np.nonzero(mask)
+        if not len(bi):
+            continue
+        gi = bi + s
+        out.append(
+            _np_pair_losers(
+                ids[gi], ids[bj], G[bi, bj],
+                nq[gi], nq[bj], cd[gi], cd[bj], num2, den2,
+            )
+        )
+    losers = (
+        np.unique(np.concatenate(out)) if out else np.empty(0, dtype=np.int64)
+    )
+    return pd.DataFrame({"vec_id": losers})
+
+
+def _self_losers_grouped(
+    assigned: DataFrame, thresh_num: int, thresh_den: int
 ) -> DataFrame:
-    """Distinct loser vec_ids: for each pair above the cosine threshold,
-    the member with the HIGHER similarity to the shared centroid
-    (SemDeDup keeps the outlier); cos ties drop the larger vec_id.
-    Sign-split integer cross-multiplication throughout."""
+    """Distinct loser ids of all within-cell self pairs: ONE exchange on
+    cell + a vectorized Arrow group engine.  Global uniqueness holds
+    without a distinct: each vec lives in exactly one cell and each cell
+    emits a unique set."""
     num2, den2 = thresh_num * thresh_num, thresh_den * thresh_den
-    dups = pairs.filter(
-        (F.col("dab") > 0)
-        & (
-            F.col("dab").cast(_DEC) * F.col("dab").cast(_DEC) * den2
-            >= F.col("na").cast(_DEC) * F.col("nb").cast(_DEC) * num2
+    return (
+        assigned.select("vec_id", "q", "cell", "cdot", "norm_q")
+        .groupBy("cell")
+        .applyInPandas(
+            lambda pdf: _cell_self_losers(pdf, num2, den2), _LOSER_SCHEMA
         )
     )
-    A2 = (
-        F.col("ca").cast(_DEC) * F.col("ca").cast(_DEC) * F.col("nb").cast(_DEC)
-    )
-    B2 = (
-        F.col("cb").cast(_DEC) * F.col("cb").cast(_DEC) * F.col("na").cast(_DEC)
-    )
-    a_pos, b_pos = F.col("ca") >= 0, F.col("cb") >= 0
-    loser = (
-        F.when(a_pos & ~b_pos, F.col("ia"))
-        .when(b_pos & ~a_pos, F.col("ib"))
-        .when(a_pos & b_pos & (A2 > B2), F.col("ia"))
-        .when(a_pos & b_pos & (A2 < B2), F.col("ib"))
-        .when(~a_pos & ~b_pos & (A2 < B2), F.col("ia"))
-        .when(~a_pos & ~b_pos & (A2 > B2), F.col("ib"))
-        .otherwise(F.greatest(F.col("ia"), F.col("ib")))
-    )
-    return dups.select(loser.alias("vec_id")).distinct()
 
 
 def _apply_losers(assigned: DataFrame, losers: DataFrame) -> DataFrame:
@@ -1237,10 +1377,7 @@ def semdedup_census(
     assigned = _semdedup_assign(
         emb, id_col, vec_col, n_clusters, quant, seed, dim
     )
-    pairs = _semdedup_pairs(
-        _pair_side(assigned, "a"), _pair_side(assigned, "b")
-    ).filter(F.col("ia") < F.col("ib"))
-    losers = _semdedup_losers(pairs, thresh_num, thresh_den)
+    losers = _self_losers_grouped(assigned, thresh_num, thresh_den)
     return assigned.join(
         losers.select("vec_id", F.lit(1).alias("_drop")), "vec_id", "left"
     ).select(
@@ -1288,24 +1425,91 @@ def semantic_dedup_incremental(
     into the corpus's cells — the billion-vector corpus is scanned once
     and NEVER re-shuffled (plan-gated in tests/test_plans.py); batch-
     internal pairs are a self-join of the small side only."""
+    import numpy as np
+    import pandas as pd
+
+    from coldata_spark.operators.similarity import (
+        QUADRATIC_GATE_BYTES,
+        refuse_at_scale,
+    )
+
     batch_assigned = _semdedup_assign(
         batch, id_col, vec_col, n_clusters, quant, seed, dim
     )
-    corpus_a = _pair_side(
-        corpus.select("vec_id", "q", "cell", "cdot", "norm_q"), "a"
+    # The fold's whole design premise is a broadcast-sized batch (a day's
+    # ingest vs a billion-vector corpus); materializing it as a plain
+    # broadcast for the vectorized cross engine below needs the same
+    # bound made explicit — chunk bigger folds.
+    refuse_at_scale(
+        batch,
+        "semantic_dedup_incremental(batch)",
+        "The fold broadcasts the batch into the corpus's cells; chunk "
+        "batches above broadcast size into multiple folds.",
+        False,
+        QUADRATIC_GATE_BYTES,
     )
-    batch_b = F.broadcast(_pair_side(batch_assigned, "b"))
-    cross = _semdedup_pairs(corpus_a, batch_b)
-    batch_self = _semdedup_pairs(
-        _pair_side(batch_assigned, "a"), batch_b
-    ).filter(F.col("ia") < F.col("ib"))
+    by_cell: dict[int, tuple] = {}
+    for r in batch_assigned.collect():
+        by_cell.setdefault(int(r["cell"]), []).append(r)
+    by_cell = {
+        c: (
+            np.array([r["vec_id"] for r in rows], dtype=np.int64),
+            np.array(
+                [np.asarray(r["q"], dtype=np.float64) for r in rows]
+            ),
+            np.array([r["cdot"] for r in rows], dtype=np.float64),
+            np.array([r["norm_q"] for r in rows], dtype=np.float64),
+        )
+        for c, rows in by_cell.items()
+    }
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(by_cell)
+    num2, den2 = thresh_num * thresh_num, thresh_den * thresh_den
+
+    def cross_losers(batches):
+        """Corpus scanned ONCE, never exchanged: each Arrow chunk matmuls
+        against its cells' broadcast batch blocks; loser ids from cross
+        pairs can be on EITHER side (a kept corpus row displaced by a
+        batch doc, or a batch doc beaten by the corpus)."""
+        cells = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for c, sub in pdf.groupby("cell"):
+                blk = cells.get(int(c))
+                if blk is None:
+                    continue
+                b_ids, b_q, b_cd, b_nq = blk
+                ids, Q, cd, nq = _np_block(sub)
+                G = Q @ b_q.T  # (corpus_chunk, batch) exact int dots
+                ci, bi = np.nonzero(
+                    _np_cand_mask(G, nq, b_nq, num2, den2)
+                )
+                if not len(ci):
+                    continue
+                out.append(
+                    _np_pair_losers(
+                        ids[ci], b_ids[bi], G[ci, bi],
+                        nq[ci], b_nq[bi], cd[ci], b_cd[bi], num2, den2,
+                    )
+                )
+            losers_np = (
+                np.unique(np.concatenate(out))
+                if out
+                else np.empty(0, dtype=np.int64)
+            )
+            yield pd.DataFrame({"vec_id": losers_np})
+
+    cross = corpus.select("vec_id", "q", "cell", "cdot", "norm_q").mapInPandas(
+        cross_losers, _LOSER_SCHEMA
+    )
+    batch_self = _self_losers_grouped(batch_assigned, thresh_num, thresh_den)
     # new-pair losers are bounded by batch-adjacent pairs (each involves a
     # batch row), so unlike the full-rebuild path they are always small
     # relative to the corpus — broadcast them so the kept-flag update joins
     # never exchange the census
-    losers = F.broadcast(
-        _semdedup_losers(cross.unionByName(batch_self), thresh_num, thresh_den)
-    )
+    losers = F.broadcast(cross.unionByName(batch_self).distinct())
     updated_corpus = corpus.join(
         losers.select("vec_id", F.lit(1).alias("_drop")), "vec_id", "left"
     ).select(

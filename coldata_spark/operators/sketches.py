@@ -185,11 +185,32 @@ def hll_estimate(regs: DataFrame, group_cols: list[str]) -> DataFrame:
 # ---- Count-min sketch (d rows x w buckets, md5 row-hashes) ----------------
 
 
-def _bucket(key_col: str, width: int) -> Column:
-    return F.expr(
-        f"cast(conv(substring(md5(concat(cast(j as string), ':',"
-        f" cast({key_col} as string))), 1, 8), 16, 10) as bigint) % {width}"
-    )
+def _cms_entries(key_col: str, depth: int, width: int) -> Column:
+    """Array of (j, bucket) structs for one key — the depth row-hashes as
+    DISJOINT 8-hex-char slices of a shared digest chain: slice s = j % 4
+    of md5 number j // 4 (md5(key) for the first four rows, md5(key:salt)
+    beyond).  One md5 per input row at the default depth=4 instead of
+    four (round-12 verdict #6: the per-j ``md5(j:key)`` made the sketch
+    build hash-bound — q115 spent 8.7 s at the 16x tier, ~4x of it
+    computing digests).  Disjoint slices of one md5 are as pairwise-
+    independent as four salted md5s for counting purposes, and the CM
+    one-sided guarantee (est >= exact, asserted in tests/test_sketches)
+    is hash-independent — only the error CONSTANT cares, and the
+    avalanche property covers that."""
+    entries = []
+    for j in range(depth):
+        salt, s = divmod(j, 4)
+        digest = (
+            f"md5(cast({key_col} as string))"
+            if salt == 0
+            else f"md5(concat(cast({key_col} as string), ':', '{salt}'))"
+        )
+        entries.append(
+            f"struct({j} as j, "
+            f"cast(conv(substring({digest}, {1 + 8 * s}, 8), 16, 10) "
+            f"as bigint) % {width} as bucket)"
+        )
+    return F.expr("array(" + ", ".join(entries) + ")")
 
 
 def cms_build(
@@ -197,13 +218,16 @@ def cms_build(
 ) -> DataFrame:
     """Build a count-min sketch (j, bucket, cnt) over ``key_col``.
 
-    A depth-x row explode map-side plus ONE combine aggregation bounded by
-    depth*width counters — the fixed-size frequency summary at any scale.
-    Counter sum is linear, so per-slice sketches merge by adding counts."""
-    rows = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("j")
+    One md5 per input row (digest slices — _cms_entries), a depth-x
+    explode of precomputed (j, bucket) ints, then ONE combine aggregation
+    bounded by depth*width counters — the fixed-size frequency summary at
+    any scale.  Counter sum is linear, so per-slice sketches merge by
+    adding counts."""
     return (
-        df.select(key_col, rows)
-        .select("j", _bucket(key_col, width).alias("bucket"))
+        df.select(
+            F.explode(_cms_entries(key_col, depth, width)).alias("e")
+        )
+        .select("e.j", "e.bucket")
         .groupBy("j", "bucket")
         .agg(F.count("*").alias("cnt"))
     )
@@ -221,10 +245,9 @@ def cms_lookup(
     The estimate is one-sided (>= true count, the CM guarantee — asserted
     in tests/test_sketches.py).  Probe rows join the depth*width-row
     sketch broadcast-side; empty buckets count as 0."""
-    rows = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("j")
-    probes = keys.select(key_col, rows).select(
-        key_col, "j", _bucket(key_col, width).alias("bucket")
-    )
+    probes = keys.select(
+        key_col, F.explode(_cms_entries(key_col, depth, width)).alias("e")
+    ).select(key_col, "e.j", "e.bucket")
     return (
         probes.join(F.broadcast(sketch), ["j", "bucket"], "left")
         .groupBy(key_col)

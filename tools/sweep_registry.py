@@ -233,6 +233,39 @@ def sweep(
         spark.stop()
 
 
+# Per-row markers for ratios that CANNOT be read as plain engine-vs-engine
+# numbers (round-12 verdict #5: the attribution lived only in SCALE.md's
+# triage table while SWEEP.md is what a reader sorts by ratio).  Keep this
+# in sync with SCALE.md's family table.
+FLAGS: dict[str, str] = {
+    # oracle replays value math over pre-extracted fields in ~ms while the
+    # Spark side decodes REAL bytes (WAV RIFF / PPM P6 / frame sampling) —
+    # the defensible number is absolute decode throughput, recorded in
+    # SCALE.md's decode-throughput table (tools/decode_bench.py)
+    "q50_image_features": "decode-asym",
+    "q51_image_resize_pipeline": "decode-asym",
+    "q52_audio_features": "decode-asym",
+    "q111_video_frame_sample": "decode-asym",
+    "q171_wav_file_features": "decode-asym",
+    "q172_ppm_file_features": "decode-asym",
+    # index artifacts come from the content-stamped cache: the timed runs
+    # measure SEARCH with a prebuilt index; build cost/throughput is its
+    # own record (tools/ann_bench.py -> SCALE.md).  The oracle replays
+    # brute-force search per call — that IS the index-less engine's serve
+    # cost.
+    "q35_ann_ivf_search": "ann-search-only",
+    "q86_ivf_pq_search": "ann-search-only(exhaustive-verify cfg)",
+    "q150_ann_ivf_pruned": "ann-search-only",
+    "q151_ivf_pq_ann": "ann-search-only",
+    "q173_ivf_maintained_search": "ann-search-only",
+    "q33_centroid_assign": "ann-build(assignment IS the op)",
+    # exact commit-time variant; the scheduled/monitoring twin is the
+    # register-bounded q181 (round-12 verdict #4)
+    "q123_profile_orders": "exact-variant(sketched twin: q181)",
+    "q74_distinct_counts": "exact-variant(sketched twin: q114)",
+}
+
+
 def report() -> None:
     """Regenerate SWEEP.md from whatever sweep state files exist."""
     from bench import CACHE_ROOT
@@ -251,6 +284,15 @@ def report() -> None:
         "outside bench.py's headline subsets (round-11 verdict ask #1) — for",
         "headline-grade medians see BENCH_DETAIL/SCALE.md.  Resumable state:",
         "`.bench_cache/sweep_{times}x.json`; regenerate with `--report`.",
+        "",
+        "Flag legend (rows whose RATIO cannot be read at face value):",
+        "`decode-asym` — the oracle replays value math over pre-extracted",
+        "fields while Spark decodes real bytes; the defensible number is the",
+        "absolute decode throughput in SCALE.md.  `ann-search-only` — index",
+        "prebuilt via the content-stamped cache; build throughput is its own",
+        "SCALE.md record (tools/ann_bench.py).  `exact-variant` — the exact",
+        "commit-time twin of a register-bounded sketched query that is the",
+        "scheduled-path answer.",
         "",
     ]
     for times in tiers:
@@ -294,22 +336,26 @@ def report() -> None:
             f"- errored/refused: {len(errors)} "
             f"({', '.join(sorted(errors)) or 'none'})",
             "",
-            "| query | spark_sec | duck_sec | ratio | rows |",
-            "|---|---|---|---|---|",
+            "| query | spark_sec | duck_sec | ratio | rows | flags |",
+            "|---|---|---|---|---|---|",
         ]
         for v, n in ratios:
             r = measured[n]
             lines.append(
                 f"| {n} | {r['spark_sec']} | {r['duck_sec']} | {v} "
-                f"| {r.get('rows', '')} |"
+                f"| {r.get('rows', '')} | {FLAGS.get(n, '')} |"
             )
         for n in sorted(rows_only):
             r = rows_only[n]
             lines.append(
-                f"| {n} | {r['spark_sec']} | — | rows-only | {r.get('rows', '')} |"
+                f"| {n} | {r['spark_sec']} | — | rows-only "
+                f"| {r.get('rows', '')} | {FLAGS.get(n, '')} |"
             )
         for n in sorted(errors):
-            lines.append(f"| {n} | — | — | ERROR: {errors[n]['error'][:80]} | |")
+            lines.append(
+                f"| {n} | — | — | ERROR: {errors[n]['error'][:80]} | "
+                f"| {FLAGS.get(n, '')} |"
+            )
         lines.append("")
     with open(os.path.join(ROOT, "SWEEP.md"), "w") as fh:
         fh.write("\n".join(lines) + "\n")
