@@ -833,36 +833,69 @@ def embedding_neardup_lsh_exact(
             .drop("_n")
         )
         bands = bands.join(kept, ["band", "band_key"])
-    a = bands.select(F.col("vec_id").alias("id_a"), "band", "band_key")
-    b = bands.select(F.col("vec_id").alias("id_b"), "band", "band_key")
-    cand = (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+    # Verify join, vectorized (round 13 — the q164 lesson applied here
+    # too): instead of materializing every bucket-collided pair as a
+    # Spark row and folding three 64-element zip_with aggregates per
+    # pair, each (band, band_key) bucket group computes ONE BLAS gram
+    # matmul (exact integer dots in float64 — products and 64-term sums
+    # sit far under 2^53) and emits only the pairs that pass the exact
+    # cross-multiplied test (_np_dup_mask's float screen + Python-int
+    # band recheck).  A pair colliding in several bands is scored in
+    # each and deduped by the final distinct — identical output set to
+    # the old cand.distinct()-then-score plan, measured 29 s -> ~5 s on
+    # q182's 16x point.
+    import numpy as np
+    import pandas as pd
+
+    num2, den2 = thresh_num * thresh_num, thresh_den * thresh_den
+    banded = bands.join(qv, "vec_id")
+
+    def bucket_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame(
+            {
+                "id_a": np.empty(0, dtype=np.int64),
+                "id_b": np.empty(0, dtype=np.int64),
+                "dot_q": np.empty(0, dtype=np.int64),
+                "norm_a": np.empty(0, dtype=np.int64),
+                "norm_b": np.empty(0, dtype=np.int64),
+            }
+        )
+        if len(pdf) < 2:
+            return empty
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        Q = np.array(
+            [np.asarray(v, dtype=np.float64) for v in pdf["q"]]
+        )
+        G = Q @ Q.T
+        norms = np.einsum("ij,ij->i", Q, Q)
+        mask = _np_cand_mask(G, norms, norms, num2, den2)
+        mask &= np.arange(len(ids))[None, :] > np.arange(len(ids))[:, None]
+        i, j = np.nonzero(mask)
+        if not len(i):
+            return empty
+        dab, na, nb = G[i, j], norms[i], norms[j]
+        dup = _np_dup_mask(dab, na, nb, num2, den2)
+        i, j, dab = i[dup], j[dup], dab[dup]
+        return pd.DataFrame(
+            {
+                "id_a": ids[i],
+                "id_b": ids[j],
+                "dot_q": dab.astype(np.int64),
+                "norm_a": norms[i].astype(np.int64),
+                "norm_b": norms[j].astype(np.int64),
+            }
+        )
+
+    return (
+        banded.groupBy("band", "band_key")
+        .applyInPandas(
+            bucket_pairs,
+            "id_a bigint, id_b bigint, dot_q bigint, "
+            "norm_a bigint, norm_b bigint",
+        )
         .distinct()
     )
-    qa = qv.select(F.col("vec_id").alias("id_a"), F.col("q").alias("qa"))
-    qb = qv.select(F.col("vec_id").alias("id_b"), F.col("q").alias("qb"))
-    dec = "decimal(38,0)"
-    scored = (
-        cand.join(qa, "id_a")
-        .join(qb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            _idot(F.col("qa"), F.col("qb")).alias("dot_q"),
-            _idot(F.col("qa"), F.col("qa")).alias("norm_a"),
-            _idot(F.col("qb"), F.col("qb")).alias("norm_b"),
-        )
-    )
-    num2, den2 = thresh_num * thresh_num, thresh_den * thresh_den
-    return scored.filter(
-        (F.col("dot_q") > 0)
-        & (
-            F.col("dot_q").cast(dec) * F.col("dot_q").cast(dec) * den2
-            >= F.col("norm_a").cast(dec) * F.col("norm_b").cast(dec) * num2
-        )
-    ).select("id_a", "id_b", "dot_q", "norm_a", "norm_b")
 
 
 def lsh_exact_sql(
@@ -1196,22 +1229,29 @@ def _np_cmp(lhs, rhs, li, ri):
     return ge, gt
 
 
-def _np_pair_losers(ia, ib, dab, na, nb, ca, cb, num2, den2):
-    """Loser vec_ids among candidate pairs — the EXACT numpy twin of
-    ``_semdedup_losers``'s expression chain (same dup test, same
-    sign-split keep-the-outlier rule, same greatest-id tie), used by the
-    vectorized cell engines below.  All value inputs are float64 holding
-    exact integers; comparisons go through _np_cmp's screen+recheck."""
-    import numpy as np
-
-    pos = dab > 0
+def _np_dup_mask(dab, na, nb, num2, den2):
+    """Exact boolean mask of above-threshold pairs: ``dab > 0 AND
+    dab^2*den2 >= na*nb*num2`` with _np_cmp's screen+recheck — the numpy
+    twin of the cross-multiplied cosine test every SQL oracle replays."""
     ge, _ = _np_cmp(
         _np_cross_mul(dab, dab, float(den2)),
         _np_cross_mul(na, nb, float(num2)),
         lambda k: int(dab[k]) * int(dab[k]) * den2,
         lambda k: int(na[k]) * int(nb[k]) * num2,
     )
-    dup = pos & ge
+    return (dab > 0) & ge
+
+
+def _np_pair_losers(ia, ib, dab, na, nb, ca, cb, num2, den2):
+    """Loser vec_ids among candidate pairs — the EXACT numpy twin of
+    the retired ``_semdedup_losers`` expression chain (same dup test,
+    same sign-split keep-the-outlier rule, same greatest-id tie), used by
+    the vectorized cell engines below.  All value inputs are float64
+    holding exact integers; comparisons go through _np_cmp's
+    screen+recheck."""
+    import numpy as np
+
+    dup = _np_dup_mask(dab, na, nb, num2, den2)
     if not dup.any():
         return np.empty(0, dtype=np.int64)
     ia, ib = ia[dup], ib[dup]
