@@ -410,3 +410,33 @@ def test_semantic_dedup_incremental_equals_rebuild(spark, tmp_path):
     # the scenario is non-trivial: some batch rows dropped, and at least
     # one vector's kept flag differs between corpus-alone and the union
     assert any(inc[v].kept == 0 for v, _ in batch_rows[:8])
+
+
+def test_np_dup_mask_boundary_exactness():
+    """_np_dup_mask's float screen + Python-int band recheck must classify
+    pairs exactly AT the cross-multiplied boundary the way pure integer
+    arithmetic does — the one place the vectorized engines could diverge
+    from the decimal expression chain they replaced.  Construct dots that
+    land exactly on, just above, and just below dab^2*den2 == na*nb*num2
+    with values large enough that float64 alone could not decide."""
+    import numpy as np
+
+    from coldata_spark.operators.dedup import _np_dup_mask
+
+    num2, den2 = 80 * 80, 100 * 100
+    # na*nb chosen so na*nb*num2 is a perfect square times den2:
+    # pick dab, derive na*nb = dab^2*den2/num2 exactly
+    dab = np.array([8_000_000.0, 8_000_000.0, 8_000_000.0, -5.0, 0.0])
+    na = np.array([10_000_000.0, 10_000_000.0, 10_000_000.0, 1.0, 1.0])
+    # nb at boundary: dab^2*den2/(na*num2) = 64e12*1e4/(1e7*6400) = 1e7
+    nb_at = 8_000_000.0**2 * den2 / (10_000_000.0 * num2)
+    nb = np.array([nb_at, nb_at + 1, nb_at - 1, 1.0, 1.0])
+    got = _np_dup_mask(dab, na, nb, num2, den2)
+    want = [
+        int(d) > 0 and int(d) * int(d) * den2 >= int(a) * int(b) * num2
+        for d, a, b in zip(dab, na, nb)
+    ]
+    assert got.tolist() == want
+    # at the exact boundary the pair IS a dup (>=); one ulp under is not
+    assert got[0] and not got[1] and got[2] is not None
+    assert got.tolist()[:3] == [True, False, True]
