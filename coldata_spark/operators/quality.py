@@ -357,6 +357,17 @@ def audit(df: DataFrame, rules: list) -> DataFrame:
     # path between build and execute would not refresh it, which is the
     # deterministic behavior a publish gate wants anyway.
     hll_cnt: int | None = None
+    # Unique rules are one full-cardinality groupBy each — measured the
+    # honest floor, not a plan defect (round-13, tools/probe_q174.py at
+    # 64x): the plain groupBy is 10.6 s; repartition-by-key-first reads
+    # 12.9 s; a shared-prefix exchange feeding both unique rules reads
+    # 20.3 s for the pair (vs 21.3 for two plain ones); countDistinct is
+    # 10.0 s.  The cost is the hash-aggregate CPU constant on ~unique
+    # keys (partial agg sees no combine reduction — its worst case),
+    # which no aggregation shape avoids; the scheduled-gate answer is
+    # audit_table_stats (footer stats, 0.28 s at the same tier) plus the
+    # q179 HLL distinct monitor, with exact unique audits reserved for
+    # commit time.
     for r in rules:
         if isinstance(r, DatasetRule) and r.kind == "distinct_hll":
             if hll_cnt is None:
