@@ -415,6 +415,40 @@ def q182_embedding_neardup_lsh_scaled(
     )
 
 
+@register(
+    "q183_embedding_neardup_lsh_wide",
+    survey="V6,ext-embedding-dedup",
+    sql=DD.lsh_exact_sql(
+        _PLANTED_BASE_SQL,
+        thresh_num=95,
+        thresh_den=100,
+        n_planes=40,
+        band_size=10,
+        seed=0,
+    ),
+)
+def q183_embedding_neardup_lsh_wide(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The next rung of the banding ladder: 40 planes banded 4 x 10 bits
+    (1024 bucket values/band) — sized for the 64x tier (~133k vectors,
+    occupancy ~130) by the same band_size ~ log2(n) - 7 rule that sizes
+    q182 for 16x and refuses q152/q39 beyond ~3k rows.  Together the
+    three registrations make the parameterization CONCRETE: the operator
+    is one; the banding is a function of corpus size, chosen by the
+    caller and enforced by the occupancy gate.  Exact oracle generated
+    from the same parameters, as q152/q182."""
+    return DD.embedding_neardup_lsh_exact(
+        _planted_base(spark, sf_dir),
+        vec_col="e",
+        thresh_num=95,
+        thresh_den=100,
+        n_planes=40,
+        band_size=10,
+        seed=0,
+    )
+
+
 def _emb_content_stamp(sf_dir: str) -> str:
     """Content fingerprint of the embeddings fixture (file names, sizes,
     mtimes) for index cache keys: a regenerated fixture at the SAME path
