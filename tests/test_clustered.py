@@ -99,8 +99,10 @@ def test_deep_tier_builders_skip_source_when_cached(spark, tmp_path, monkeypatch
     out_e.mkdir(), out_v.mkdir(), src_sf.mkdir()
     (src_sf / "some.parquet").write_bytes(b"x")
     # current-format markers: source content version folded in, so the
-    # validity check never needs the intermediate 256x dir
-    (out_e / "_OK").write_text(f"v2|4|{R.source_stamp(str(src_sf))}")
+    # validity check never needs the intermediate 256x dir (embeddings
+    # deep stamp is v3 since the round-13 replica isometry; events stayed
+    # v3 from round 12 — untouched by the perturbation)
+    (out_e / "_OK").write_text(f"v3|4|{R.source_stamp(str(src_sf))}")
     (out_v / "_OK").write_text(f"v3|4|{R.source_stamp(str(src_sf))}")
 
     def boom(*a, **k):
