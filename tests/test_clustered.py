@@ -230,3 +230,34 @@ def test_perturb_isometry_invariants(spark):
             assert abs(cos) < 0.55, (
                 f"replica {i} vec {vid} still correlated: cos={cos}"
             )
+
+
+def test_deep_tier_isometry_stream_disjoint_from_inner(spark):
+    """build_embeddings_tier's perturbation indices (r * 1_000_003) must
+    not reproduce an inner replica's transform: with a plain vec_id
+    shift, deep replica r of inner replica 0 carried the SAME vector as
+    inner replica r of the same base row (both T_r(base)) — verbatim
+    duplicates one level up.  Apply both transform streams to one vector
+    and assert every (inner i, deep r) pair differs."""
+    import pyspark.sql.functions as F
+
+    from tools.replicate import perturb_isometry
+
+    base = spark.createDataFrame(
+        [(0, [float(((j * 37) % 19) - 9) for j in range(64)])],
+        "vec_id INT, embedding ARRAY<FLOAT>",
+    )
+
+    def apply(i):
+        return tuple(
+            base.select(perturb_isometry("embedding", i).alias("e"))
+            .first()["e"]
+        )
+
+    inner = {i: apply(i) for i in (1, 2, 3, 35, 6, 9)}
+    deep = {r: apply(r * 1_000_003) for r in (1, 2, 3)}
+    for r, dv in deep.items():
+        for i, iv in inner.items():
+            assert dv != iv, (
+                f"deep replica {r} reproduces inner replica {i}'s vector"
+            )
