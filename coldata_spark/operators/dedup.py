@@ -747,19 +747,27 @@ def embedding_neardup_lsh_exact(
     from coldata_spark.operators.similarity import (
         _UNKNOWN_STATS_FLOOR,
         _estimated_bytes,
+        _estimated_rows,
     )
     from coldata_spark.tables import fan_out
 
-    # row estimate from the optimizer size: a dim-element double/bigint
-    # array row is ~dim*8 B + overhead; occupancy above ~192 rows/bucket
-    # makes the verify join's within-bucket pair count the dominant term
+    # row estimate: prefer the plan's row-count statistic when CBO has
+    # one; otherwise derive rows from the optimizer size (a dim-element
+    # double/bigint array row is ~dim*8 B + overhead — callers should
+    # pass a projection of only (id, vec), since extra columns inflate
+    # the byte heuristic and over-fire the gate).  Occupancy above ~192
+    # rows/bucket makes the verify join's within-bucket pair count the
+    # dominant term.
+    est_rows = _estimated_rows(emb)
     est = _estimated_bytes(emb)
-    if 0 < est < _UNKNOWN_STATS_FLOOR:
-        occupancy = (est / (dim * 8 + 16)) / (1 << band_size)
+    if est_rows > 0 or 0 < est < _UNKNOWN_STATS_FLOOR:
+        rows = est_rows if est_rows > 0 else est / (dim * 8 + 16)
+        occupancy = rows / (1 << band_size)
         if occupancy > MAX_LSH_BUCKET_OCCUPANCY:
             raise ValueError(
                 f"embedding_neardup_lsh_exact: estimated bucket occupancy "
-                f"{occupancy:.0f} rows (est {est / 1e6:.0f} MB / "
+                f"{occupancy:.0f} rows "
+                f"({'row-stat ' + str(est_rows) if est_rows > 0 else f'est {est / 1e6:.0f} MB'} / "
                 f"2^{band_size} buckets) exceeds "
                 f"{MAX_LSH_BUCKET_OCCUPANCY} — the verify join is "
                 f"quadratic in occupancy.  Widen the bands so "
@@ -867,6 +875,7 @@ def embedding_neardup_lsh_exact(
         Q = np.array(
             [np.asarray(v, dtype=np.float64) for v in pdf["q"]]
         )
+        _np_exact_guard(Q, "embedding_neardup_lsh_exact.bucket_pairs")
         G = Q @ Q.T
         norms = np.einsum("ij,ij->i", Q, Q)
         mask = _np_cand_mask(G, norms, norms, num2, den2)
@@ -1280,16 +1289,50 @@ def _np_pair_losers(ia, ib, dab, na, nb, ca, cb, num2, den2):
     return np.unique(loser)
 
 
+def _np_exact_guard(Q, where: str) -> None:
+    """Fail LOUD when quantized components are too large for the float64
+    BLAS path to stay exact (round-14 advice): a dim-term integer dot is
+    exactly representable in float64 only while every partial sum stays
+    under 2^53, i.e. ``|component| <= sqrt(2^53 / dim)`` (~3.4e7 at
+    dim=64).  The retired decimal(38) expression path was exact for ANY
+    int64 component; the matmul engines are not — and the _np_cmp
+    integer recheck cannot recover, because it re-derives its Python
+    ints from the already-rounded float dots.  Vectors quantized at
+    quant=1000 from unit-ish embeddings sit 4 orders of magnitude under
+    the bound; anything above it must resize quant, not silently lose
+    threshold-edge pairs."""
+    import math
+
+    import numpy as np
+
+    if Q.size == 0:
+        return
+    dim = Q.shape[-1]
+    limit = math.floor(math.sqrt((1 << 53) / max(dim, 1)))
+    mx = float(np.abs(Q).max())
+    if mx > limit:
+        raise ValueError(
+            f"{where}: quantized component magnitude {mx:.3g} exceeds "
+            f"{limit} = floor(sqrt(2^53/{dim})) — the float64 gram "
+            "matmul would round integer dots and silently mis-score "
+            "threshold-edge pairs.  Lower `quant` (component bound "
+            "scales linearly with it) or reduce `dim` so every "
+            "dim-term dot stays under 2^53."
+        )
+
+
 def _np_block(pdf, col_q: str = "q"):
     """(ids, Q, cdots, norms) numpy views of a census frame.  Q is
     float64 — EXACT for quantized components (products <= ~4e8 and
     64-term sums <= ~3e10 stay far under 2^53, so BLAS matmul returns
     the exact integer dot), which is what makes the vectorized engine
-    bit-identical to the decimal expression path it replaced."""
+    bit-identical to the decimal expression path it replaced.  The
+    exactness precondition is ENFORCED (_np_exact_guard), not assumed."""
     import numpy as np
 
     ids = pdf["vec_id"].to_numpy(dtype=np.int64)
     Q = np.array([np.asarray(v, dtype=np.float64) for v in pdf[col_q]])
+    _np_exact_guard(Q, "_np_block")
     cd = pdf["cdot"].to_numpy(dtype=np.float64)
     nq = pdf["norm_q"].to_numpy(dtype=np.float64)
     return ids, Q, cd, nq
@@ -1488,6 +1531,29 @@ def semantic_dedup_incremental(
         False,
         QUADRATIC_GATE_BYTES,
     )
+    # refuse_at_scale passes silently when Catalyst stats are unknown
+    # (est >= _UNKNOWN_STATS_FLOOR — e.g. a batch downstream of
+    # mapInPandas), but THIS path then collect()s the batch to the
+    # driver, so an unknown-stats oversized batch would OOM the driver
+    # where the old executor-side broadcast join merely degraded.
+    # Round-14 advice: when stats are unknown, enforce a driver-side ROW
+    # cap with a bounded count before collecting.
+    from coldata_spark.operators.similarity import (
+        _UNKNOWN_STATS_FLOOR,
+        _estimated_bytes,
+    )
+
+    est = _estimated_bytes(batch)
+    if not (0 < est < _UNKNOWN_STATS_FLOOR):
+        max_rows = max(1, QUADRATIC_GATE_BYTES // (dim * 8 + 64))
+        if batch_assigned.limit(max_rows + 1).count() > max_rows:
+            raise ValueError(
+                "semantic_dedup_incremental(batch): batch exceeds "
+                f"{max_rows} rows (~{QUADRATIC_GATE_BYTES / 1e6:.0f} MB at "
+                f"dim={dim}) and Catalyst has no size estimate for it — "
+                "refusing to collect it to the driver.  Chunk the fold "
+                "into multiple smaller batches."
+            )
     by_cell: dict[int, tuple] = {}
     for r in batch_assigned.collect():
         by_cell.setdefault(int(r["cell"]), []).append(r)
@@ -1502,6 +1568,8 @@ def semantic_dedup_incremental(
         )
         for c, rows in by_cell.items()
     }
+    for c, blk in by_cell.items():
+        _np_exact_guard(blk[1], "semantic_dedup_incremental(batch block)")
     spark = corpus.sparkSession
     bc = spark.sparkContext.broadcast(by_cell)
     num2, den2 = thresh_num * thresh_num, thresh_den * thresh_den

@@ -451,6 +451,22 @@ def _estimated_bytes(df: DataFrame) -> int:
         return 0
 
 
+def _estimated_rows(df: DataFrame) -> int:
+    """Catalyst's ROW-count estimate for a plan, or 0 when unavailable
+    (rowCount is an Option — populated only when CBO stats exist, e.g.
+    after ANALYZE TABLE or through aggregates with known cardinality).
+    Callers that size quadratic work by occupancy should prefer this
+    over a bytes/row-width heuristic, which mis-sizes frames carrying
+    extra columns (round-14 advice on the LSH occupancy gate)."""
+    try:
+        rc = df._jdf.queryExecution().optimizedPlan().stats().rowCount()
+        if rc.isDefined():
+            return int(str(rc.get()))
+    except Exception:
+        pass
+    return 0
+
+
 
 _UNKNOWN_STATS_FLOOR = 1 << 60  # Catalyst emits absurd products when stats
 # are unknown (e.g. downstream of mapInPandas); treat those as "no estimate"

@@ -538,12 +538,15 @@ def _ivf_index_cached(
         # old key AND leave nothing cached if this build then failed.  A
         # reader that raced the fixture regeneration itself can still
         # lose its old files — that is inherent to regenerating a fixture
-        # in place, not to the cache.
+        # in place, not to the cache.  Only _OK-marked (completed)
+        # siblings are pruned: one without the marker is a concurrent
+        # IN-PROGRESS build of another content key, not a stale copy.
         import shutil
 
         for sibling in os.listdir(group):
-            if sibling != key:
-                shutil.rmtree(os.path.join(group, sibling), ignore_errors=True)
+            sib = os.path.join(group, sibling)
+            if sibling != key and os.path.exists(os.path.join(sib, "_OK")):
+                shutil.rmtree(sib, ignore_errors=True)
 
     path = os.path.join(root, "index")
     cpath = os.path.join(root, "centroids")
@@ -583,14 +586,21 @@ def _ann_cache_root(fix_src: str, sf_dir: str) -> tuple[str, str, bool]:
 
 def _ann_cache_commit(root: str, group: str) -> None:
     """Mark a cache dir complete and prune superseded content keys (the
-    _prune_siblings contract: only after _OK exists)."""
+    _prune_siblings contract: only after _OK exists).  Only siblings that
+    THEMSELVES carry an _OK marker are pruned (round-14 advice): a
+    sibling without one is a concurrent in-progress build of a different
+    content key (e.g. sweep and ann_bench racing across a fixture
+    regeneration) — deleting it mid-write would corrupt that build; a
+    completed superseded sibling is safe to drop, and failed builds are
+    cleaned up by their own retry re-entering the build path."""
     import shutil
 
     open(os.path.join(root, "_OK"), "w").close()
     key = os.path.basename(root)
     for sibling in os.listdir(group):
-        if sibling != key:
-            shutil.rmtree(os.path.join(group, sibling), ignore_errors=True)
+        sib = os.path.join(group, sibling)
+        if sibling != key and os.path.exists(os.path.join(sib, "_OK")):
+            shutil.rmtree(sib, ignore_errors=True)
 
 
 def _ivf_pq_index_cached(
@@ -1726,9 +1736,11 @@ def _maintained_ivf_cached(spark: SparkSession, sf_dir: str):
     root = os.path.join(group, key)
 
     def _prune_siblings():
+        # prune only completed (_OK) siblings — see _ann_cache_commit
         for sibling in os.listdir(group):
-            if sibling != key:
-                shutil.rmtree(os.path.join(group, sibling), ignore_errors=True)
+            sib = os.path.join(group, sibling)
+            if sibling != key and os.path.exists(os.path.join(sib, "_OK")):
+                shutil.rmtree(sib, ignore_errors=True)
 
     path = os.path.join(root, "index")
     cpath = os.path.join(root, "centroids")

@@ -440,3 +440,39 @@ def test_np_dup_mask_boundary_exactness():
     # at the exact boundary the pair IS a dup (>=); one ulp under is not
     assert got[0] and not got[1] and got[2] is not None
     assert got.tolist()[:3] == [True, False, True]
+
+
+def test_np_exact_guard_refuses_oversized_components():
+    """Round-14 advice (medium): the float64 BLAS engines are exact only
+    while |component| <= sqrt(2^53/dim).  The guard must refuse oversized
+    quantized vectors with a resize hint instead of returning silently
+    wrong dots, and must pass the ordinary quant=1000 regime untouched."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from coldata_spark.operators.dedup import _np_block, _np_exact_guard
+
+    dim = 64
+    limit = math.floor(math.sqrt((1 << 53) / dim))
+    ok = np.full((3, dim), float(limit))
+    _np_exact_guard(ok, "t")  # at the bound: fine
+    bad = ok.copy()
+    bad[1, 7] = float(limit + 1)
+    with pytest.raises(ValueError, match="2\\^53"):
+        _np_exact_guard(bad, "t")
+    # the guard is wired into the census block reader
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [1, 2],
+            "q": [[-float(limit + 2)] * dim, [1.0] * dim],
+            "cdot": [0.0, 0.0],
+            "norm_q": [1.0, 1.0],
+        }
+    )
+    with pytest.raises(ValueError, match="quant"):
+        _np_block(pdf)
+    # empty frames never trip it
+    _np_exact_guard(np.empty((0, dim)), "t")

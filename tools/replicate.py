@@ -84,8 +84,10 @@ def perturb_isometry(vec_col: str, i: int):
     |components|) and every WITHIN-replica inner product exactly
     ((DPu)·(DPv) = u·v — signs square away, the shift is applied to both
     sides), so each replica is the base dataset in a different
-    orientation: per-replica near-dup/cluster structure is IDENTICAL to
-    the base fixture's, while CROSS-replica copies decorrelate (the
+    orientation: per-replica near-dup/cluster structure matches the base
+    fixture's (identical up to downstream floor-quantization of flipped
+    components — see the caveat below), while CROSS-replica copies
+    decorrelate (the
     combined transform between two replicas is a non-trivial signed
     permutation — expected cosine ~0 for dense vectors).  Near-dup pair
     counts therefore grow linearly with ``times``, the scaling real data
@@ -94,6 +96,15 @@ def perturb_isometry(vec_col: str, i: int):
     Exactness note: ±1 multiplication and reordering are lossless in IEEE
     float, so this is not a precision perturbation — oracle parity at
     tiers holds by construction (both engines read the same parquet).
+    One caveat (round-14 advice): per-replica near-dup structure is
+    identical only UP TO QUANTIZATION of flipped components — engines
+    that quantize with floor() downstream see floor(-x*q) = -floor(x*q)-1
+    on sign-flipped components, so quantized integer dots in a flipped
+    replica differ by a few ULPs-of-quant from the base and
+    threshold-EDGE pairs can flip per replica.  Small per-replica
+    pair-count deltas at tiers are therefore expected, not a fixture
+    bug; cross-engine parity is unaffected (both engines quantize the
+    same parquet bytes identically).
 
     Sign bits cycle with period 63 (``pmod(j, 63)`` over the 63-bit mix),
     so two replicas with equal shift mod d (possible only on >64x-deep
