@@ -154,25 +154,23 @@ def minhash_neardup_pairs(
     blow up at 100 TB.  Buckets above the cap are skipped ENTIRELY (their
     members still pair through their other, non-degenerate bands), which
     is the standard production mitigation; audit what a cap would drop
-    with the q143 bucket-balance diagnostic before choosing one."""
-    sig = minhash_signatures(df, text_col, id_col, n_hashes)
-    banded = (
-        sig.withColumn("band", (F.col("seed") / band_size).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            # Sort by SEED, not by hash value: band equality must compare the
-            # minhash at each seed position.  Sorting by value would let two
-            # docs whose minhashes are permutations of each other within a
-            # band collide as false-positive candidates.
-            F.concat_ws(
-                "|",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-                    lambda s: s["minhash"].cast("string"),
-                ),
-            ).alias("band_key")
-        )
-    )
+    with the q143 bucket-balance diagnostic before choosing one.
+
+    Plan shape (round-14 rewrite): the signature pipeline (shingle explode
+    -> per-shingle md5 -> per-doc min-reduction) runs ONCE.  Band rows are
+    derived map-side from the wide signature frame CARRYING the h-columns
+    (the same carry_sigs layout the incremental matcher persists), so
+    signature-agreement verification happens IN the band self-join as
+    column compares — no per-seed explode, no join back to the signature
+    table.  The previous shape referenced the signature pipeline four
+    times in one plan (banded a/b + verification sa/sb), and Spark
+    re-scanned + re-aggregated the corpus for each: 4 parquet scans and
+    4 shingle explodes where one suffices (plans/r14/
+    q26_minhash_neardup_pairs_{before,after}.txt).  The self-join's two
+    sides are byte-identical subtrees, so the band exchange plans once and
+    the second side reads it as ReusedExchange."""
+    wide = minhash_signatures_wide(df, text_col, id_col, n_hashes)
+    banded = _banded_from_wide(wide, n_hashes, band_size, carry_sigs=True)
     if max_bucket_size is not None:
         # one count window on the join key itself (the exchange is shared
         # with the self-join below), then drop oversized buckets pre-join
@@ -186,7 +184,14 @@ def minhash_neardup_pairs(
         )
     a = banded.alias("a")
     b = banded.alias("b")
-    cand = (
+    # estimated jaccard = matching minhash positions / k, straight off the
+    # carried h-columns of the two joined band rows (identical for every
+    # band a pair collides in, so dropDuplicates keeps one row per pair)
+    agree = sum(
+        (F.col(f"a.h{s}") == F.col(f"b.h{s}")).cast("int")
+        for s in range(n_hashes)
+    )
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -194,26 +199,11 @@ def minhash_neardup_pairs(
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(agree / F.lit(float(n_hashes)), 6).alias("est_jaccard"),
         )
-        .distinct()
-    )
-    # verify candidates: estimated jaccard = matching minhash positions / k
-    sa = sig.select(
-        F.col("doc_id").alias("doc_a"), "seed", F.col("minhash").alias("mh_a")
-    )
-    sb = sig.select(
-        F.col("doc_id").alias("doc_b"), "seed", F.col("minhash").alias("mh_b")
-    )
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "seed"])
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.round(
-                F.avg((F.col("mh_a") == F.col("mh_b")).cast("double")), 6
-            ).alias("est_jaccard")
-        )
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
