@@ -182,8 +182,13 @@ def minhash_neardup_pairs(
             .filter(F.col("_bucket_n") <= max_bucket_size)
             .drop("_bucket_n")
         )
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # the merge hint pins the self-join to sort-merge at EVERY scale: both
+    # sides are byte-identical subtrees whose exchange (shared with the
+    # bucket-cap window above) plans once and is read back as
+    # ReusedExchange — a broadcast pick (tiny inputs) would instead build
+    # the whole signature pipeline twice, once per side
+    a = banded.hint("merge").alias("a")
+    b = banded.hint("merge").alias("b")
     # estimated jaccard = matching minhash positions / k, straight off the
     # carried h-columns of the two joined band rows (identical for every
     # band a pair collides in, so dropDuplicates keeps one row per pair)
@@ -518,9 +523,24 @@ def connected_components(
     Algorithm: iterative min-label propagation (each round joins labels
     across edges and keeps the min; converges in O(diameter) rounds —
     near-dup graphs are almost always tiny cliques, so 2-3 rounds).  Each
-    round is one join + one aggregate; intermediate results are cached and
-    the loop exits on a converged count, so the driver never touches row
+    round is one join + one aggregate, so the driver never touches row
     data.  (GraphFrames' CC is the same loop minus the library dependency.)
+
+    Round-14 plan-shape rewrite: each round's frame is materialized with
+    ``localCheckpoint`` so its LINEAGE is truncated.  The previous
+    cache()-based loop kept the full logical tree — ``new_labels``
+    references ``labels`` twice (union + neighbor join), so the plan
+    DOUBLED per round, and although the cache kept row data warm, every
+    per-round convergence count re-analyzed and re-optimized the whole
+    exponentially-grown tree driver-side: q59's explain carried 1,877
+    Exchange nodes (plans/r14/q59_dedup_groups_before.txt) and q59/q140
+    spent 28/47 s at the 16x tier almost entirely in the optimizer.
+    Checkpointing keeps every round's plan constant-size (guide §3.3 /
+    §7.3 — very large plans make planning itself the bottleneck).  The
+    convergence count rides the ``_old`` column carried through the
+    aggregate (min ignores NULLs; each id has exactly one labels row) —
+    no per-round join against the previous labels, one cheap action on
+    the already-materialized round result.
     """
     edges = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
@@ -528,38 +548,44 @@ def connected_components(
     # undirected: propagate both ways
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).cache()
+    )
+    # materialize the pair graph ONCE: every round below re-reads it, and
+    # its upstream (the LSH pair pipeline) is the expensive part
+    edges = edges.localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
-        .cache()
+        .localCheckpoint(eager=True)
     )
+    id_type = labels.schema["component"].dataType
     changed = -1
     for _ in range(max_iters):
         # neighbor labels: for each node, min label among itself + neighbors
         neighbor = (
             edges.join(labels, edges.dst == labels.id)
-            .select(F.col("src").alias("id"), "component")
+            .select(
+                F.col("src").alias("id"),
+                "component",
+                F.lit(None).cast(id_type).alias("_old"),
+            )
         )
         new_labels = (
-            labels.select("id", "component")
+            labels.select("id", "component", F.col("component").alias("_old"))
             .union(neighbor)
             .groupBy("id")
-            .agg(F.min("component").alias("component"))
-            .cache()
+            .agg(
+                F.min("component").alias("component"),
+                F.min("_old").alias("_old"),
+            )
+            .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = new_labels.filter(
+            F.col("component") != F.col("_old")
+        ).count()
+        labels = new_labels.drop("_old")
         if changed == 0:
             break
-    edges.unpersist()
     if changed != 0:
         # silently returning half-propagated labels would make
         # dedup_keepers keep several "keepers" per real group — fail loud

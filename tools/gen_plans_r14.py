@@ -54,7 +54,17 @@ def main() -> None:
         "r14",
     )
     os.makedirs(out_dir, exist_ok=True)
-    spark = get_spark(app_name=f"gen_plans_r14_{tag}", shuffle_partitions=8)
+    # AQE off: the bench's sub-2GiB tiers run with AQE disabled
+    # (session.tune_for_input), and the static planner is also the one that
+    # applies ReuseExchange visibly in explain output — with AQE on the
+    # initial plan prints duplicate subtrees that stage-level reuse would
+    # dedupe only at runtime, hiding exactly the evidence these dumps exist
+    # to record.
+    spark = get_spark(
+        app_name=f"gen_plans_r14_{tag}",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.adaptive.enabled": "false"},
+    )
     specs = registry.specs()
     for name in names:
         df = specs[name].fn(spark, "/root/testdata/sf0.01")
