@@ -1169,12 +1169,23 @@ def q108_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     dch = chunks(pref, "doc_id", "s")
-    keep = dch.groupBy("lang", "pos", "chunk").agg(
-        F.count(F.lit(1)).alias("_n")
-    ).filter(F.col("_n") <= Q108_CAP).drop("_n")
+    # bucket cap as a COUNT WINDOW on the blocking key (q26's
+    # max_bucket_size shape): the previous groupBy + join-back referenced
+    # dch twice, so the doc-side chunk explode ran twice and paid an extra
+    # join; the window shares the exchange the candidate join needs anyway
+    # (plans/r14/q108_fuzzy_match_{before,after}.txt)
+    from pyspark.sql import Window as _W
+
+    dk = (
+        dch.withColumn(
+            "_n", F.count("*").over(_W.partitionBy("lang", "pos", "chunk"))
+        )
+        .filter(F.col("_n") <= Q108_CAP)
+        .drop("_n")
+    )
     cand = (
         chunks(titles, "title_doc", "title")
-        .join(dch.join(keep, ["lang", "pos", "chunk"]), ["lang", "pos", "chunk"])
+        .join(dk, ["lang", "pos", "chunk"])
         .select("title_doc", "doc_id")
         .distinct()
     )
@@ -1358,6 +1369,14 @@ def q132_source_keyness(spark, sf_dir):
         ),
     )
     tf = toks.groupBy("source", "term").agg(F.count("*").cast("long").alias("tf"))
+    # materialize the vocabulary table ONCE: tf is referenced four times
+    # below (totals, term_tot, grand, scored) and Spark re-ran the corpus
+    # regexp-explode for each — 4 scans + 4 explodes where one suffices
+    # (plans/r14/q132_source_keyness_{before,after}.txt).  tf is the
+    # rolled-up (source x term) table, orders of magnitude smaller than the
+    # token stream, so checkpointing it is the scale-correct trade
+    # (localCheckpoint spills to disk past memory).
+    tf = tf.localCheckpoint(eager=True)
     totals = tf.groupBy("source").agg(F.sum("tf").cast("long").alias("n_src"))
     term_tot = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("tf_all"))
     grand = tf.agg(F.sum("tf").cast("long").alias("n_all"))
@@ -1606,32 +1625,52 @@ def q141_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from coldata_spark.tables import fan_out
 
     docs = load(spark, sf_dir, "documents")
-    sh0 = (
-        fan_out(docs)
-        .select(
-            "doc_id",
-            F.explode(
+    # per-doc shingle SET built in-expression (array_distinct before the
+    # explode — true set semantics with NO distinct shuffle; doc_id makes
+    # the per-doc distinct global, exactly DD.shingles(distinct=True))
+    sh0 = fan_out(docs).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
                 F.expr(
                     "transform(sequence(1, greatest(1, length(text) - 4)),"
                     " i -> substring(text, i, 5))"
                 )
-            ).alias("shingle"),
-        )
-        .distinct()
+            )
+        ).alias("shingle"),
     )
-    keep = (
+    # Round-14 one-shuffle rewrite (guide §2.3/§2.4): the previous shape —
+    # explode -> row distinct -> count-cap join-back -> shingle self-join —
+    # referenced the shingle pipeline four times, so the corpus was
+    # exploded + distinct-shuffled repeatedly (14.2 s at the 16x tier).
+    # Collect each kept shingle's doc list ONCE (the LSH bucket shape the
+    # dedup engines already use), materialize the capped buckets, and
+    # generate the ordered co-occurrence pairs in-expression: per-bucket
+    # fan-out is bounded by the 64-doc cap (<= 4032 pairs per bucket), the
+    # per-bucket array by the same cap times 8 bytes.  One corpus pass, one
+    # wide exchange (plans/r14/q141_shingle_containment_{before,after}.txt).
+    b = (
         sh0.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .filter(F.col("_df") <= 64)
-        .drop("_df")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .filter(F.size("ds") <= 64)
+        .localCheckpoint(eager=True)
     )
-    sh = sh0.join(keep, "shingle")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    sizes = (
+        b.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_sh"))
+    )
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") != F.col("doc_b"))
+        b.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, x ->"
+                    " transform(filter(ds, y -> y != x),"
+                    " y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").cast("long").alias("n_common"))
     )
@@ -1771,7 +1810,12 @@ def q153_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
     )
     vocab = toks.groupBy("term").agg(F.count("*").alias("cnt"))
-    total = toks.agg(F.count("*").alias("n"))
+    # corpus token total = sum of the vocabulary counts — an exact integer
+    # identity, so deriving it from the (tiny) vocab aggregate instead of a
+    # third scan+explode of the corpus cannot move a single bit of the nll
+    # arithmetic; this drops the token pipeline from 3 runs per query to 2
+    # (plans/r14/q153_unigram_logprob_quality_{before,after}.txt)
+    total = vocab.agg(F.sum("cnt").alias("n"))
     scored = (
         toks.join(vocab, "term")
         .join(F.broadcast(total))
