@@ -172,6 +172,15 @@ def main() -> None:
             spark, sf_dir, specs
         )
         _write_detail(result)
+        # round-14 additive block (r13 verdict asks #3/#5): the
+        # worsening-at-64x join family (q56/q68/q77 + q148) measured on the
+        # SAME clustered fixture, where their fact-fact orderkey join runs
+        # exchange-free — kept separate so replicated_256x_clustered stays
+        # composition-comparable across rounds
+        result["clustered_joins_256x"] = bench_clustered_joins(
+            spark, sf_dir, specs
+        )
+        _write_detail(result)
     if os.environ.get("SPARK_GRAFT_BENCH_1024E", "1") != "0":
         spark.stop()
         spark = get_spark(app_name="coldata_spark_bench_1024e")
@@ -301,6 +310,7 @@ def _write_detail(result: dict) -> None:
         "replicated_64x",
         "replicated_256x",
         "replicated_256x_clustered",
+        "clustered_joins_256x",
         "q83_amortization_1024x",
         "q83_amortization_4096x",
         "q30_amortization_1024x",
@@ -572,6 +582,70 @@ def bench_clustered(spark, sf_dir: str, specs) -> dict:
         "q83 is fixed-cost-bound at this size on ANY layout (Spark's "
         "no-column scan floor ~= DuckDB's whole query) — its closing "
         "measurement is the q83_amortization blocks"
+    )
+    return rec
+
+
+def bench_clustered_joins(spark, sf_dir: str, specs) -> dict:
+    """Round-14 block: the join family that worsens 16x -> 64x on flat
+    layout (q56/q68/q77, plus q148 — the documented THE-bucketed-case),
+    measured on the SAME co-clustered fixture with DuckDB reading the
+    identical files.  Same methodology as bench_clustered (warm + best of
+    3, toPandas materialization both engines)."""
+    import duckdb
+
+    from tools.clustered import (
+        CLUSTERED_JOIN_QUERIES,
+        DUCK_VIEWS,
+        register_clustered,
+    )
+
+    out = _tier_dir(sf_dir, 256) + "_clustered"
+    pretouch_s = _pretouch(out)
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    tune_for_input(spark, dir_bytes(out))
+    register_clustered(spark, out)
+
+    repeats = 3
+    spark_runs: dict[str, list[float]] = {}
+    for name, fn in CLUSTERED_JOIN_QUERIES.items():
+        fn(spark, out).toPandas()  # warm
+        spark._jvm.System.gc()
+        runs = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            fn(spark, out).toPandas()
+            runs.append(round(time.perf_counter() - t0, 3))
+        spark_runs[name] = runs
+
+    con = duckdb.connect()
+    for t, glob in DUCK_VIEWS.items():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{os.path.abspath(out)}/{glob}')"
+        )
+    duck_runs: dict[str, list[float]] = {}
+    for name in CLUSTERED_JOIN_QUERIES:
+        sql = specs[name].sql
+        con.execute(sql).df()  # warm
+        runs = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            con.execute(sql).df()
+            runs.append(round(time.perf_counter() - t0, 3))
+        duck_runs[name] = runs
+    con.close()
+
+    rec = _tier_record(256, list(CLUSTERED_JOIN_QUERIES), spark_runs, duck_runs)
+    rec["pretouch_s"] = pretouch_s
+    rec["fixture_name"] = os.path.basename(out)
+    rec["fixture_stamp"] = _marker_content(out)
+    rec["layout"] = "co-clustered (orderkey-bucketed facts, hypertable events)"
+    rec["note"] = (
+        "r13 verdict asks #3/#5: the flat-layout-worsening join family on "
+        "the layout the 100 TB design prescribes — the fact-fact orderkey "
+        "join is a zero-exchange sort-merge (plan-gated in "
+        "tests/test_bucketing.py)"
     )
     return rec
 

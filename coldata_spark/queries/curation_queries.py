@@ -650,7 +650,15 @@ def q110_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("src", ((F.col("src") * 31 + F.col("k")) % F.col("n_docs")).alias("dst"))
     )
-    ranks = docs.select("doc_id", F.lit(1000000).cast("long").alias("r"))
+    # materialize the synthesized link graph ONCE: the three unrolled
+    # iterations each referenced the edges subtree (docs scan + count +
+    # explode), so the corpus was re-scanned and the graph re-generated per
+    # round; checkpointed, every round's edges⋈ranks exchange on src is
+    # byte-identical and plans as ReusedExchange
+    # (plans/r14/q110_pagerank_{before,after}.txt)
+    edges = edges.localCheckpoint(eager=True)
+    ids = docs.select("doc_id").localCheckpoint(eager=True)
+    ranks = ids.select("doc_id", F.lit(1000000).cast("long").alias("r"))
     for _ in range(3):
         contribs = (
             edges.join(ranks.withColumnRenamed("doc_id", "src"), "src")
@@ -659,8 +667,8 @@ def q110_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("c").alias("in_sum"))
         )
         ranks = (
-            docs.select("doc_id")
-            .join(contribs, docs.doc_id == contribs.dst, "left")
+            ids
+            .join(contribs, ids.doc_id == contribs.dst, "left")
             .select(
                 "doc_id",
                 F.expr(

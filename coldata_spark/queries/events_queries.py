@@ -65,15 +65,31 @@ def q41_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM-side; at scale prefer from_json once into a struct column."""
     ev = load(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    # Parse the JSON ONCE per row: the previous withColumn + filter shape
+    # let predicate pushdown clone the get_json_object under the filter, so
+    # every row parsed once and every SURVIVING row twice (guide §4.4's
+    # duplication, for a JVM expression).  Folding the predicate into
+    # conditional aggregates keeps filter and aggregation in one operator —
+    # count/avg ignore the NULLed-out non-matching rows, groups with no
+    # matching row (n = 0) are dropped after the fact, exactly the original
+    # group set.  Codegen CSE evaluates the shared parse once
+    # (plans/r14/q41_events_json_props_{before,after}.txt: 2
+    # get_json_object sites -> 1).
+    # the explicit projection materializes k once per row — the aggregate
+    # expressions below reference the column, not the parse, so single
+    # evaluation does not depend on codegen CSE catching three clones
+    parsed = ev.select("event_type", "value", k.alias("k"))
+    matches = F.when(F.col("k") > 50, F.col("k"))
     return (
-        ev.withColumn("k", k)
-        .filter(F.col("k") > 50)
-        .groupBy("event_type")
+        parsed.groupBy("event_type")
         .agg(
-            F.count("*").alias("n"),
-            F.round(F.avg("k"), 4).alias("avg_k"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.count(matches).alias("n"),
+            F.round(F.avg(matches), 4).alias("avg_k"),
+            F.round(
+                F.avg(F.when(F.col("k") > 50, F.col("value"))), 4
+            ).alias("avg_value"),
         )
+        .filter(F.col("n") > 0)
     )
 
 

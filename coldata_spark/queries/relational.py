@@ -739,6 +739,13 @@ def q56_priority_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
     )
+    # Round-14 note: rewriting the EXISTS as a per-key max(l_shipdate)
+    # aggregate + join was MEASURED SLOWER at both the 16x (1.6 -> 2.0 s)
+    # and 64x (3.7 -> 4.7 s) tiers — the semi-join short-circuits on the
+    # first matching line per order, while the aggregate pays a full pass
+    # plus an exchange of the per-key maxima.  Kept as the semi-join; the
+    # 64x ratio answer for this fact-fact family is the orderkey-clustered
+    # layout (zero-exchange SMJ), measured on the clustered tier.
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     return (
         orders.join(

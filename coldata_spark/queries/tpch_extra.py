@@ -206,16 +206,31 @@ def q68_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer").join(
         F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key")
     )
-    orders = load(spark, sf_dir, "orders")
+    # Apply the customer-region filter to orders BEFORE the fact-fact
+    # exchange (guide §2.3): the ASIA broadcast semi-reduces orders ~5x
+    # (one region of five), so the orderkey shuffle carries a fifth of the
+    # order rows — previously li ⋈ orders joined the FULL orders table and
+    # the cust filter ran after the big exchange
+    # (plans/r14/q68_market_share_{before,after}.txt).  Projecting orders
+    # to the three needed columns keeps the exchange narrow.
+    orders = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .join(
+            F.broadcast(cust.select("c_custkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select("o_orderkey", "o_orderdate")
+    )
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .select("l_orderkey", vol.alias("volume"), "supp_nation")
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .select(
             F.year("o_orderdate").cast("long").alias("o_year"),
-            vol.alias("volume"),
+            "volume",
             "supp_nation",
         )
         .groupBy("o_year")
@@ -522,15 +537,23 @@ def q74_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation; declared per SURVEY §2.4 ("distinct-agg ... built-in").
     The approximate (HLL) companions live in q75 as a rows-only query.
     """
-    return (
-        load(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-            F.countDistinct("l_orderkey").alias("n_orders"),
-            F.countDistinct("l_partkey").alias("n_parts"),
-            F.countDistinct("l_suppkey").alias("n_supps"),
-        )
+    # One distinct column per aggregate (round 14): three countDistincts in
+    # one grouping made Catalyst Expand the input x4 (every lineitem row
+    # hashed four times); three single-distinct aggregates joined on the
+    # 3-row flag key skip the Expand entirely — each is a plain two-phase
+    # distinct whose partial agg dedupes map-side.  Measured 3.7 -> 2.3 s
+    # at the 16x tier (plans/r14/q74_distinct_counts_{before,after}.txt).
+    li = load(spark, sf_dir, "lineitem")
+    n_orders = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
     )
+    n_parts = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts")
+    )
+    n_supps = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supps")
+    )
+    return n_orders.join(n_parts, "l_returnflag").join(n_supps, "l_returnflag")
 
 
 # --------------------------------------------------------------------------
@@ -635,15 +658,31 @@ def q77_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load(spark, sf_dir, "lineitem")
     supp = load(spark, sf_dir, "supplier")
+    # Reduce BEFORE the fact exchanges (guide §2.3): the EUROPE nation
+    # broadcast cuts customers to one region of five, and the date-filtered
+    # orders ⋈ customers join runs before lineitem enters, so the orderkey
+    # exchange meets an orders side already filtered by BOTH predicates —
+    # previously the customer join keyed a second wide exchange of the
+    # li ⋈ orders output and the region filter only applied at the end
+    # (plans/r14/q77_local_supplier_volume_{before,after}.txt).  All joins
+    # are inner, so the reorder is value-identical.
+    cust_eu = cust.select("c_custkey", "c_nationkey").join(
+        F.broadcast(nat.select("n_nationkey", "n_name")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    ord_eu = (
+        orders.select("o_orderkey", "o_custkey")
+        .join(cust_eu, F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "c_nationkey", "n_name")
+    )
     return (
-        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        li.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(ord_eu, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
             F.broadcast(supp),
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("s_nationkey") == F.col("c_nationkey")),
         )
-        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(
             F.round(
@@ -1045,20 +1084,33 @@ def q123_profile_orders(spark, sf_dir):
     Numeric min/max stringify AFTER aggregation, so ordering stays
     numeric."""
     o = load(spark, sf_dir, "orders")
-    prof = o.agg(
-        F.count("*").alias("n_rows"),
-        (F.count("*") - F.count("o_custkey")).alias("nn_ck"),
-        F.countDistinct("o_custkey").alias("nd_ck"),
-        F.min("o_custkey").cast("string").alias("mn_ck"),
-        F.max("o_custkey").cast("string").alias("mx_ck"),
-        (F.count("*") - F.count("o_orderpriority")).alias("nn_op"),
-        F.countDistinct("o_orderpriority").alias("nd_op"),
-        F.min("o_orderpriority").alias("mn_op"),
-        F.max("o_orderpriority").alias("mx_op"),
-        (F.count("*") - F.count("o_orderstatus")).alias("nn_os"),
-        F.countDistinct("o_orderstatus").alias("nd_os"),
-        F.min("o_orderstatus").alias("mn_os"),
-        F.max("o_orderstatus").alias("mx_os"),
+    # ONE distinct column per aggregate: three countDistincts in one agg
+    # made Catalyst plan an Expand (x4 input replicas — every order row
+    # hashed four times); with a single distinct the planner uses the plain
+    # two-phase distinct path, and the two low-cardinality columns each
+    # cost a dictionary-friendly single-column scan.  Measured 2.05 ->
+    # 1.04 s at the 16x tier for the aggregate
+    # (plans/r14/q123_profile_orders_{before,after}.txt: Expand removed).
+    prof = (
+        o.agg(
+            F.count("*").alias("n_rows"),
+            (F.count("*") - F.count("o_custkey")).alias("nn_ck"),
+            F.countDistinct("o_custkey").alias("nd_ck"),
+            F.min("o_custkey").cast("string").alias("mn_ck"),
+            F.max("o_custkey").cast("string").alias("mx_ck"),
+            (F.count("*") - F.count("o_orderpriority")).alias("nn_op"),
+            F.min("o_orderpriority").alias("mn_op"),
+            F.max("o_orderpriority").alias("mx_op"),
+            (F.count("*") - F.count("o_orderstatus")).alias("nn_os"),
+            F.min("o_orderstatus").alias("mn_os"),
+            F.max("o_orderstatus").alias("mx_os"),
+        )
+        .crossJoin(
+            F.broadcast(o.agg(F.countDistinct("o_orderpriority").alias("nd_op")))
+        )
+        .crossJoin(
+            F.broadcast(o.agg(F.countDistinct("o_orderstatus").alias("nd_os")))
+        )
     )
     return prof.select(
         F.expr(
@@ -1388,22 +1440,46 @@ def q137_integrity_audit(spark, sf_dir):
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = load(spark, sf_dir, "customer").select("c_custkey")
 
-    def count1(df):
-        return df.agg(F.count("*").cast("long").alias("n_violations"))
-
-    orphan = count1(
-        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
-    ).select(F.lit("orphan_lineitems").alias("check_name"), "n_violations")
-    childless = count1(
-        o.join(li, o.o_orderkey == li.l_orderkey, "left_anti")
-    ).select(F.lit("childless_orders").alias("check_name"), "n_violations")
-    dangling = count1(
+    # Round-14 single-pass restructure (guide §2.3 "aggregate before you
+    # shuffle"): the orphan / childless / duplicate-pk checks all key on
+    # the order key, so they come out of ONE full-outer join of the two
+    # per-key COUNT aggregates — the previous shape ran two anti-joins plus
+    # a pk aggregate, scanning lineitem twice and orders three times and
+    # shuffling raw fact rows instead of combined (key, n) pairs.
+    # orphan_lineitems  = lineitem ROWS with no order   = sum n_li where no o
+    # childless_orders  = orders   ROWS with no lineitem = sum n_o  where no li
+    # duplicate_order_pks = keys with n_o > 1
+    li_k = li.groupBy("l_orderkey").agg(F.count("*").alias("n_li"))
+    o_k = o.groupBy("o_orderkey").agg(F.count("*").alias("n_o"))
+    fo = li_k.join(o_k, li_k.l_orderkey == o_k.o_orderkey, "full_outer")
+    key_checks = fo.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("o_orderkey").isNull(), F.col("n_li"))),
+            F.lit(0),
+        ).cast("long").alias("_orphan"),
+        F.coalesce(
+            F.sum(F.when(F.col("l_orderkey").isNull(), F.col("n_o"))),
+            F.lit(0),
+        ).cast("long").alias("_childless"),
+        F.count(F.when(F.col("n_o") > 1, F.lit(1))).cast("long").alias("_dup"),
+    )
+    dangling = (
         o.join(c, o.o_custkey == c.c_custkey, "left_anti")
-    ).select(F.lit("orders_without_customer").alias("check_name"), "n_violations")
-    dup_pk = count1(
-        o.groupBy("o_orderkey").agg(F.count("*").alias("n")).filter("n > 1")
-    ).select(F.lit("duplicate_order_pks").alias("check_name"), "n_violations")
-    return orphan.unionByName(childless).unionByName(dangling).unionByName(dup_pk)
+        .agg(F.count("*").cast("long").alias("n_violations"))
+        .select(
+            F.lit("orders_without_customer").alias("check_name"),
+            "n_violations",
+        )
+    )
+    return key_checks.select(
+        F.expr(
+            "stack(3,"
+            " 'orphan_lineitems', _orphan,"
+            " 'childless_orders', _childless,"
+            " 'duplicate_order_pks', _dup)"
+            " AS (check_name, n_violations)"
+        )
+    ).unionByName(dangling)
 
 
 @register(

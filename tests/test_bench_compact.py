@@ -41,6 +41,7 @@ def test_compact_line_under_1500_bytes():
         "replicated_64x": _fat_tier(64),
         "replicated_256x": _fat_tier(256),
         "replicated_256x_clustered": _fat_tier(256),
+        "clustered_joins_256x": _fat_tier(256),
         "q83_amortization_1024x": _fat_tier(1024),
         "q83_amortization_4096x": _fat_tier(4096),
         "q30_amortization_1024x": _fat_tier(1024),
@@ -83,6 +84,9 @@ def test_compact_line_under_1500_bytes():
         assert "per_query_ratio" not in parsed[tier]
         assert "spark_queries" not in parsed[tier]
     assert "queries" not in parsed
+    # round-14: the clustered_joins block is detail-file-only — the driver
+    # line keeps its long-standing composition and byte budget
+    assert "clustered_joins_256x" not in parsed
     assert "prepared_ratio" in parsed["concurrent_batch"]
 
 

@@ -58,10 +58,33 @@ def test_clustered_plans_have_no_shuffle_or_sort(spark, clustered_dir):
 def test_clustered_results_match_flat(spark, sf_dir, clustered_dir):
     """Same rows as the registered flat-layout queries on the same data."""
     specs = registry.specs()
-    for name, fn in CL.CLUSTERED_QUERIES.items():
+    for name, fn in {
+        **CL.CLUSTERED_QUERIES,
+        **CL.CLUSTERED_JOIN_QUERIES,
+    }.items():
         got = sorted(map(tuple, fn(spark, clustered_dir).collect()))
         want = sorted(map(tuple, specs[name].fn(spark, sf_dir).collect()))
         assert got == want, f"{name} diverges from flat layout"
+
+
+def test_clustered_join_twins_no_fact_exchange(spark, clustered_dir):
+    """r13 verdict asks #3/#5: on the orderkey-clustered layout the
+    q56/q68/q77/q148 fact-fact join must be a zero-exchange sort-merge —
+    no Exchange keyed on the bucket key anywhere in the plan (downstream
+    aggregates exchange on their own small group keys, which is fine).
+    Auto-broadcast is disabled so tiny test inputs cannot hide the join
+    shape; the dimension broadcasts are explicit hints and survive."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name, fn in CL.CLUSTERED_JOIN_QUERIES.items():
+            plan = fn(spark, clustered_dir)._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan, f"{name}: expected SMJ\n{plan}"
+            for key in ("l_orderkey", "o_orderkey"):
+                assert f"hashpartitioning({key}" not in plan, (
+                    f"{name}: fact exchange on {key} — bucketing not used\n{plan}"
+                )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
 
 
 def test_duck_views_cover_clustered_query_tables(clustered_dir):

@@ -40,7 +40,7 @@ _SPECS = {
     "orders": ("o_orderkey", ["o_orderkey"]),
     "events": ("user_id", ["user_id", "ts", "event_id"]),
 }
-_FLAT_COPY = ("customer",)  # small dims stay flat (broadcast-side anyway)
+_FLAT_COPY = ("customer", "supplier", "nation", "region")  # small dims stay flat (broadcast-side anyway)
 
 # Relative size floor: an advised table an order of magnitude smaller
 # than the workload's biggest fact is the broadcast side of its joins, so
@@ -92,7 +92,7 @@ def build_clustered_fixture(
     # the clustered rewrite of the old bytes must go stale with it.
     # Marker-less inputs (a raw sf dir, as in tests) stamp their content
     # version instead — "None" would never go stale.
-    stamp = f"v4|{buckets}|{fixture_stamp_of(tier_dir) or source_stamp(tier_dir)}"
+    stamp = f"v5|{buckets}|{fixture_stamp_of(tier_dir) or source_stamp(tier_dir)}"
     if os.path.exists(marker) and open(marker).read() == stamp:
         return out_dir
     from coldata_spark.operators.layout import write_bucketed
@@ -262,10 +262,173 @@ def q83_clustered(spark: SparkSession, out_dir: str) -> DataFrame:
     )
 
 
+# ---- Clustered twins of the worsening-at-64x join family (round 14) -----
+# VERDICT r13 ask #3/#5: q56/q77/q68 (+q148) worsen 16x -> 64x on flat
+# layout and their defense leaned on q02/q116 analogies — these twins
+# measure THEM on the orderkey-clustered tier, where the fact-fact join
+# runs as a zero-exchange sort-merge (plan-gated in tests/test_bucketing.py
+# ::test_clustered_join_twins_no_fact_exchange).  Dimension tables are flat
+# copies in the fixture (they are the broadcast side at every scale).
+
+
+def q56_clustered(spark: SparkSession, out_dir: str) -> DataFrame:
+    """q56_priority_order_counts over co-bucketed facts: the EXISTS
+    semi-join runs exchange-free on the shared orderkey bucketing."""
+    orders = spark.table("orders_c").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = spark.table("lineitem_c").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def q68_clustered(spark: SparkSession, out_dir: str) -> DataFrame:
+    """q68_market_share over co-bucketed facts: same round-14 plan as the
+    flat spec (dims broadcast, orders pre-reduced by the ASIA customers),
+    but the li ⋈ orders orderkey join is a zero-exchange sort-merge."""
+    li = spark.table("lineitem_c")
+    supp = spark.read.parquet(os.path.join(out_dir, "supplier"))
+    n1 = spark.read.parquet(os.path.join(out_dir, "nation")).select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    region = spark.read.parquet(os.path.join(out_dir, "region")).filter(
+        F.col("r_name") == "ASIA"
+    )
+    n2 = (
+        spark.read.parquet(os.path.join(out_dir, "nation"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    cust = spark.read.parquet(os.path.join(out_dir, "customer")).join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key")
+    )
+    orders = (
+        spark.table("orders_c")
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .join(
+            F.broadcast(cust.select("c_custkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select("o_orderkey", "o_orderdate")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .select("l_orderkey", vol.alias("volume"), "supp_nation")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            "volume",
+            "supp_nation",
+        )
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("supp_nation") == "NATION_3", F.col("volume")
+                    ).otherwise(0.0)
+                )
+                / F.sum("volume"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+def q77_clustered(spark: SparkSession, out_dir: str) -> DataFrame:
+    """q77_local_supplier_volume over co-bucketed facts: same round-14
+    early-reduction plan; the lineitem ⋈ (orders ⋈ customers) orderkey
+    join side of lineitem needs no exchange."""
+    region = spark.read.parquet(os.path.join(out_dir, "region")).filter(
+        F.col("r_name") == "EUROPE"
+    )
+    nat = spark.read.parquet(os.path.join(out_dir, "nation")).join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    cust_eu = (
+        spark.read.parquet(os.path.join(out_dir, "customer"))
+        .select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(nat.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    ord_eu = (
+        spark.table("orders_c")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+        .join(F.broadcast(cust_eu), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "c_nationkey", "n_name")
+    )
+    supp = spark.read.parquet(os.path.join(out_dir, "supplier"))
+    return (
+        spark.table("lineitem_c")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(ord_eu, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def q148_clustered(spark: SparkSession, out_dir: str) -> DataFrame:
+    """q148_ship_latency_histogram over co-bucketed facts — the repo's own
+    documented THE-bucketed-case (X28): the fact-fact orderkey join is a
+    zero-exchange sort-merge; the count-distinct aggregate over day
+    buckets is the remaining (honest) shuffle."""
+    li = spark.table("lineitem_c").select("l_orderkey", "l_shipdate")
+    o = spark.table("orders_c").select("o_orderkey", "o_orderdate")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    return (
+        j.select(
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+            .cast("long")
+            .alias("latency_days"),
+            "l_orderkey",
+        )
+        .groupBy("latency_days")
+        .agg(
+            F.count("*").cast("long").alias("n_lineitems"),
+            F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
+        )
+    )
+
+
 CLUSTERED_QUERIES = {
     "q02_top_orders_by_revenue": q02_clustered,
     "q83_hypertable_rollup": q83_clustered,
     "q116_time_weighted_avg": q116_clustered,
+}
+
+# benched as the SEPARATE clustered_joins_256x block so the long-standing
+# replicated_256x_clustered total keeps its round-over-round comparability
+CLUSTERED_JOIN_QUERIES = {
+    "q56_priority_order_counts": q56_clustered,
+    "q68_market_share": q68_clustered,
+    "q77_local_supplier_volume": q77_clustered,
+    "q148_ship_latency_histogram": q148_clustered,
 }
 
 # DuckDB view sources for the clustered files: bucketed tables are
@@ -275,6 +438,9 @@ DUCK_VIEWS = {
     "orders": "orders/*.parquet",
     "events": "events/*.parquet",
     "customer": "customer/*.parquet",
+    "supplier": "supplier/*.parquet",
+    "nation": "nation/*.parquet",
+    "region": "region/*.parquet",
 }
 
 
