@@ -1235,18 +1235,21 @@ def q131_conversion_delay_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").cast("long") - F.col("ts_right").cast("long")
         ).alias("delay_s"),
     )
-    w = W.orderBy("delay_s", "purchase_id")
-    ranked = delays.select(
-        "delay_s",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(W.partitionBy()).alias("n"),
-    )
-    return ranked.agg(
-        F.max("n").cast("long").alias("n_conversions"),
+    # Round 14: the middle-element pick (rn = (n+1) div 2 = ceil(n/2) under
+    # a tie-broken order) IS percentile_disc(0.5) — the tie-break chose
+    # which ROW carried the median, never the VALUE.  The window form moved
+    # every conversion into ONE partition ("No Partition Defined" global
+    # sort); the aggregate builds partial value counts in parallel
+    # (3.2 -> measured below at the 16x tier; plans/r14/
+    # q131_conversion_delay_median_{before,after}.txt).
+    return delays.agg(
+        # nullif keeps the empty-input row identical to the window form
+        # (max(n) over zero rows was NULL, count(*) would be 0)
+        F.nullif(F.count("*"), F.lit(0)).cast("long").alias("n_conversions"),
         F.min("delay_s").cast("long").alias("min_delay_s"),
-        F.max(
-            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("delay_s"))
-        ).cast("long").alias("median_delay_s"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY delay_s)")
+        .cast("long")
+        .alias("median_delay_s"),
         F.max("delay_s").cast("long").alias("max_delay_s"),
     )
 

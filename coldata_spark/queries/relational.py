@@ -856,20 +856,31 @@ def q60_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact form sorts each group within its reducer."""
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    w = W.partitionBy("c_mktsegment").orderBy("o_totalprice", "o_orderkey")
-    ranked = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .select("c_mktsegment", "o_totalprice", "o_orderkey")
-        .withColumn("rn", F.row_number().over(w))
-        .withColumn("n", F.count("*").over(W.partitionBy("c_mktsegment")))
-    )
-    at = lambda q: F.greatest(F.lit(1), F.ceil(F.lit(q) * F.col("n")).cast("bigint"))
-    return ranked.groupBy("c_mktsegment").agg(
+    # Round 14: the rank-at-ceil(q*n) rule IS percentile_disc(q) — the
+    # smallest value whose cumulative count reaches ceil(q*n); the (price,
+    # orderkey) tie-break never changed the PICKED PRICE, only which row
+    # carried it, so the aggregate is value-identical.  The window form
+    # sorted all rows inside 5 segment partitions (5-task bottleneck +
+    # two window passes); the aggregate builds per-task partial value
+    # maps in parallel and sorts only per-group distinct values once
+    # (4.3 -> measured below at 16x;
+    # plans/r14/q60_price_percentiles_{before,after}.txt: Window+Sort
+    # pipeline -> single ObjectHashAggregate).
+    joined = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select("c_mktsegment", "o_totalprice")
+    return joined.groupBy("c_mktsegment").agg(
         F.round(
-            F.max(F.when(F.col("rn") == at(0.5), F.col("o_totalprice"))), 2
+            F.expr(
+                "percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)"
+            ),
+            2,
         ).alias("median_price"),
         F.round(
-            F.max(F.when(F.col("rn") == at(0.9), F.col("o_totalprice"))), 2
+            F.expr(
+                "percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)"
+            ),
+            2,
         ).alias("p90_price"),
         F.round(F.min("o_totalprice"), 2).alias("min_price"),
         F.round(F.max("o_totalprice"), 2).alias("max_price"),

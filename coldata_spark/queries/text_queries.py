@@ -1275,7 +1275,21 @@ def q120_bm25_search(spark, sf_dir):
             "term"
         ),
     )
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # Round 14: doc length = size of the match array, computed map-side in
+    # ONE expression — the explode+groupBy form multiplied the corpus into
+    # a token stream and paid a doc-keyed combine shuffle just to count
+    # rows per doc.  size() emits dl=0/NULL rows for token-less docs where
+    # the explode form emitted none — harmless: such docs have no tf rows
+    # to join and contribute nothing to sum_dl.  The two dl consumers each
+    # re-run the (map-only, stage-fused) expression; materializing it was
+    # measured slower than recomputing
+    # (plans/r14/q120_bm25_search_{before,after}.txt).
+    dl = fan_out(docs).select(
+        "doc_id",
+        F.expr(
+            "size(regexp_extract_all(lower(text), '[a-z]+', 0))"
+        ).cast("long").alias("dl"),
+    )
     nd = docs.agg(F.count("*").alias("n_docs"))
     scalars = (
         dl.agg(F.sum("dl").alias("sum_dl"))
