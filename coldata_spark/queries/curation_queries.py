@@ -1026,8 +1026,20 @@ def q163_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     for (pos,) in bloom.collect():
         bits[pos >> 6] |= 1 << (pos & 63)
     # reinterpret as signed so every word fits Spark's LongType; bit tests
-    # are unaffected (shiftright sign-extends but bit k is still bit k)
-    bm = F.lit([w - (1 << 64) if w >= (1 << 63) else w for w in bits])
+    # are unaffected (shiftright sign-extends but bit k is still bit k).
+    # Round 14: the literal is built as ONE parsed SQL array expression —
+    # F.lit(list) constructs a 4096-child CreateArray through per-element
+    # py4j calls and measured 6-14 s of pure DRIVER time per q163 call
+    # (the single biggest term in the query); the parser does the same in
+    # ~5 ms and constant-folds to the identical array literal.  LONG_MIN
+    # has no direct literal form (the parser rejects -2^63L), so that word
+    # is emitted as an overflow-free subtraction.
+    _MIN = -(1 << 63)
+    words = ",".join(
+        "(-9223372036854775807L - 1L)" if w == _MIN else f"{w}L"
+        for w in (x - (1 << 64) if x >= (1 << 63) else x for x in bits)
+    )
+    bm = F.expr(f"array({words})")
     hit = None
     for i in range(K):
         test = F.expr(

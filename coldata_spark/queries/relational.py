@@ -454,7 +454,16 @@ def q11_group_best_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q12_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rollup aggregation (subtotals + grand total) — free Catalyst built-in
-    the reference lacks entirely (SURVEY §2.4)."""
+    the reference lacks entirely (SURVEY §2.4).
+
+    Round 14, examined and deliberately LEFT ALONE: the tempting rewrite
+    (aggregate to the finest (flag, status) level first, rollup the ~6-row
+    result — moves the Expand x3 above the heavy aggregate) reassociates
+    the double sum and was MEASURED to flip round(sum, 2) at the 16x tier
+    (spark 508339233977.6 vs oracle ...77.63, one subtotal off by a cent)
+    while this direct form value-matches DuckDB at every fixture and tier.
+    Exactness beats the ~2x expand saving; at 100 TB the money column
+    should be decimal, where the rewrite is safe."""
     return (
         load(spark, sf_dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")

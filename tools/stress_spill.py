@@ -44,7 +44,10 @@ CONSTRAINED_CONF = {
 
 def _spill_totals(ui_base: str, app_id: str) -> dict:
     url = f"{ui_base}/api/v1/applications/{app_id}/stages?status=complete"
-    with urllib.request.urlopen(url, timeout=10) as r:
+    # 60 s: the status-store endpoint can take >10 s to respond when the
+    # whole test suite saturates all cores (one flaky timeout observed in a
+    # full-suite run; the tool passes in isolation in ~20 s)
+    with urllib.request.urlopen(url, timeout=60) as r:
         stages = json.load(r)
     return {
         "stages": len(stages),
