@@ -123,6 +123,16 @@ def q67_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both nation sides are pre-filtered to the 2-row pair BEFORE joining, so
     the supplier/customer joins act as semi-join reducers on the fact rows.
     year() is cast to long to match DuckDB's BIGINT.
+
+    Round 14 (guide §2.3, the q68/q77 pattern): the customer-nation
+    reduction is applied to ORDERS before the fact-fact orderkey exchange —
+    the 2-of-25-nations broadcast join drops ~92% of order rows, so the
+    orderkey shuffle carries ~8% of the orders side instead of the full
+    table; previously the full orders table crossed the exchange and the
+    customer filter ran after it
+    (plans/r14/q67_volume_shipping_{before,after}.txt).  The aggregate is
+    still the single-level round(sum(volume), 2) over the identical row
+    multiset — only join order changed, not the summation structure.
     """
     li = load(spark, sf_dir, "lineitem")
     pair = ("NATION_1", "NATION_2")
@@ -141,17 +151,30 @@ def q67_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer").join(
         F.broadcast(n2), F.col("c_nationkey") == F.col("n2_nationkey")
     )
-    orders = load(spark, sf_dir, "orders")
+    orders = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .join(
+            F.broadcast(cust.select("c_custkey", "n2_name")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select("o_orderkey", "n2_name")
+    )
     return (
         li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "l_orderkey",
+            F.col("n_name"),
+            F.year("l_shipdate").cast("long").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .filter(F.col("n_name") != F.col("n2_name"))
         .select(
             F.col("n_name").alias("supp_nation"),
             F.col("n2_name").alias("cust_nation"),
-            F.year("l_shipdate").cast("long").alias("l_year"),
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            "l_year",
+            "volume",
         )
         .groupBy("supp_nation", "cust_nation", "l_year")
         .agg(F.round(F.sum("volume"), 2).alias("revenue"))
@@ -1280,24 +1303,38 @@ def q133_join_key_skew_profile(spark, sf_dir):
     hottest key's row share in ppm, and how many times a uniform key's
     share that is (skew factor in micro-units, integer floor math).
 
-    Plan: one combine-agg per profiled column over the same scan (Spark
-    runs them as independent aggs; each shuffle carries #keys rows), then
-    a constant-size union — the profile output is one row per column at
-    any data size."""
+    Plan (round 14, guide §1.2/§2.4): ONE fact scan — each row explodes
+    into (tag, key) pairs for every profiled column, one combine-agg
+    shuffle carries the union of the per-column key sets (the same total
+    rows the per-column shuffles carried separately), and the per-column
+    moments come out of one tiny re-agg by tag.  Previously each profiled
+    column re-scanned the fact table and ran its own shuffle + single-row
+    agg (2 scans + 4 Exchanges -> 1 scan + 2, see
+    plans/r14/q133_join_key_skew_profile_{before,after}.txt); counts are
+    integer-identical since every row still contributes exactly one
+    instance per profiled column."""
     li = load(spark, sf_dir, "lineitem")
-
-    def prof(col: str):
-        per_key = li.groupBy(F.col(col).alias("k")).agg(
-            F.count("*").cast("long").alias("n")
-        )
-        return per_key.agg(
-            F.lit(col).alias("key_col"),
-            F.count("*").cast("long").alias("n_keys"),
-            F.sum("n").cast("long").alias("n_rows"),
-            F.max("n").cast("long").alias("max_key_rows"),
-        )
-
-    out = prof("l_partkey").unionByName(prof("l_suppkey"))
+    tagged = li.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("t"), F.col("l_partkey").alias("k")),
+                F.struct(F.lit(1).alias("t"), F.col("l_suppkey").alias("k")),
+            )
+        ).alias("x")
+    ).select("x.t", "x.k")
+    per_key = tagged.groupBy("t", "k").agg(F.count("*").cast("long").alias("n"))
+    out = per_key.groupBy("t").agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.max("n").cast("long").alias("max_key_rows"),
+    ).select(
+        F.when(F.col("t") == 0, F.lit("l_partkey"))
+        .otherwise(F.lit("l_suppkey"))
+        .alias("key_col"),
+        "n_keys",
+        "n_rows",
+        "max_key_rows",
+    )
     return out.select(
         "key_col",
         "n_keys",

@@ -42,6 +42,9 @@ TARGETS = [
     "q149_hll_error_envelope",
     "q153_unigram_logprob_quality",
     "q12_rollup_revenue",
+    "q67_volume_shipping",
+    "q133_join_key_skew_profile",
+    "q126_interval_coverage",
 ]
 
 
