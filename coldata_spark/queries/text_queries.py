@@ -1747,25 +1747,20 @@ def q143_lsh_bucket_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE running the join (the q133 skew profile, specialized to the
     dedup pipeline's own shuffle key).
 
-    Plan: the minhash signature build (1 md5 per distinct shingle), one
-    groupBy to band keys, one to bucket sizes, one tiny per-band agg —
-    the diagnostic costs the signature stage, never the join it
-    predicts."""
+    Plan (round 14): the minhash signature build (1 md5 per distinct
+    shingle), then band keys derived MAP-SIDE from the wide signature
+    frame (_banded_from_wide — the q26 engine's layout): the long-form
+    stack + groupBy(doc_id, band) + collect_list/array_sort re-aggregation
+    paid a #docs x 8-row shuffle just to re-concatenate columns that sit
+    side by side in the wide frame.  band_key = concat_ws('|', h_{2b},
+    h_{2b+1}) is exactly the seed-ordered string_agg (the h-columns ARE
+    the per-seed minhashes in seed order), so the bucket populations are
+    string-identical.  2 shuffles -> 1 (the bucket-size combine agg); one
+    tiny per-band agg on top
+    (plans/r14/q143_lsh_bucket_balance_{before,after}.txt)."""
     docs = load(spark, sf_dir, "documents")
-    sig = DD.minhash_signatures(docs, "text", "doc_id")
-    banded = (
-        sig.withColumn("band", (F.col("seed") / 2).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.concat_ws(
-                "|",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-                    lambda s: s["minhash"].cast("string"),
-                ),
-            ).alias("band_key")
-        )
-    )
+    wide = DD.minhash_signatures_wide(docs, "text", "doc_id")
+    banded = DD._banded_from_wide(wide, DD.N_HASHES, DD.BAND_SIZE)
     buckets = banded.groupBy("band", "band_key").agg(
         F.count("*").cast("long").alias("sz")
     )
