@@ -218,90 +218,34 @@ def cms_build(
 ) -> DataFrame:
     """Build a count-min sketch (j, bucket, cnt) over ``key_col``.
 
-    Round-14 engine (guide §4.2): the expression path (md5 -> 4x
-    conv(substring) -> depth-x explode -> hash aggregate) was hash- and
-    generate-bound — 4.7 s at the 16x tier, ~3 s of it in the slice/conv/
-    explode alone against a 0.3 s scan.  mapInArrow now ships ONLY the key
-    column to the Python worker, where each task np.unique's every batch,
-    computes the digest slices per DISTINCT key (hashlib.md5 of the same
-    decimal string the SQL twin hashes — bit-identical buckets), and
-    accumulates one local depth x width counter block; each task emits its
-    nonzero counters, so the combine aggregation sees at most
-    tasks * depth * width rows no matter the input size.  NULL keys pass
-    through as NULL buckets, exactly like the expression path's
-    md5(NULL) = NULL.  Counter sum is linear, so per-slice sketches merge
-    by adding counts."""
-    import pyarrow as pa
-
-    d, w = int(depth), int(width)
-
-    def _partial(batches):
-        import hashlib
-
-        import numpy as np
-
-        counts = np.zeros((d, w), dtype=np.int64)
-        null_count = 0
-        # buffer this task's keys and unique them ACROSS batches: real key
-        # columns repeat heavily (frequency sketching exists because they
-        # do), so per-batch uniquing re-hashes the same key once per batch.
-        # The buffer is flushed every ~8M keys so per-task memory stays
-        # bounded at any input size.
-        pending: list = []
-        pending_rows = 0
-
-        def _flush():
-            nonlocal pending, pending_rows
-            if not pending:
-                return
-            uniq, cnts = np.unique(np.concatenate(pending), return_counts=True)
-            pending, pending_rows = [], 0
-            for k, c in zip(uniq.tolist(), cnts.tolist()):
-                ks = str(k)
-                digests = {}
-                for j in range(d):
-                    salt, s = divmod(j, 4)
-                    if salt not in digests:
-                        payload = ks if salt == 0 else f"{ks}:{salt}"
-                        digests[salt] = hashlib.md5(
-                            payload.encode()
-                        ).hexdigest()
-                    h = int(digests[salt][8 * s : 8 * s + 8], 16) % w
-                    counts[j, h] += c
-
-        for batch in batches:
-            col = batch.column(0)
-            null_count += col.null_count
-            keys = col.drop_null().to_numpy(zero_copy_only=False)
-            if len(keys) == 0:
-                continue
-            pending.append(keys)
-            pending_rows += len(keys)
-            if pending_rows >= 8_000_000:
-                _flush()
-        _flush()
-        js, buckets = np.nonzero(counts)
-        out_j = [int(x) for x in js]
-        out_b = [int(x) for x in buckets]
-        out_c = [int(counts[j, b]) for j, b in zip(out_j, out_b)]
-        if null_count:
-            # md5(NULL) is NULL in the expression twin: every depth row
-            # gets a NULL bucket carrying the null-key count
-            for j in range(d):
-                out_j.append(j)
-                out_b.append(None)
-                out_c.append(null_count)
-        yield pa.RecordBatch.from_pydict(
-            {"j": out_j, "bucket": out_b, "cnt": out_c},
-            schema=pa.schema(
-                [("j", pa.int32()), ("bucket", pa.int64()), ("cnt", pa.int64())]
-            ),
-        )
-
-    partials = df.select(F.col(key_col)).mapInArrow(
-        _partial, "j int, bucket bigint, cnt bigint"
+    Round-14 engine, second pass (guide §1.2 — don't compute things
+    twice; guide §4.1 — prefer built-ins over the Python boundary): the
+    original expression path hashed EVERY ROW (one md5 + 4x
+    conv(substring) + depth-x explode per input row — 38M generated rows
+    into the hash aggregate at the 16x tier); the first round-14 rewrite
+    moved that into a mapInArrow task that uniqued keys before hashing,
+    which was faster but shipped the whole key column across the Python
+    boundary.  The missed move was to unique FIRST, in the JVM: a plain
+    per-key count aggregate (map-side combinable, so the exchange carries
+    at most #distinct keys per task) reduces the corpus to its key set,
+    and the md5/slice/explode expression family then runs over DISTINCT
+    keys only — ~30x fewer digests on a zipfian key column, zero Python.
+    Buckets are bit-identical to both prior engines (same _cms_entries
+    digest-slice family the lookup side and the SQL twin use); NULL keys
+    group into one row whose md5(NULL) = NULL bucket carries the null
+    count per depth row, exactly as before.  Counter sum is linear, so
+    per-slice sketches merge by adding counts."""
+    per_key = df.groupBy(F.col(key_col).alias("_k")).agg(
+        F.count("*").alias("_c")
     )
-    return partials.groupBy("j", "bucket").agg(F.sum("cnt").alias("cnt"))
+    entries = per_key.select(
+        F.explode(_cms_entries("_k", depth, width)).alias("e"), "_c"
+    )
+    return (
+        entries.groupBy("e.j", "e.bucket")
+        .agg(F.sum("_c").alias("cnt"))
+        .select(F.col("j").cast("int").alias("j"), "bucket", "cnt")
+    )
 
 
 def cms_lookup(
