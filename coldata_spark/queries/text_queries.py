@@ -1586,6 +1586,38 @@ def q140_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q141_capped_buckets(sh0: DataFrame) -> DataFrame:
+    """q141's bucket build, pre-checkpoint (module-level so the plan dumps
+    can show the count-prefilter feeding the collect — the checkpoint in
+    the query body truncates it out of the final explain).  Input: the
+    per-doc distinct (doc_id, shingle) stream; output: one row per KEPT
+    shingle (doc frequency <= 64) with its complete doc list — every
+    collect_list group provably bounded by the cap.
+
+    Shape: a window count over the shingle partition decides the kept
+    shingles, then the collect_list aggregation REUSES that partitioning
+    (no second exchange).  The probed alternative — count aggregate +
+    left-semi join back — was 39% slower at the 16x tier (7.64 vs 5.53 s)
+    because the shingle pipeline (the expensive transform/array_distinct
+    explode) ran twice: ReuseExchange cannot collapse the two references
+    (the join branch's exchange is rewritten to ENSURE_REQUIREMENTS, and
+    exchanges with different shuffleOrigins never canonicalize equal).
+    The hot-key buffer here is WindowExec's ExternalAppendOnlyUnsafeRowArray
+    — it SPILLS TO DISK past the in-memory threshold, unlike a collect_list
+    aggregation buffer which must hold the whole group on heap."""
+    w = W.partitionBy("shingle")
+    return (
+        # the isNotNull filter mirrors the oracle's `sh0 JOIN keep` (an
+        # equality join never passes null shingles); shingles are
+        # substrings of non-null text so it filters nothing on real data
+        sh0.filter(F.col("shingle").isNotNull())
+        .withColumn("df", F.count("doc_id").over(w))
+        .filter(F.col("df") <= 64)
+        .groupBy("shingle")
+        .agg(F.collect_list("doc_id").alias("ds"))
+    )
+
+
 @register(
     "q141_shingle_containment",
     survey="V6,A5,J5",
@@ -1663,12 +1695,18 @@ def q141_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fan-out is bounded by the 64-doc cap (<= 4032 pairs per bucket), the
     # per-bucket array by the same cap times 8 bytes.  One corpus pass, one
     # wide exchange (plans/r14/q141_shingle_containment_{before,after}.txt).
-    b = (
-        sh0.groupBy("shingle")
-        .agg(F.collect_list("doc_id").alias("ds"))
-        .filter(F.size("ds") <= 64)
-        .localCheckpoint(eager=True)
-    )
+    #
+    # Round 15 (guide §5 / §2.5 — bounded per-key state): r14 collected
+    # every shingle's FULL doc list before the <=64 cap filter, so one
+    # boilerplate shingle at 100 TB would buffer its entire doc list in a
+    # single in-memory aggregation buffer before being discarded.  Now a
+    # window count over the shingle partition decides the kept shingles
+    # FIRST, and only their rows reach collect_list (every group provably
+    # <=64 elements); the hot-key state during the count is WindowExec's
+    # disk-spillable row array, and the collect aggregation reuses the
+    # window's partitioning — still ONE corpus pass and ONE wide exchange
+    # (see _q141_capped_buckets for the probed-and-rejected alternatives).
+    b = _q141_capped_buckets(sh0).localCheckpoint(eager=True)
     sizes = (
         b.select(F.explode("ds").alias("doc_id"))
         .groupBy("doc_id")
