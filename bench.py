@@ -457,13 +457,20 @@ def emit(result: dict) -> None:
 
 
 def compact_record(result: dict) -> dict:
-    """The driver-facing summary: headline + per-tier aggregate numbers
-    ONLY.  Rounds 3 and 4 both lost their driver bench record because this
-    line carried the per-query `queries` dict and `per_query_ratio` maps
-    (~3.4 KB) and the driver's 2 KB stdout tail truncated it mid-object —
-    those maps live exclusively in BENCH_DETAIL.json now.
-    tests/test_bench_compact.py asserts the emitted line stays <1500 bytes
-    even with every tier block present."""
+    """The driver-facing summary: headline + PER-QUERY headline seconds +
+    per-tier aggregate numbers.  Rounds 3 and 4 both lost their driver
+    bench record because this line carried the per-query maps for EVERY
+    tier (~3.4 KB) and the driver's 2 KB stdout tail truncated it
+    mid-object, so rounds 5-14 dropped `queries` entirely — which left the
+    driver's round-over-round machinery blind (PERF_r14 `n_common: 0`,
+    empty scaling block; round-14 verdict ask #2).  Round 15 restores the
+    HEADLINE `queries` map (the one the contract names and the only one
+    the driver compares) and pays for it by dropping from the line what
+    the committed BENCH_DETAIL.json already carries verbatim: per-tier
+    spark/duckdb spreads and the redundant `times` field (the tier key
+    names the multiplier).  tests/test_bench_compact.py asserts the line
+    stays <1800 bytes with every block present and worst-case widths —
+    still a comfortable margin under the 2 KB truncation point."""
     def _r(v):  # 3-decimal rounding keeps the line compact; full
         # precision lives in BENCH_DETAIL.json
         if isinstance(v, float):
@@ -473,6 +480,10 @@ def compact_record(result: dict) -> dict:
         return v
 
     compact = {k: _r(result[k]) for k in ("metric", "value", "unit", "sf")}
+    if isinstance(result.get("queries"), dict):
+        compact["queries"] = {
+            k: _r(float(v)) for k, v in result["queries"].items()
+        }
     for key in (
         "replicated_16x",
         "replicated_64x",
@@ -484,21 +495,10 @@ def compact_record(result: dict) -> dict:
         "q30_256x_serve",
     ):
         if key in result:
-            # amortization tiers keep only the headline numbers in the
-            # driver line (their spreads live in BENCH_DETAIL.json) —
-            # the line must stay under the driver's 2 KB stdout tail
-            fields = (
-                ("times", "spark_sec", "duckdb_sec", "ratio")
-                if "amortization" in key or key.endswith("_serve")
-                else (
-                    "times",
-                    "spark_sec",
-                    "duckdb_sec",
-                    "ratio",
-                    "spark_spread",
-                    "duckdb_spread",
-                )
-            )
+            # per-tier spreads and per-query maps live in
+            # BENCH_DETAIL.json — the line must stay under the driver's
+            # 2 KB stdout tail
+            fields = ("spark_sec", "duckdb_sec", "ratio")
             compact[key] = {
                 k: _r(result[key][k]) for k in fields if k in result[key]
             }

@@ -3,9 +3,10 @@
 Rounds 3 AND 4 both lost their BENCH_r{N}.json record (`parsed: null`)
 because bench.py's final stdout line exceeded the driver's 2 KB tail and
 truncated mid-object.  This test feeds compact_record a worst-case result —
-every tier present, maximal realistic float widths, the per-query maps that
-must NOT survive into the line — and asserts the emitted line stays under
-1500 bytes with comfortable margin below the 2 KB truncation point.
+every tier present, maximal realistic float widths, the per-tier per-query
+maps that must NOT survive into the line — and asserts the emitted line
+(which since round 15 again carries the HEADLINE per-query seconds) stays
+under 1800 bytes with comfortable margin below the 2 KB truncation point.
 """
 
 import json
@@ -30,13 +31,16 @@ def _fat_tier(times: int) -> dict:
     }
 
 
-def test_compact_line_under_1500_bytes():
+def test_compact_line_under_1800_bytes():
+    # worst-case widths: every headline query at 3-digit seconds (the
+    # real totals are ~0.1-1 s each; 100+ s would mean the bench itself
+    # broke long before the line did)
     result = {
         "metric": "headline_total_sec",
         "value": 4.4217,
         "unit": "sec",
         "sf": 0.1,
-        "queries": {f"q{i:03d}_some_long_query_name": 0.123456 for i in range(19)},
+        "queries": {f"q{i:03d}_some_long_query_name": 123.456789 for i in range(19)},
         "replicated_16x": _fat_tier(16),
         "replicated_64x": _fat_tier(64),
         "replicated_256x": _fat_tier(256),
@@ -67,7 +71,7 @@ def test_compact_line_under_1500_bytes():
         },
     }
     line = json.dumps(bench.compact_record(result))
-    assert len(line) < 1500, f"compact line is {len(line)} bytes"
+    assert len(line) < 1800, f"compact line is {len(line)} bytes"
     parsed = json.loads(line)
     # the headline and every tier ratio must survive into the parsed record
     assert parsed["value"] == 4.422  # 3-decimal rounding applied
@@ -83,7 +87,14 @@ def test_compact_line_under_1500_bytes():
         assert "ratio" in parsed[tier]
         assert "per_query_ratio" not in parsed[tier]
         assert "spark_queries" not in parsed[tier]
-    assert "queries" not in parsed
+        # round-15: spreads and times moved to BENCH_DETAIL.json to make
+        # byte room for the headline per-query map (verdict-14 ask #2)
+        assert "spark_spread" not in parsed[tier]
+        assert "times" not in parsed[tier]
+    # round-15: the HEADLINE per-query seconds are back in the line — the
+    # driver's round-over-round and scaling machinery reads them
+    assert len(parsed["queries"]) == 19
+    assert parsed["queries"]["q000_some_long_query_name"] == 123.457
     # round-14: the clustered_joins block is detail-file-only — the driver
     # line keeps its long-standing composition and byte budget
     assert "clustered_joins_256x" not in parsed
@@ -96,7 +107,7 @@ def test_compact_tolerates_missing_tiers():
     assert parsed["value"] == 1.0
 
 
-def test_compact_of_committed_detail_under_1500_bytes():
+def test_compact_of_committed_detail_under_1800_bytes():
     """The synthetic worst case above could drift from reality — also gate
     the line produced from the committed BENCH_DETAIL.json."""
     import os
@@ -104,7 +115,9 @@ def test_compact_of_committed_detail_under_1500_bytes():
     path = os.path.join(os.path.dirname(os.path.dirname(__file__)), "BENCH_DETAIL.json")
     detail = json.load(open(path))
     line = json.dumps(bench.compact_record(detail))
-    assert len(line) < 1500, f"compact of real detail is {len(line)} bytes"
+    assert len(line) < 1800, f"compact of real detail is {len(line)} bytes"
+    # the committed detail must feed the line a headline per-query map
+    assert len(json.loads(line).get("queries", {})) >= 19
     assert json.loads(line)["value"] == round(detail["value"], 3)
 
 
