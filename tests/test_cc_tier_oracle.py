@@ -32,17 +32,22 @@ from tests.oracle_utils import compare
 
 N_CLUSTERS = 4000
 CHAIN = 4  # docs per cluster, chained near-dups
-WORDS = [
-    "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
-    "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
-    "oscar", "papa", "quebec", "romeo", "sierra", "tango",
-]
 
 
 @pytest.fixture(scope="module")
 def cc_dir(tmp_path_factory):
     out = tmp_path_factory.mktemp("cc_tier")
     rng = random.Random(42)
+    # a LARGE vocabulary keeps clusters shingle-disjoint: a first draft
+    # with 20 fixed words made unrelated clusters share most of their
+    # 5-char shingles, welding them into mega-components whose chains
+    # exceeded the CC engine's max_iters — exactly the unbounded structure
+    # this fixture exists to avoid
+    alphabet = "abcdefghijklmnopqrstuvwxyz"
+    words = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(5, 9)))
+        for _ in range(5000)
+    ]
     doc_ids, texts, langs, sources, n_chars = [], [], [], [], []
     did = 0
     for c in range(N_CLUSTERS):
@@ -50,12 +55,12 @@ def cc_dir(tmp_path_factory):
         # PREVIOUS member's tail by one word, so adjacent members are
         # near-dups (high shingle jaccard) while the chain ends are only
         # transitively connected
-        base = [rng.choice(WORDS) for _ in range(20)]
+        base = [rng.choice(words) for _ in range(20)]
         cur = list(base)
         for m in range(CHAIN):
             if m:
                 cur = list(cur)
-                cur[-(1 + (m % 3))] = rng.choice(WORDS)
+                cur[-(1 + (m % 3))] = rng.choice(words)
             text = " ".join(cur)
             doc_ids.append(did)
             texts.append(text)
