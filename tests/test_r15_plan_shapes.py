@@ -8,10 +8,17 @@ the removed term:
   WINDOW COUNT (disk-spillable per-key state) BEFORE any collect_list —
   round 14 collected every shingle's full doc list first, an unbounded
   in-memory aggregation buffer on a hot (boilerplate) shingle at scale.
+- q02 past the broadcast gate: the orders side must hash-build
+  (ShuffledHashJoin), not sort the 5x-larger lineitem stream
+  (SortMergeJoin) — measured 7.6-7.9 s vs 5.0-6.1 s at the 256x tier.
+  Gated on the bench's materialized 256x fixture being present.
 """
 
 from __future__ import annotations
 
+import os
+
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -81,3 +88,50 @@ def test_q141_capped_buckets_value_identity(spark, sf_dir):
         ).collect()
     }
     assert new == old
+
+
+_TIER256 = "/root/repo/.bench_cache/256x"
+
+
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(_TIER256, "_REPLICATED_OK")),
+    reason="256x tier fixture not materialized (run bench.py once)",
+)
+def test_q02_hash_builds_past_broadcast_gate(spark):
+    """Past the 256 MiB broadcast gate q02 must hash-build the pruned
+    orders side (ShuffledHashJoin) when the per-partition build fits
+    execution memory — NOT sort the 5x-larger lineitem stream."""
+    from coldata_spark.queries.relational import q02_top_orders_by_revenue
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        plan = _executed_plan(q02_top_orders_by_revenue(spark, _TIER256))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    assert "ShuffledHashJoin" in plan, (
+        "q02 lost the shuffled-hash fact join at the 256x tier "
+        "(sort-merge sorts the larger streamed lineitem side — "
+        "measured 1.3-1.5x slower)"
+    )
+    assert "SortMergeJoin" not in plan
+
+
+def test_q02_hint_drops_out_when_build_exceeds_partition_budget(spark):
+    """At a scale where est // partitions > 64 MiB the hint must NOT
+    fire: the spill-safe sort-merge is the right default there.  Proxied
+    by shrinking the partition count to 1 against the 256x tier."""
+    if not os.path.exists(os.path.join(_TIER256, "_REPLICATED_OK")):
+        pytest.skip("256x tier fixture not materialized")
+    from coldata_spark.queries.relational import q02_top_orders_by_revenue
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try:
+        plan = _executed_plan(q02_top_orders_by_revenue(spark, _TIER256))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    assert "ShuffledHashJoin" not in plan, (
+        "the shuffle_hash hint must drop out when the estimated "
+        "per-partition build no longer fits execution memory"
+    )
