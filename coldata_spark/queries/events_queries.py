@@ -1008,11 +1008,22 @@ def q125_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: hourly counts (one combine-agg shuffle), per-type moment
     aggregation over #hours rows, broadcast-join back — the anomaly scan
     is over the ROLLUP, never the raw events; at 100 TB the moments ride
-    the same tiny table a monitoring job would keep anyway."""
+    the same tiny table a monitoring job would keep anyway.
+
+    Round 15 (guide §2.2): the rollup groups on an integer epoch-hour
+    instead of date_trunc'd timestamps — date_trunc runs timezone logic
+    per input row, the long `div` is one integer op, and the grouping
+    key narrows; the timestamp is reconstructed AFTER the aggregate
+    (at most #hours rows).  In the UTC session date_trunc('hour', ts)
+    == timestamp_seconds(3600 * (epoch div 3600)) exactly; value-gated
+    identical at the 16x/64x tiers (tools/probe_q135_q125_r15.py,
+    0.36 -> 0.26 s at 16x, flat at 64x) and oracle-parity green."""
     ev = load(spark, sf_dir, "events")
     hourly = (
-        ev.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hr"))
-        .agg(F.count("*").cast("long").alias("n"))
+        ev.groupBy(
+            "event_type",
+            F.expr("cast(ts as bigint) div 3600").alias("_hr_epoch"),
+        ).agg(F.count("*").cast("long").alias("n"))
     )
     stats = hourly.groupBy("event_type").agg(
         F.count("*").cast("long").alias("k"),
@@ -1025,7 +1036,7 @@ def q125_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.filter((dev > 0) & (dev * dev > F.expr("4 * (k * sq - s * s)")))
         .select(
             "event_type",
-            "hr",
+            F.timestamp_seconds(F.expr("_hr_epoch * 3600")).alias("hr"),
             "n",
             F.expr("CAST((1000000 * n * k) div s AS BIGINT)").alias("vs_mean_micro"),
         )
@@ -1283,19 +1294,42 @@ def q135_weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: map-side integer exprs + one combine agg into a fixed 168-cell
     grid; the count-distinct expands per cell but cells bound the output
-    at any scale."""
+    at any scale.
+
+    Round 15 (guide §2.2 — shuffle fewer/narrower bytes): the dedup
+    shuffle IS this query (64x decomposition: 0.13 s scan + 0.23 s
+    rollup-without-distinct vs 0.84 s full), so the two long grid keys
+    are packed into ONE int cell (dow*24+hour, 0..167) before the
+    (cell, user_id) dedup exchange and unpacked after the final 168-row
+    aggregate — same two-phase no-Expand plan, ~30% narrower shuffle
+    keys and one int hash instead of two long hashes per row.  Explicit
+    two-level form (count per (cell, user) -> sum/count per cell) keeps
+    the planner from re-deriving the distinct; measured 0.84 -> 0.68 s
+    at 64x, 0.43 -> 0.37 s at 16x (tools/probe_q135_q125_r15.py, both
+    variants value-gated identical first).  Integer `div` keeps the
+    truncation semantics of the previous cast-of-double on the
+    non-negative epochs the schema guarantees."""
     ev = load(spark, sf_dir, "events")
-    epoch = F.col("ts").cast("long")
+    cell = F.expr(
+        "cast(((((cast(ts as bigint) div 86400) + 4) % 7) * 24"
+        " + (cast(ts as bigint) % 86400) div 3600) as int)"
+    ).alias("_cell")
+    per_user = (
+        ev.select(cell, "user_id")
+        .groupBy("_cell", "user_id")
+        .agg(F.count("*").alias("_n"))
+    )
     return (
-        ev.select(
-            (((epoch / 86400).cast("long") + 4) % 7).alias("dow"),
-            ((epoch % 86400) / 3600).cast("long").alias("hour_utc"),
-            "user_id",
-        )
-        .groupBy("dow", "hour_utc")
+        per_user.groupBy("_cell")
         .agg(
-            F.count("*").cast("long").alias("n_events"),
-            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.sum("_n").cast("long").alias("n_events"),
+            F.count("*").cast("long").alias("n_users"),
+        )
+        .select(
+            F.expr("cast(_cell div 24 as bigint)").alias("dow"),
+            F.expr("cast(_cell % 24 as bigint)").alias("hour_utc"),
+            "n_events",
+            "n_users",
         )
     )
 

@@ -135,3 +135,32 @@ def test_q02_hint_drops_out_when_build_exceeds_partition_budget(spark):
         "the shuffle_hash hint must drop out when the estimated "
         "per-partition build no longer fits execution memory"
     )
+
+
+_TIER64 = "/root/repo/.bench_cache/64x"
+
+
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(_TIER64, "_REPLICATED_OK")),
+    reason="64x tier fixture not materialized (run bench.py once)",
+)
+def test_q77_q68_fact_join_broadcasts_pruned_orders(spark):
+    """The flat q77/q68 fact-fact orderkey join must broadcast the pruned
+    orders side while the raw orders estimate fits the 256 MiB gate — the
+    planner cannot see the region/date selectivity through the scan
+    estimate and sort-merges otherwise (64x: q77 3.78->1.69 s,
+    q68 4.17->2.08 s)."""
+    from coldata_spark.queries.tpch_extra import (
+        q68_market_share,
+        q77_local_supplier_volume,
+    )
+
+    p77 = _executed_plan(q77_local_supplier_volume(spark, _TIER64))
+    # the one allowed SMJ is orders x customers INSIDE the broadcast build
+    assert p77.count("SortMergeJoin") <= 1 and "BroadcastHashJoin" in p77, (
+        "q77's lineitem join stopped broadcasting the pruned ord_eu side"
+    )
+    p68 = _executed_plan(q68_market_share(spark, _TIER64))
+    assert "SortMergeJoin" not in p68 and "BroadcastHashJoin" in p68, (
+        "q68's lineitem join stopped broadcasting the pruned orders side"
+    )

@@ -349,7 +349,20 @@ def q68_clustered(spark: SparkSession, out_dir: str) -> DataFrame:
 def q77_clustered(spark: SparkSession, out_dir: str) -> DataFrame:
     """q77_local_supplier_volume over co-bucketed facts: same round-14
     early-reduction plan; the lineitem ⋈ (orders ⋈ customers) orderkey
-    join side of lineitem needs no exchange."""
+    join side of lineitem needs no exchange.
+
+    Round 15 (verdict ask #4, guide §3.1): the orderkey join hash-builds
+    the pruned ord_eu side (shuffle_hash hint) instead of merge-joining —
+    both are exchange-free on the bucketed layout (probe: 2 row-exchanges
+    either way) and the bucketed sortedness already elides the sorts, but
+    the merge walk pays ordering comparisons per streamed lineitem row
+    and degrades far worse under heap pressure: measured 11.80 s vs
+    3.14 s (noop protocol) and 3.14/3.17/3.77 vs 2.79/3.11/3.29 (bench
+    protocol, warm best-of-3) — tools/probe_q77_r15.py, value-gated
+    identical first.  The verdict's named pre-aggregation lever
+    (partial volume per (l_orderkey, s_nationkey) before the join) was
+    probed and REJECTED: the supplier co-nation key breaks the bucket
+    alignment (6 row-exchanges) and it measured 21.9 s."""
     region = spark.read.parquet(os.path.join(out_dir, "region")).filter(
         F.col("r_name") == "EUROPE"
     )
@@ -378,7 +391,7 @@ def q77_clustered(spark: SparkSession, out_dir: str) -> DataFrame:
     return (
         spark.table("lineitem_c")
         .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
-        .join(ord_eu, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(ord_eu.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
             F.broadcast(supp),
             (F.col("l_suppkey") == F.col("s_suppkey"))
